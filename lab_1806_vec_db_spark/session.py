@@ -1,0 +1,51 @@
+"""SparkSession factory with the configuration this engine assumes.
+
+Local mode is the test harness; the same config block is what we would
+ship on a real cluster (AQE on, Arrow on, UTC, sane shuffle parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - ``spark.sql.shuffle.partitions`` is sized to cores, not the 200
+      default: at local scale 200 over-parallelizes; on a cluster the
+      deploy config overrides it (AQE coalescing corrects at runtime
+      either way).
+    - AQE enabled: runtime re-planning (skew-join splitting, partition
+      coalescing) is the scale-up safety net for every shuffle we emit.
+    - Arrow enabled: all pandas_udf / mapInPandas operators in this
+      package move batches, never rows.
+    - Session timezone pinned to UTC so timestamp semantics agree with
+      the DuckDB correctness oracle.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-provided parquet tables for scale factor dir."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
