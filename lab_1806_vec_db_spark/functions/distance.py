@@ -116,19 +116,20 @@ def calc_dist(a: Sequence[float], b: Sequence[float], dist: str = "cosine") -> f
 
 
 def cast_vec_expr(vec: Column | str, to_type: str) -> Column:
-    """Element cast f32↔u8 with the reference's saturating, NaN→0
-    semantics (scalar.rs:23-46, vec_set.rs:142-149).
+    """Element cast f32↔u8 with the reference's saturating, NaN→0,
+    truncate-toward-zero semantics (Rust ``as`` cast, scalar.rs:20-37;
+    vec_set.rs:142-149).
 
     Spark's native cast differs (NaN→NULL-ish behavior on ints, wraps on
     overflow in ANSI-off mode), so the guard is explicit:
-    ``clamp(round(x), 0, 255)`` with NaN mapped to 0.
+    ``trunc(clamp(x, 0, 255))`` with NaN mapped to 0.
     """
     vec = F.col(vec) if isinstance(vec, str) else vec
     if to_type in ("u8", "tinyint-as-int", "uint8"):
         def to_u8(x: Column) -> Column:
             d = x.cast("double")
             clamped = F.least(F.greatest(d, F.lit(0.0)), F.lit(255.0))
-            return F.when(F.isnan(d), F.lit(0)).otherwise(F.round(clamped).cast("int"))
+            return F.when(F.isnan(d), F.lit(0)).otherwise(F.floor(clamped).cast("int"))
         return F.transform(vec, to_u8)
     if to_type in ("f32", "float32", "float"):
         return F.transform(vec, lambda x: x.cast("float"))

@@ -1,0 +1,230 @@
+"""kNN search operators — the reference's hot read path re-expressed as
+Spark plans.
+
+Reference semantics (/root/reference):
+- Flat (brute-force) kNN: scan all vectors, keep a size-k ordered set
+  (src/index_algorithm/flat_index.rs:48-57). In Spark this is a
+  distance projection + ``ORDER BY dist LIMIT k`` — Catalyst plans it
+  as ``TakeOrderedAndProject``: per-partition top-k heaps merged on the
+  driver, no global sort, no shuffle of the base table. Exactly the
+  reference's bounded-ordered-set trick, but distributed.
+- ``upper_bound`` threshold: post-filter ``distance <= ub``
+  (src/database/metadata_vec_table.rs:206-209).
+- Results ascending by distance (src/database/mod.rs:497-506).
+
+Two physical strategies for the batch form (a whole DataFrame of
+queries — the idiomatic Spark generalization the reference runs as a
+rayon loop, examples/bench.rs:414-417):
+
+- ``crossjoin``: broadcast the query set, cross join, window top-k.
+  Fully declarative; the window shuffles |base|×|queries| rows — fine
+  for small query sets, wrong at scale.
+- ``partitioned`` (default): Arrow-batched numpy scan. Each input batch
+  computes a (batch × queries) distance matrix against the broadcast
+  query block and emits only its local top-k per query; a final window
+  over ~``num_batches × |Q| × k`` rows picks the global top-k. The
+  shuffle is k-bounded, independent of base-table size — this is the
+  plan that survives 100 TB. (Same partial-top-k-then-merge shape that
+  TakeOrderedAndProject uses, generalized per query.)
+
+Determinism contract for the correctness oracle: distances are computed
+in float64, rounded to ``ROUND_DECIMALS``, normalized ``-0.0 → +0.0``,
+and ties broken by id ascending — the DuckDB oracle SQL applies the
+same contract, so row sets hash-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions.distance import DISTANCES, dist_expr
+
+#: decimals kept on emitted distances — enough to order meaningfully,
+#: coarse enough that float64 summation-order differences (Spark vs
+#: numpy vs DuckDB) never flip a rounded value.
+ROUND_DECIMALS = 4
+
+
+def _check_metric(metric: str) -> None:
+    if metric not in DISTANCES:
+        raise ValueError(f"Invalid distance function: {metric} (expected one of {DISTANCES})")
+
+
+def round_dist(col: Column) -> Column:
+    """Oracle-stable distance: round + force ``-0.0`` to ``+0.0``."""
+    return F.round(col, ROUND_DECIMALS) + F.lit(0.0)
+
+
+def knn(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    vec_col: str = "vec",
+    upper_bound: float | None = None,
+    payload_cols: Sequence[str] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Single-query brute-force kNN (reference ``search`` with a Flat
+    index, flat_index.rs:48-57 + metadata_vec_table.rs:194-212).
+
+    Returns ``payload_cols + [dist]`` ascending, ties broken by id.
+    The plan is scan → project(dist) → TakeOrderedAndProject(k) →
+    filter(ub): the filter is applied after top-k, as in the reference.
+    """
+    _check_metric(metric)
+    qlit = F.lit([float(x) for x in query]).cast("array<double>")
+    payload = list(payload_cols) if payload_cols is not None else [id_col]
+    scored = df.select(*payload, round_dist(dist_expr(F.col(vec_col), qlit, metric)).alias("dist"))
+    out = scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+    if upper_bound is not None:
+        out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
+    return out
+
+
+def _dist_matrix(x: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    """(n × d) base block vs (m × d) query block → (n × m) float64
+    distances; algebraic forms match the reference's cached-dot
+    formulations (distance/mod.rs:51-69)."""
+    ip = x @ q.T
+    if metric == "l2sqr":
+        x2 = np.einsum("ij,ij->i", x, x)
+        q2 = np.einsum("ij,ij->i", q, q)
+        return x2[:, None] + q2[None, :] - 2.0 * ip
+    # cosine with the reference's 1e-10 denominator floor
+    nx = np.sqrt(np.einsum("ij,ij->i", x, x))
+    nq = np.sqrt(np.einsum("ij,ij->i", q, q))
+    denom = np.maximum(nx[:, None] * nq[None, :], 1e-10)
+    return 1.0 - ip / denom
+
+
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    qid_col: str = "query_id",
+    qvec_col: str = "vec",
+    upper_bound: float | None = None,
+    strategy: str = "partitioned",
+) -> DataFrame:
+    """Batch kNN: top-k of ``df`` for every row of ``queries``.
+
+    Output: ``(query_id, id, dist)`` ascending per query, ties by id.
+    ``strategy='partitioned'`` is the scale path (see module docstring);
+    ``'crossjoin'`` is the fully-declarative reference plan used as the
+    semantic oracle in tests.
+    """
+    _check_metric(metric)
+    if strategy == "crossjoin":
+        q = queries.select(
+            F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("__qv")
+        )
+        scored = df.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            F.col(id_col),
+            round_dist(dist_expr(F.col(vec_col), F.col("__qv"), metric)).alias("dist"),
+        )
+        return _topk_per_query(scored, k, id_col, upper_bound)
+    if strategy != "partitioned":
+        raise ValueError(f"Unknown knn_batch strategy: {strategy}")
+
+    spark = df.sparkSession
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        raise ValueError("Empty query set")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    m = len(qids)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            d = _dist_matrix(x, bq, metric)
+            d = np.round(d, ROUND_DECIMALS) + 0.0
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, d.shape[0])
+            # local top-k per query with (dist, id) tie-break; a global
+            # window pass finalizes, so emitting a superset is safe
+            order_ids = np.broadcast_to(ids[:, None], d.shape)
+            sel = np.lexsort((order_ids, d), axis=0)[:kk, :]
+            out_qid = np.repeat(bqids, kk)
+            out_id = ids[sel].T.reshape(-1)
+            out_d = np.take_along_axis(d, sel, axis=0).T.reshape(-1)
+            yield pd.DataFrame({"query_id": out_qid, id_col: out_id, "dist": out_d})
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"query_id long, {id_col} long, dist double"
+    )
+    out = _topk_per_query(scored, k, id_col, upper_bound)
+    return out if m > 0 else out
+
+
+def _topk_per_query(
+    scored: DataFrame, k: int, id_col: str, upper_bound: float | None
+) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    if upper_bound is not None:
+        out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
+    return out.orderBy("query_id", F.col("dist").asc(), F.col(id_col).asc())
+
+
+def range_search(
+    df: DataFrame,
+    query: Sequence[float],
+    radius: float,
+    metric: str = "l2sqr",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """All rows within ``radius`` of ``query`` (the reference's
+    ``upper_bound`` generalized to an unbounded k: metadata_vec_table.rs:
+    206-209 with k = len). Pure filter — Catalyst pushes the projection
+    down; no top-k, no shuffle."""
+    _check_metric(metric)
+    qlit = F.lit([float(x) for x in query]).cast("array<double>")
+    payload = list(payload_cols) if payload_cols is not None else [id_col]
+    return (
+        df.select(*payload, round_dist(dist_expr(F.col(vec_col), qlit, metric)).alias("dist"))
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    )
+
+
+def ground_truth(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2sqr",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    qid_col: str = "query_id",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Exact-kNN ground truth table ``(query_id, knn_indices ARRAY<LONG>)``
+    — the correctness oracle for approximate indexes (reference
+    bin/gen_gnd.rs:31-76, candidate_pair.rs:111-149)."""
+    topk = knn_batch(df, queries, k, metric, vec_col, id_col, qid_col, qvec_col)
+    return topk.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dist", id_col))),
+            lambda s: s[id_col],
+        ).alias("knn_indices")
+    )

@@ -92,12 +92,13 @@ def test_calc_dist_parity():
 
 
 def test_cast_u8_saturating_nan_to_zero(spark):
-    # scalar.rs:23-46: saturate to [0,255], NaN→0
+    # scalar.rs:20-37: Rust `as u8` — truncate toward zero, saturate to
+    # [0,255], NaN→0
     df = spark.createDataFrame(
         [([-5.0, 0.2, 254.6, 300.0, float("nan")],)], "a array<float>"
     )
     got = df.select(cast_vec_expr("a", "u8").alias("v")).first()["v"]
-    assert got == [0, 0, 255, 255, 0]
+    assert got == [0, 0, 254, 255, 0]
 
 
 def test_recall_expr(spark):

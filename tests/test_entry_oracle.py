@@ -1,0 +1,84 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+``queries()`` entry and its DuckDB ``oracle_sql()`` twin side-by-side,
+compare row count, column names, and (order-insensitively) values.
+
+Float columns were rounded by the queries themselves (the determinism
+contract), so comparison is exact string equality after sorting.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v + 0.0:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rowset(rows):
+    return sorted(tuple(_canon(v) for v in row) for row in rows)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_correct, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, sf_correct)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+
+    con = _duck(sf_correct)
+    ddf = con.execute(sql)
+    dcols = [d[0].lower() for d in ddf.description]
+    drows = ddf.fetchall()
+    con.close()
+
+    assert scols == dcols, f"{name}: column mismatch spark={scols} duck={dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
+    s, d = _rowset(srows), _rowset(drows)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b][:5]
+    assert s == d, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"query_id", "vec_id", "dist"}
+
+
+def test_all_queries_have_callables():
+    qs = entry_mod.queries()
+    for k in entry_mod.oracle_sql():
+        assert k in qs

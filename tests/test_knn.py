@@ -1,0 +1,106 @@
+"""kNN operator semantics: self-query, ascending order, upper_bound,
+batch == single, partitioned == crossjoin (the two physical strategies
+must agree bit-for-bit on rounded output)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return read_table(spark, sf_smoke, "embeddings").cache()
+
+
+def test_self_query_top1(spark, emb):
+    # flat_index.rs:157-165 — querying an existing vector returns itself
+    # at distance ~0, results ascending
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    rows = knn_ops.knn(emb, q, k=5, metric="l2sqr", vec_col="embedding",
+                       id_col="vec_id").collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["dist"] == pytest.approx(0.0, abs=1e-4)
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_upper_bound_filters_after_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    unfiltered = knn_ops.knn(emb, q, k=10, metric="cosine", vec_col="embedding",
+                             id_col="vec_id").collect()
+    ub = unfiltered[4]["dist"]
+    filtered = knn_ops.knn(emb, q, k=10, metric="cosine", vec_col="embedding",
+                           id_col="vec_id", upper_bound=ub).collect()
+    assert all(r["dist"] <= ub for r in filtered)
+    assert len(filtered) == sum(1 for r in unfiltered if r["dist"] <= ub)
+
+
+def test_strategies_agree(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    kw = dict(k=7, metric="cosine", vec_col="embedding", id_col="vec_id",
+              qid_col="query_id", qvec_col="embedding")
+    a = knn_ops.knn_batch(emb, queries, strategy="partitioned", **kw).collect()
+    b = knn_ops.knn_batch(emb, queries, strategy="crossjoin", **kw).collect()
+    sa = sorted((r["query_id"], r["vec_id"], r["dist"]) for r in a)
+    sb = sorted((r["query_id"], r["vec_id"], r["dist"]) for r in b)
+    assert sa == sb
+
+
+def test_batch_matches_single(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 3).first()
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = knn_ops.knn_batch(emb, queries, k=8, metric="l2sqr", vec_col="embedding",
+                              id_col="vec_id", qid_col="query_id",
+                              qvec_col="embedding").collect()
+    single = knn_ops.knn(emb, qrow["embedding"], k=8, metric="l2sqr",
+                         vec_col="embedding", id_col="vec_id").collect()
+    assert [(r["vec_id"], r["dist"]) for r in batch] == [
+        (r["vec_id"], r["dist"]) for r in single]
+
+
+def test_batch_matches_numpy_bruteforce(spark, emb):
+    pdf = emb.toPandas().sort_values("vec_id")
+    x = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = x[:4]
+    d = 1.0 - (x @ q.T) / np.maximum(
+        np.linalg.norm(x, axis=1)[:, None] * np.linalg.norm(q, axis=1)[None, :], 1e-10)
+    d = np.round(d, 4) + 0.0
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = knn_ops.knn_batch(emb, queries, k=10, metric="cosine", vec_col="embedding",
+                            id_col="vec_id", qid_col="query_id",
+                            qvec_col="embedding").collect()
+    for qi in range(4):
+        order = np.lexsort((ids, d[:, qi]))[:10]
+        expect = list(ids[order])
+        mine = [r["vec_id"] for r in got if r["query_id"] == qi]
+        assert mine == expect, f"query {qi}"
+
+
+def test_range_search(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rows = knn_ops.range_search(emb, q, radius=1.3, metric="l2sqr",
+                                vec_col="embedding", id_col="vec_id").collect()
+    assert all(r["dist"] <= 1.3 for r in rows)
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert rows[0]["vec_id"] == 0
+
+
+def test_ground_truth_shape(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    gt = knn_ops.ground_truth(emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+                              id_col="vec_id", qid_col="query_id",
+                              qvec_col="embedding").collect()
+    assert len(gt) == 3
+    for r in gt:
+        assert len(r["knn_indices"]) == 10
+        assert r["knn_indices"][0] == r["query_id"]  # self is nearest
