@@ -1,0 +1,434 @@
+"""VecDB — the reference's Python-facing database manager
+(/root/reference/lab_1806_vec_db.pyi, src/database/mod.rs,
+src/pyo3/mod.rs), re-expressed on Spark.
+
+Mapping of the reference's machinery onto Spark:
+
+- directory of tables + ``brief.toml`` catalog (database/mod.rs:57-143)
+  → directory of Parquet table dirs + a ``brief.json`` catalog holding
+  dim / dist / row count / index state / next_id;
+- bincode whole-table autosave (thread_save.rs) → Parquet writes are
+  durable on action; mutations rewrite via tmp-dir + atomic rename
+  (the reference's own tmp-file+copy pattern, thread_save.rs:10-21);
+- exclusive fs lock per dir (database/mod.rs:21-30) → ``fcntl.flock``
+  on ``db.lock``, raising on a second manager (examples/
+  test_try_lock.py:3-4);
+- positional ordinals + swap_remove (vec_set.rs:131-137) → stable
+  monotonic ``id`` column (ordinals never escape the reference's API,
+  so semantics are preserved);
+- table schema: ``(id LONG, vec ARRAY<FLOAT>, metadata MAP<STRING,
+  STRING>, norm DOUBLE)`` — ``norm`` is the reference's per-vector
+  distance cache materialized at write time (hnsw_index.rs:251-254).
+
+Index-invalidation state machine (metadata_vec_table.rs:64-81,163-187;
+README.md:22,45):
+
+    add / batch_add   → PQ cleared, HNSW kept
+    delete (pattern)  → PQ cleared, HNSW cleared
+    build_* if built  → no-op
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions.distance import DISTANCES, norm_expr
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.session import get_spark
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: degrade to advisory marker file
+    fcntl = None
+
+TABLE_SCHEMA = "id long, vec array<float>, metadata map<string,string>"
+
+
+def sanitize_key(key: str) -> str:
+    """Map a table key to a safe filename: keep [A-Za-z0-9_-], cap at 32
+    chars (database/mod.rs:36-45); collisions get a ``_N`` suffix at
+    registration time (database/mod.rs:83-106)."""
+    safe = re.sub(r"[^A-Za-z0-9_-]", "_", key)[:32]
+    return safe or "table"
+
+
+class VecDB:
+    """Parity implementation of ``lab_1806_vec_db.VecDB`` (pyi surface)
+    plus the batch entry points a Spark engine naturally adds
+    (``table_df``, ``batch_search``)."""
+
+    def __init__(self, dir: str, spark: SparkSession | None = None) -> None:
+        self.dir = os.path.abspath(dir)
+        os.makedirs(self.dir, exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "tables"), exist_ok=True)
+        self.spark = spark or get_spark("vecdb")
+        self._lock_fh = open(os.path.join(self.dir, "db.lock"), "w")
+        if fcntl is not None:
+            try:
+                fcntl.flock(self._lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError as e:  # second manager on the same dir
+                self._lock_fh.close()
+                raise RuntimeError(f"Failed to acquire lock on {self.dir}") from e
+        self._brief_path = os.path.join(self.dir, "brief.json")
+        self._brief: dict[str, Any] = {"tables": {}}
+        if os.path.exists(self._brief_path):
+            with open(self._brief_path) as f:
+                self._brief = json.load(f)
+        self._cached: dict[str, DataFrame] = {}
+        self._indexes: dict[str, dict[str, Any]] = {}
+
+    # ---- catalog ---------------------------------------------------------
+
+    def _save_brief(self) -> None:
+        tmp = self._brief_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._brief, f, indent=1)
+        os.replace(tmp, self._brief_path)  # atomic, thread_save.rs:10-21
+
+    def _meta(self, key: str) -> dict[str, Any]:
+        try:
+            return self._brief["tables"][key]
+        except KeyError:
+            raise KeyError(f"Table not found: {key}") from None
+
+    def _table_path(self, key: str) -> str:
+        return os.path.join(self.dir, "tables", self._meta(key)["filename"])
+
+    def create_table_if_not_exists(self, key: str, dim: int, dist: str = "cosine") -> bool:
+        if dist not in DISTANCES:
+            raise ValueError(f"Invalid distance function: {dist}")
+        if key in self._brief["tables"]:
+            return False
+        fname = sanitize_key(key)
+        taken = {t["filename"] for t in self._brief["tables"].values()}
+        if fname in taken:
+            i = 1
+            while f"{fname}_{i}" in taken:
+                i += 1
+            fname = f"{fname}_{i}"
+        self._brief["tables"][key] = {
+            "filename": fname,
+            "dim": int(dim),
+            "dist": dist,
+            "len": 0,
+            "next_id": 0,
+            "has_hnsw": False,
+            "has_pq": False,
+            "pq_params": None,
+            "hnsw_params": None,
+        }
+        empty = self.spark.createDataFrame([], TABLE_SCHEMA).withColumn(
+            "norm", F.lit(None).cast("double")
+        )
+        empty.write.mode("overwrite").parquet(os.path.join(self.dir, "tables", fname))
+        self._save_brief()
+        return True
+
+    def delete_table(self, key: str) -> bool:
+        if key not in self._brief["tables"]:
+            return False
+        self.remove_cached_table(key)
+        path = self._table_path(key)
+        self._drop_index_artifacts(key)
+        del self._brief["tables"][key]
+        shutil.rmtree(path, ignore_errors=True)
+        self._save_brief()
+        return True
+
+    def get_all_keys(self) -> list[str]:
+        return list(self._brief["tables"].keys())
+
+    def contains_key(self, key: str) -> bool:
+        return key in self._brief["tables"]
+
+    def get_len(self, key: str) -> int:
+        return int(self._meta(key)["len"])
+
+    def get_dim(self, key: str) -> int:
+        return int(self._meta(key)["dim"])
+
+    def get_dist(self, key: str) -> str:
+        return str(self._meta(key)["dist"])
+
+    # ---- table cache (S5: database/mod.rs:340-357,400-413) ---------------
+
+    def table_df(self, key: str) -> DataFrame:
+        """The table as a DataFrame (lazy-loaded + Spark-cached handle)."""
+        if key not in self._cached:
+            self._meta(key)
+            self._cached[key] = self.spark.read.parquet(self._table_path(key)).cache()
+        return self._cached[key]
+
+    def get_cached_tables(self) -> list[str]:
+        return list(self._cached.keys())
+
+    def contains_cached(self, key: str) -> bool:
+        return key in self._cached
+
+    def remove_cached_table(self, key: str) -> None:
+        df = self._cached.pop(key, None)
+        if df is not None:
+            df.unpersist()
+
+    def _invalidate_cache(self, key: str) -> None:
+        self.remove_cached_table(key)
+
+    # ---- DML (W1-W3) ------------------------------------------------------
+
+    def add(self, key: str, vec: list[float], metadata: dict[str, str]) -> None:
+        """Insert one row (database/mod.rs:425-432). Clears PQ, keeps
+        HNSW (metadata_vec_table.rs:64-68)."""
+        self.batch_add(key, [vec], [metadata])
+
+    def batch_add(
+        self, key: str, vec_list: list[list[float]], metadata_list: list[dict[str, str]]
+    ) -> None:
+        """Bulk insert (database/mod.rs:435-450) — one Parquet append,
+        Spark's native bulk path."""
+        meta = self._meta(key)
+        if len(vec_list) != len(metadata_list):
+            raise ValueError("Length mismatch between vec_list and metadata_list")
+        dim = meta["dim"]
+        for v in vec_list:
+            if len(v) != dim:
+                raise ValueError("Dimension mismatch")
+        if not vec_list:
+            return
+        start = meta["next_id"]
+        rows = [
+            (start + i, [float(x) for x in v], {str(a): str(b) for a, b in md.items()})
+            for i, (v, md) in enumerate(zip(vec_list, metadata_list))
+        ]
+        df = self.spark.createDataFrame(rows, TABLE_SCHEMA).withColumn(
+            "norm", norm_expr("vec")
+        )
+        df.write.mode("append").parquet(self._table_path(key))
+        meta["next_id"] = start + len(rows)
+        meta["len"] += len(rows)
+        # write invalidates PQ, never HNSW (README.md:22,45)
+        self._clear_pq_state(key)
+        self._save_brief()
+        self._invalidate_cache(key)
+
+    @staticmethod
+    def _pattern_pred(pattern: dict[str, str]):
+        """Metadata subset-match: ∀(k,v)∈pattern, metadata[k]==v
+        (metadata_vec_table.rs:163-169). ``eqNullSafe`` so a missing key
+        is FALSE, not NULL — otherwise ``~pred`` silently drops the
+        non-matching rows too (SQL three-valued logic)."""
+        pred = F.lit(True)
+        for k, v in pattern.items():
+            pred = pred & F.col("metadata").getItem(k).eqNullSafe(F.lit(str(v)))
+        return pred
+
+    def delete(self, key: str, pattern: dict[str, str]) -> int:
+        """Delete rows whose metadata subset-matches ``pattern``
+        (metadata_vec_table.rs:163-187). Clears HNSW and PQ. Returns
+        the number of rows deleted (the Rust core returns this count;
+        the PyO3 layer drops it — we keep it, callers may ignore)."""
+        meta = self._meta(key)
+        df = self.spark.read.parquet(self._table_path(key))
+        keep = df.filter(~self._pattern_pred(pattern))
+        kept = keep.count()
+        deleted = meta["len"] - kept
+        if deleted:
+            self._rewrite(key, keep)
+            meta["len"] = kept
+            self._clear_pq_state(key)
+            self._clear_hnsw_state(key)
+            self._save_brief()
+        return deleted
+
+    def _rewrite(self, key: str, df: DataFrame) -> None:
+        """Atomic table replace: write tmp dir, swap (thread_save.rs:10-21)."""
+        path = self._table_path(key)
+        tmp = path + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        self._invalidate_cache(key)
+        old = path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ---- read path (Q1-Q8, S7) --------------------------------------------
+
+    def search(
+        self,
+        key: str,
+        query: list[float],
+        k: int,
+        ef: int | None = None,
+        upper_bound: float | None = None,
+    ) -> list[tuple[dict[str, str], float]]:
+        """Single-query kNN returning ascending ``(metadata, distance)``
+        (database/mod.rs:492-506). Physical dispatch mirrors
+        metadata_vec_table.rs:201-205: PQ present & ef given → ADC scan
+        + re-rank; HNSW present → graph search with beam ef; else flat
+        scan (which ignores ef, dynamic_index.rs:77)."""
+        meta = self._meta(key)
+        if len(query) != meta["dim"]:
+            raise ValueError("Dimension mismatch")
+        df = self.table_df(key)
+        idx = self._indexes.get(key, {})
+        if ef is not None and meta["has_pq"] and "pq" in idx:
+            out = idx["pq"].search(query, k, ef=ef, metric=meta["dist"])
+        elif meta["has_hnsw"] and "hnsw" in idx:
+            out = idx["hnsw"].search(query, k, ef=ef, metric=meta["dist"])
+        else:
+            out = knn_ops.knn(
+                df, query, k, metric=meta["dist"], vec_col="vec",
+                payload_cols=["id", "metadata"], id_col="id",
+            )
+        rows = out.collect()
+        result = []
+        for r in rows:
+            if upper_bound is not None and r["dist"] > upper_bound:
+                continue
+            result.append((dict(r["metadata"] or {}), float(r["dist"])))
+        result.sort(key=lambda t: t[1])
+        return result[:k]
+
+    def batch_search(
+        self, key: str, queries: DataFrame, k: int, upper_bound: float | None = None
+    ) -> DataFrame:
+        """Spark-native batch form: a DataFrame of queries
+        ``(query_id, vec)`` → ``(query_id, id, dist)``."""
+        meta = self._meta(key)
+        return knn_ops.knn_batch(
+            self.table_df(key), queries, k, metric=meta["dist"],
+            vec_col="vec", id_col="id", qid_col="query_id", qvec_col="vec",
+            upper_bound=upper_bound,
+        )
+
+    def extract_data(self, key: str) -> list[tuple[list[float], dict[str, str]]]:
+        """Dump the whole table (metadata_vec_table.rs:215-222), id order."""
+        rows = self.table_df(key).orderBy("id").select("vec", "metadata").collect()
+        return [([float(x) for x in r["vec"]], dict(r["metadata"] or {})) for r in rows]
+
+    # ---- index DDL (§3.3) --------------------------------------------------
+
+    def _drop_index_artifacts(self, key: str) -> None:
+        self._indexes.pop(key, None)
+        meta = self._brief["tables"].get(key)
+        if meta:
+            for suffix in ("_ivf", "_pq", "_hnsw"):
+                shutil.rmtree(
+                    os.path.join(self.dir, "tables", meta["filename"] + suffix),
+                    ignore_errors=True,
+                )
+
+    def _clear_pq_state(self, key: str) -> None:
+        meta = self._meta(key)
+        if meta["has_pq"]:
+            meta["has_pq"] = False
+            meta["pq_params"] = None
+        self._indexes.get(key, {}).pop("pq", None)
+
+    def _clear_hnsw_state(self, key: str) -> None:
+        meta = self._meta(key)
+        if meta["has_hnsw"]:
+            meta["has_hnsw"] = False
+            meta["hnsw_params"] = None
+        self._indexes.get(key, {}).pop("hnsw", None)
+
+    def build_hnsw_index(self, key: str, ef_construction: int | None = None) -> None:
+        """Build the graph ANN index; no-op when already built
+        (metadata_vec_table.rs:84-98)."""
+        meta = self._meta(key)
+        if meta["has_hnsw"]:
+            return
+        from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            self.table_df(key), metric=meta["dist"], vec_col="vec", id_col="id",
+            ef_construction=ef_construction or 200,
+        )
+        self._indexes.setdefault(key, {})["hnsw"] = idx
+        meta["has_hnsw"] = True
+        meta["hnsw_params"] = {"ef_construction": ef_construction or 200}
+        self._save_brief()
+
+    def clear_hnsw_index(self, key: str) -> None:
+        """Downgrade to flat, keeping vectors (metadata_vec_table.rs:100-106)."""
+        self._clear_hnsw_state(key)
+        self._save_brief()
+
+    def has_hnsw_index(self, key: str) -> bool:
+        return bool(self._meta(key)["has_hnsw"])
+
+    def build_pq_table(
+        self,
+        key: str,
+        train_proportion: float | None = None,
+        n_bits: int | None = None,
+        m: int | None = None,
+    ) -> None:
+        """Train PQ on a sample; no-op when already built
+        (metadata_vec_table.rs:112-152). Validation matches the
+        reference exactly. Deviation (documented): the reference
+        silently forces n_bits=4 even when 8 is requested
+        (metadata_vec_table.rs:140 — the validated value is unused);
+        we honor the requested n_bits.
+        """
+        meta = self._meta(key)
+        if meta["has_pq"]:
+            return
+        if meta["len"] == 0:
+            raise ValueError("Cannot build PQ table on an empty table")
+        tp = 0.1 if train_proportion is None else float(train_proportion)
+        if not (0.0 < tp < 1.0):
+            raise ValueError("train_proportion must be in (0.0, 1.0)")
+        nb = 4 if n_bits is None else int(n_bits)
+        if nb not in (4, 8):
+            raise ValueError("n_bits must be 4 or 8")
+        dim = meta["dim"]
+        mm = math.ceil(dim / 3) if m is None else int(m)
+        if not (1 <= mm <= dim):
+            raise ValueError("m must be in 1..=dim")
+        from lab_1806_vec_db_spark.index.pq import PQTable
+
+        idx = PQTable.train(
+            self.table_df(key), dim=dim, m=mm, n_bits=nb,
+            train_proportion=tp, vec_col="vec", id_col="id",
+        )
+        self._indexes.setdefault(key, {})["pq"] = idx
+        meta["has_pq"] = True
+        meta["pq_params"] = {"train_proportion": tp, "n_bits": nb, "m": mm}
+        self._save_brief()
+
+    def clear_pq_table(self, key: str) -> None:
+        self._clear_pq_state(key)
+        self._save_brief()
+
+    def has_pq_table(self, key: str) -> bool:
+        return bool(self._meta(key)["has_pq"])
+
+    def force_save(self) -> None:
+        """Writes are already durable on action; this flushes the catalog
+        (parity with database/mod.rs:514-521)."""
+        self._save_brief()
+
+    def close(self) -> None:
+        self.force_save()
+        for k in list(self._cached):
+            self.remove_cached_table(k)
+        if fcntl is not None and not self._lock_fh.closed:
+            fcntl.flock(self._lock_fh, fcntl.LOCK_UN)
+        if not self._lock_fh.closed:
+            self._lock_fh.close()
+
+    def __enter__(self) -> "VecDB":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

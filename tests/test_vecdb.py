@@ -1,0 +1,166 @@
+"""VecDB manager parity — mirrors the reference's e2e flow
+(examples/test_pyo3.py:6-37, README.md:26-63) and the manager unit test
+(database/mod.rs:543-610): create, add, search with upper_bound,
+pattern delete, unicode keys, lock exclusivity, extract, catalog ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_1806_vec_db_spark.db.vecdb import VecDB, sanitize_key
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = VecDB(str(tmp_path / "db"), spark=spark)
+    yield d
+    d.close()
+
+
+def _tiny4d(db, key="table"):
+    # the README's own fixture (README.md:39-44 / test_pyo3.py:13-18)
+    db.create_table_if_not_exists(key, 4, "cosine")
+    db.batch_add(
+        key,
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]],
+        [{"content": "a"}, {"content": "b"}, {"content": "c"}, {"content": "d"}],
+    )
+    db.add(key, [0.7, 0.7, 0.0, 0.0], {"type": "oops"})
+    return key
+
+
+def test_create_and_catalog(db):
+    assert db.create_table_if_not_exists("t1", 4, "cosine") is True
+    assert db.create_table_if_not_exists("t1", 4, "cosine") is False
+    assert db.contains_key("t1") and not db.contains_key("nope")
+    assert db.get_all_keys() == ["t1"]
+    assert db.get_dim("t1") == 4 and db.get_dist("t1") == "cosine" and db.get_len("t1") == 0
+    with pytest.raises(ValueError, match="Invalid distance function"):
+        db.create_table_if_not_exists("t2", 4, "euclid")
+
+
+def test_readme_e2e_flow(db):
+    # README.md:39-58: add 4 one-hots + an 'oops' row, delete by pattern,
+    # search([1,0,0,0], k=3, upper_bound=0.5) → exactly [("a", ~0.0)]
+    key = _tiny4d(db)
+    assert db.get_len(key) == 5
+    deleted = db.delete(key, {"type": "oops"})
+    assert deleted == 1 and db.get_len(key) == 4
+    res = db.search(key, [1.0, 0.0, 0.0, 0.0], k=3, upper_bound=0.5)
+    assert len(res) == 1
+    md, dist = res[0]
+    assert md["content"] == "a" and dist == pytest.approx(0.0, abs=1e-4)
+
+
+def test_search_ordering_and_k(db):
+    key = _tiny4d(db)
+    res = db.search(key, [1.0, 0.1, 0.0, 0.0], k=3)
+    assert len(res) == 3
+    dists = [d for _, d in res]
+    assert dists == sorted(dists)
+    assert res[0][0].get("content", res[0][0].get("type")) in ("a", "oops")
+
+
+def test_dim_mismatch_raises(db):
+    key = _tiny4d(db)
+    with pytest.raises(ValueError, match="Dimension mismatch"):
+        db.add(key, [1.0, 0.0], {"content": "short"})
+    with pytest.raises(ValueError, match="Dimension mismatch"):
+        db.search(key, [1.0, 0.0], k=1)
+    with pytest.raises(ValueError, match="Length mismatch"):
+        db.batch_add(key, [[1.0, 0.0, 0.0, 0.0]], [])
+
+
+def test_pattern_delete_subset_match(db):
+    key = "t"
+    db.create_table_if_not_exists(key, 2, "l2sqr")
+    db.batch_add(
+        key,
+        [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]],
+        [
+            {"group": "x", "keep": "no"},
+            {"group": "x", "keep": "yes"},
+            {"group": "y", "keep": "no"},
+            {"group": "x"},
+        ],
+    )
+    # subset match: ∀(k,v)∈pattern metadata[k]==v — only row 0 matches both
+    assert db.delete(key, {"group": "x", "keep": "no"}) == 1
+    assert db.get_len(key) == 3
+    # missing key never matches (metadata[k] is NULL)
+    assert db.delete(key, {"keep": "maybe"}) == 0
+    assert db.delete(key, {"group": "x"}) == 2
+    assert db.get_len(key) == 1
+
+
+def test_unicode_keys_and_sanitize(db):
+    # database/mod.rs:543-610 uses unicode table keys
+    key = "表格/один✓"
+    assert db.create_table_if_not_exists(key, 2, "l2sqr")
+    db.batch_add(key, [[1.0, 2.0]], [{"k": "v"}])
+    assert db.get_len(key) == 1
+    assert db.search(key, [1.0, 2.0], k=1)[0][0] == {"k": "v"}
+    assert sanitize_key("a/b c✓") == "a_b_c_"
+    assert len(sanitize_key("x" * 100)) == 32
+    # two keys sanitizing to the same filename must not collide
+    assert db.create_table_if_not_exists("表格/один☂", 2, "l2sqr")
+    db.batch_add("表格/один☂", [[9.0, 9.0]], [{"k": "other"}])
+    assert db.search(key, [1.0, 2.0], k=1)[0][0] == {"k": "v"}
+
+
+def test_extract_data_roundtrip(db):
+    key = _tiny4d(db)
+    data = db.extract_data(key)
+    assert len(data) == 5
+    vecs, metas = zip(*data)
+    assert list(vecs[0]) == [1.0, 0.0, 0.0, 0.0]
+    assert metas[4] == {"type": "oops"}
+
+
+def test_delete_table_and_cache_ops(db):
+    key = _tiny4d(db)
+    _ = db.table_df(key)
+    assert db.contains_cached(key) and db.get_cached_tables() == [key]
+    db.remove_cached_table(key)
+    assert not db.contains_cached(key)
+    assert db.delete_table(key) is True
+    assert db.delete_table(key) is False
+    assert not db.contains_key(key)
+
+
+def test_lock_exclusive(spark, tmp_path):
+    # examples/test_try_lock.py:3-4 — a second manager on the same dir fails
+    d1 = VecDB(str(tmp_path / "db"), spark=spark)
+    with pytest.raises(RuntimeError, match="lock"):
+        VecDB(str(tmp_path / "db"), spark=spark)
+    d1.close()
+    d2 = VecDB(str(tmp_path / "db"), spark=spark)  # reopenable after close
+    d2.close()
+
+
+def test_persistence_across_managers(spark, tmp_path):
+    # crash-safety parity (examples/test_exception.py): a new manager on
+    # the same dir sees everything the previous one wrote
+    path = str(tmp_path / "db")
+    d1 = VecDB(path, spark=spark)
+    d1.create_table_if_not_exists("t", 2, "cosine")
+    d1.batch_add("t", [[1.0, 0.0], [0.0, 1.0]], [{"i": "0"}, {"i": "1"}])
+    d1.close()
+    d2 = VecDB(path, spark=spark)
+    assert d2.get_len("t") == 2 and d2.get_dim("t") == 2
+    res = d2.search("t", [1.0, 0.0], k=1)
+    assert res[0][0] == {"i": "0"}
+    d2.close()
+
+
+def test_batch_search_dataframe_form(db, spark):
+    key = _tiny4d(db)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "query_id long, vec array<float>",
+    )
+    out = db.batch_search(key, queries, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert by_q[0][0] == 0 and by_q[1][0] == 3
