@@ -213,8 +213,21 @@ class VecDB:
         df.write.mode("append").parquet(self._table_path(key))
         meta["next_id"] = start + len(rows)
         meta["len"] += len(rows)
-        # write invalidates PQ, never HNSW (README.md:22,45)
+        # write invalidates PQ, never HNSW (README.md:22,45) — the HNSW
+        # graph absorbs the new rows incrementally (hnsw_index.rs:538-572)
         self._clear_pq_state(key)
+        self._clear_ivf_state(key)
+        if meta["has_hnsw"]:
+            hnsw = self._get_index(key, "hnsw")
+            if hnsw is not None:
+                import numpy as np
+
+                hnsw.add_batch(
+                    np.asarray([r[0] for r in rows], dtype=np.int64),
+                    np.asarray([r[1] for r in rows], dtype=np.float64),
+                    seed=43 + start,
+                )
+                hnsw.save(self._index_path(key, "hnsw"))
         self._save_brief()
         self._invalidate_cache(key)
 
@@ -233,17 +246,22 @@ class VecDB:
         """Delete rows whose metadata subset-matches ``pattern``
         (metadata_vec_table.rs:163-187). Clears HNSW and PQ. Returns
         the number of rows deleted (the Rust core returns this count;
-        the PyO3 layer drops it — we keep it, callers may ignore)."""
+        the PyO3 layer drops it — we keep it, callers may ignore).
+
+        Single pass over the data: the anti-filtered table is written
+        once; the kept count comes from the written Parquet footers
+        (metadata-only scan), not a second full job."""
         meta = self._meta(key)
         df = self.spark.read.parquet(self._table_path(key))
         keep = df.filter(~self._pattern_pred(pattern))
-        kept = keep.count()
+        self._rewrite(key, keep)
+        kept = self.spark.read.parquet(self._table_path(key)).count()
         deleted = meta["len"] - kept
         if deleted:
-            self._rewrite(key, keep)
             meta["len"] = kept
             self._clear_pq_state(key)
             self._clear_hnsw_state(key)
+            self._clear_ivf_state(key)
             self._save_brief()
         return deleted
 
@@ -279,15 +297,20 @@ class VecDB:
         if len(query) != meta["dim"]:
             raise ValueError("Dimension mismatch")
         df = self.table_df(key)
-        idx = self._indexes.get(key, {})
-        if ef is not None and meta["has_pq"] and "pq" in idx:
-            out = idx["pq"].search(query, k, ef=ef, metric=meta["dist"])
-        elif meta["has_hnsw"] and "hnsw" in idx:
-            out = idx["hnsw"].search(query, k, ef=ef, metric=meta["dist"])
+        pq = self._get_index(key, "pq") if meta["has_pq"] else None
+        hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+        if ef is not None and pq is not None:
+            out = pq.search(query, k, ef=ef, metric=meta["dist"],
+                            payload_cols=["id", "metadata"])
+        elif hnsw is not None:
+            hits = hnsw.search(query, k, ef=ef, metric=meta["dist"])
+            out = df.select("id", "metadata").join(F.broadcast(hits), "id").select(
+                "id", "metadata", "dist"
+            )
         else:
             out = knn_ops.knn(
                 df, query, k, metric=meta["dist"], vec_col="vec",
-                payload_cols=["id", "metadata"], id_col="id",
+                payload_cols=["id", "metadata"], id_col="id", norm_col="norm",
             )
         rows = out.collect()
         result = []
@@ -317,6 +340,9 @@ class VecDB:
 
     # ---- index DDL (§3.3) --------------------------------------------------
 
+    def _index_path(self, key: str, kind: str) -> str:
+        return os.path.join(self.dir, "tables", self._meta(key)["filename"] + "_" + kind)
+
     def _drop_index_artifacts(self, key: str) -> None:
         self._indexes.pop(key, None)
         meta = self._brief["tables"].get(key)
@@ -333,6 +359,7 @@ class VecDB:
             meta["has_pq"] = False
             meta["pq_params"] = None
         self._indexes.get(key, {}).pop("pq", None)
+        shutil.rmtree(self._index_path(key, "pq"), ignore_errors=True)
 
     def _clear_hnsw_state(self, key: str) -> None:
         meta = self._meta(key)
@@ -340,10 +367,44 @@ class VecDB:
             meta["has_hnsw"] = False
             meta["hnsw_params"] = None
         self._indexes.get(key, {}).pop("hnsw", None)
+        shutil.rmtree(self._index_path(key, "hnsw"), ignore_errors=True)
+
+    def _clear_ivf_state(self, key: str) -> None:
+        meta = self._meta(key)
+        if meta.get("has_ivf"):
+            meta["has_ivf"] = False
+            meta["ivf_params"] = None
+        self._indexes.get(key, {}).pop("ivf", None)
+        shutil.rmtree(self._index_path(key, "ivf"), ignore_errors=True)
+
+    def _get_index(self, key: str, kind: str):
+        """Lazy-load a persisted index artifact (S8: the reference's
+        save-without-vec-set / load-with-external-vec-set pattern,
+        index_algorithm/mod.rs:143-148) — indexes survive restart."""
+        idx = self._indexes.setdefault(key, {})
+        if kind in idx:
+            return idx[kind]
+        path = self._index_path(key, kind)
+        if not os.path.isdir(path):
+            return None
+        if kind == "hnsw":
+            from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+            idx[kind] = HNSWIndex.load(self.spark, path, base=self.table_df(key))
+        elif kind == "pq":
+            from lab_1806_vec_db_spark.index.pq import PQTable
+
+            idx[kind] = PQTable.load(self.spark, path, base=self.table_df(key))
+        elif kind == "ivf":
+            from lab_1806_vec_db_spark.index.ivf import IVFIndex
+
+            idx[kind] = IVFIndex.load(self.spark, path)
+        return idx.get(kind)
 
     def build_hnsw_index(self, key: str, ef_construction: int | None = None) -> None:
         """Build the graph ANN index; no-op when already built
-        (metadata_vec_table.rs:84-98)."""
+        (metadata_vec_table.rs:84-98). Persisted under
+        ``tables/<name>_hnsw`` so it survives restart."""
         meta = self._meta(key)
         if meta["has_hnsw"]:
             return
@@ -351,12 +412,36 @@ class VecDB:
 
         idx = HNSWIndex.build(
             self.table_df(key), metric=meta["dist"], vec_col="vec", id_col="id",
-            ef_construction=ef_construction or 200,
+            ef_construction=ef_construction or 200, path=self._index_path(key, "hnsw"),
         )
         self._indexes.setdefault(key, {})["hnsw"] = idx
         meta["has_hnsw"] = True
         meta["hnsw_params"] = {"ef_construction": ef_construction or 200}
         self._save_brief()
+
+    def build_ivf_index(
+        self, key: str, k: int = 128, train_size: int = 10_000
+    ) -> None:
+        """Spark-native extension: cluster-partitioned IVF layout
+        (ivf_index.rs:88-96 — the inverted list IS the partition
+        layout). Not part of the reference's PyO3 surface, but its IVF
+        index is (ivf_index.rs), and this is the scale path."""
+        meta = self._meta(key)
+        if meta.get("has_ivf"):
+            return
+        from lab_1806_vec_db_spark.index.ivf import IVFIndex
+
+        idx = IVFIndex.build(
+            self.table_df(key), k=k, metric=meta["dist"], vec_col="vec", id_col="id",
+            train_size=train_size, path=self._index_path(key, "ivf"),
+        )
+        self._indexes.setdefault(key, {})["ivf"] = idx
+        meta["has_ivf"] = True
+        meta["ivf_params"] = {"k": k, "train_size": train_size}
+        self._save_brief()
+
+    def has_ivf_index(self, key: str) -> bool:
+        return bool(self._meta(key).get("has_ivf"))
 
     def clear_hnsw_index(self, key: str) -> None:
         """Downgrade to flat, keeping vectors (metadata_vec_table.rs:100-106)."""
@@ -400,6 +485,7 @@ class VecDB:
         idx = PQTable.train(
             self.table_df(key), dim=dim, m=mm, n_bits=nb,
             train_proportion=tp, vec_col="vec", id_col="id",
+            path=self._index_path(key, "pq"),
         )
         self._indexes.setdefault(key, {})["pq"] = idx
         meta["has_pq"] = True

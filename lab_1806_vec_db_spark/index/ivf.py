@@ -1,0 +1,209 @@
+"""IVF (inverted-file) index — the most Spark-native of the reference's
+three index structures.
+
+Reference semantics (/root/reference/src/index_algorithm/ivf_index.rs):
+- build: k-means over (a sample of) the vectors, then assign every
+  vector to its nearest centroid — the per-cluster inverted lists
+  (ivf_index.rs:88-96, k_means.rs:117-123);
+- search: rank centroids by distance to the query, scan the union of
+  the ``n_probes`` nearest clusters, keep top-k (ivf_index.rs:132-155,
+  k_means.rs:174-191). The reference reuses the ``ef`` search knob as
+  ``n_probes`` (dynamic_index.rs:85-90).
+
+Spark mapping — the inverted list IS the partition layout:
+- the clustered table is persisted as Parquet **partitioned by
+  ``cluster_id``** → probing n clusters is *partition pruning*: the
+  scan never touches the other k − n directories. At 100 TB that is
+  the difference between reading 100 TB and reading n/k of it.
+- centroids are tiny (k × dim) and live driver-side / broadcast,
+  exactly like the reference's in-memory centroid VecSet.
+- batch search: explode each query into its n_probes (query,
+  cluster_id) probe rows, broadcast-join against the clustered base on
+  ``cluster_id`` — base rows are scored only for the queries that probe
+  their cluster, no all-pairs blow-up, and the only shuffle is the
+  k-bounded per-query top-k window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.index.kmeans import (
+    KMeansModel,
+    _pairwise_dist,
+    fit_kmeans,
+    sample_rows,
+)
+from lab_1806_vec_db_spark.operators.knn import round_dist, _topk_per_query
+from lab_1806_vec_db_spark.functions.distance import dist_expr
+
+
+class IVFIndex:
+    """Coarse-quantized index: seeded k-means centroids + a
+    cluster-partitioned copy of the table."""
+
+    def __init__(
+        self,
+        model: KMeansModel,
+        clustered: DataFrame,
+        vec_col: str = "vec",
+        id_col: str = "id",
+        path: str | None = None,
+    ) -> None:
+        self.model = model
+        self.clustered = clustered  # base columns + cluster_id
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.path = path
+
+    # ---- build (A2-A4) ----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        k: int = 128,
+        metric: str = "l2sqr",
+        vec_col: str = "vec",
+        id_col: str = "id",
+        train_size: int = 10_000,
+        seed: int = 42,
+        path: str | None = None,
+    ) -> "IVFIndex":
+        """Fit the coarse quantizer on a bounded sample (k_means_size in
+        the reference's bench configs), assign the full table
+        distributedly, and persist the cluster-partitioned layout."""
+        sample = sample_rows(df, train_size, vec_col=vec_col, id_col=id_col, seed=seed)
+        model = fit_kmeans(sample, k=k, metric=metric, seed=seed)
+        clustered = model.assign_df(df, vec_col=vec_col, out_col="cluster_id")
+        if path is not None:
+            spark = df.sparkSession
+            os.makedirs(path, exist_ok=True)
+            # partitioned-by-cluster layout: probe = partition pruning
+            clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                os.path.join(path, "data")
+            )
+            np.save(os.path.join(path, "centroids.npy"), model.centroids)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"metric": metric, "vec_col": vec_col, "id_col": id_col, "k": model.k}, f)
+            clustered = spark.read.parquet(os.path.join(path, "data"))
+        return cls(model, clustered, vec_col=vec_col, id_col=id_col, path=path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        """S8 parity: reload the index without rebuilding
+        (ivf_index.rs:109-130 save/load split)."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        model = KMeansModel(centroids=centroids, metric=meta["metric"])
+        clustered = spark.read.parquet(os.path.join(path, "data"))
+        return cls(model, clustered, vec_col=meta["vec_col"], id_col=meta["id_col"], path=path)
+
+    # ---- search (Q4, Q9, Q10) --------------------------------------------
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        n_probes: int = 4,
+        upper_bound: float | None = None,
+        payload_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Single-query IVF kNN (ivf_index.rs:132-155): rank centroids on
+        the driver (they are driver-resident, like the reference), then a
+        cluster-pruned flat scan. ``cluster_id.isin(...)`` prunes
+        partitions when the layout is persisted partitioned."""
+        q = np.asarray(list(query), dtype=np.float64)
+        probed = [int(c) for c in self.model.rank_centroids(q, n_probes)]
+        qlit = F.lit([float(x) for x in q]).cast("array<double>")
+        payload = list(payload_cols) if payload_cols is not None else [self.id_col]
+        scored = (
+            self.clustered.filter(F.col("cluster_id").isin(probed))
+            .select(
+                *payload,
+                round_dist(dist_expr(F.col(self.vec_col), qlit, self.model.metric)).alias("dist"),
+            )
+        )
+        out = scored.orderBy(F.col("dist").asc(), F.col(self.id_col).asc()).limit(k)
+        if upper_bound is not None:
+            out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
+        return out
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probes: int = 4,
+        qid_col: str = "query_id",
+        qvec_col: str = "vec",
+        upper_bound: float | None = None,
+    ) -> DataFrame:
+        """Batch IVF kNN: each query scans only its own probed clusters.
+
+        Plan: queries → (query_id, cluster_id, qv) probe rows (driver
+        ranking over the tiny centroid set) → broadcast-join with the
+        clustered base on ``cluster_id`` → Arrow-batched distance → per
+        query top-k. Scored rows ≈ |Q| · n_probes/k · |base| — the
+        pruning ratio of the reference, distributed."""
+        spark = queries.sparkSession
+        qrows = queries.select(qid_col, qvec_col).collect()
+        if not qrows:
+            return self._empty_result(spark)
+        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        probes = self.model.rank_centroids_batch(qmat, n_probes)  # (m, n_probes)
+        # cluster_id -> indices of queries probing it
+        by_cluster: dict[int, list[int]] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                by_cluster.setdefault(int(c), []).append(qi)
+        bc = spark.sparkContext.broadcast((qids, qmat, by_cluster, self.model.metric))
+        vec_col, id_col = self.vec_col, self.id_col
+        k_ = int(k)
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bqids, bq, bclusters, metric = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for cid, grp in pdf.groupby("cluster_id"):
+                    sel = bclusters.get(int(cid))
+                    if not sel:
+                        continue
+                    x = np.asarray(grp[vec_col].to_list(), dtype=np.float64)
+                    d = _pairwise_dist(x, bq[sel], metric)
+                    d = np.round(d, 4) + 0.0
+                    ids = grp[id_col].to_numpy()
+                    kk = min(k_, d.shape[0])
+                    order_ids = np.broadcast_to(ids[:, None], d.shape)
+                    top = np.lexsort((order_ids, d), axis=0)[:kk, :]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(bqids[sel], kk),
+                            id_col: ids[top].T.reshape(-1),
+                            "dist": np.take_along_axis(d, top, axis=0).T.reshape(-1),
+                        }
+                    )
+
+        probed_any = sorted(by_cluster.keys())
+        scored = (
+            self.clustered.filter(F.col("cluster_id").isin(probed_any))
+            .select(id_col, vec_col, "cluster_id")
+            .mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
+        )
+        return _topk_per_query(scored, k_, id_col, upper_bound)
+
+    def _empty_result(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], f"query_id long, {self.id_col} long, dist double")
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        """Q9 as a DataFrame op: nearest-centroid id per row."""
+        return self.model.assign_df(df, vec_col=self.vec_col, out_col="cluster_id")

@@ -69,6 +69,7 @@ def knn(
     upper_bound: float | None = None,
     payload_cols: Sequence[str] | None = None,
     id_col: str = "id",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Single-query brute-force kNN (reference ``search`` with a Flat
     index, flat_index.rs:48-57 + metadata_vec_table.rs:194-212).
@@ -76,11 +77,29 @@ def knn(
     Returns ``payload_cols + [dist]`` ascending, ties broken by id.
     The plan is scan → project(dist) → TakeOrderedAndProject(k) →
     filter(ub): the filter is applied after top-k, as in the reference.
+
+    ``norm_col``: name of a materialized per-row norm column (the
+    reference's dist_cache, distance/mod.rs:31-37) — when given and the
+    metric is cosine, the base-side norm is read, not recomputed, and
+    the query-side norm is folded to a literal.
     """
     _check_metric(metric)
-    qlit = F.lit([float(x) for x in query]).cast("array<double>")
+    qvals = [float(x) for x in query]
+    qlit = F.lit(qvals).cast("array<double>")
     payload = list(payload_cols) if payload_cols is not None else [id_col]
-    scored = df.select(*payload, round_dist(dist_expr(F.col(vec_col), qlit, metric)).alias("dist"))
+    if id_col not in payload:
+        payload = [id_col] + payload  # the sort key must survive the projection
+    kwargs = {}
+    if norm_col is not None and metric == "cosine" and norm_col in df.columns:
+        import math
+
+        kwargs = {
+            "norm_a": F.col(norm_col).cast("double"),
+            "norm_b": F.lit(math.sqrt(sum(x * x for x in qvals))),
+        }
+    scored = df.select(
+        *payload, round_dist(dist_expr(F.col(vec_col), qlit, metric, **kwargs)).alias("dist")
+    )
     out = scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
     if upper_bound is not None:
         out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
@@ -139,11 +158,17 @@ def knn_batch(
     spark = df.sparkSession
     qrows = queries.select(qid_col, qvec_col).collect()
     if not qrows:
-        raise ValueError("Empty query set")
+        return spark.createDataFrame([], f"query_id long, {id_col} long, dist double")
+    if len(qrows) > 200_000:
+        raise ValueError(
+            f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+            "'partitioned' strategy (the query block is driver-collected and "
+            "broadcast); chunk the query set or use strategy='crossjoin', which "
+            "streams both sides."
+        )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
-    m = len(qids)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bqids, bq = bc.value
@@ -167,8 +192,7 @@ def knn_batch(
     scored = df.select(id_col, vec_col).mapInPandas(
         scan, schema=f"query_id long, {id_col} long, dist double"
     )
-    out = _topk_per_query(scored, k, id_col, upper_bound)
-    return out if m > 0 else out
+    return _topk_per_query(scored, k, id_col, upper_bound)
 
 
 def _topk_per_query(

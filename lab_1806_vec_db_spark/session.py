@@ -27,9 +27,17 @@ def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) 
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = SparkSession.builder
+    # honor an externally-chosen master (spark-submit --master / cluster
+    # deploy sets MASTER or SPARK_GRAFT_MASTER); default to local[N] only
+    # when nothing else chose one
+    master = os.environ.get("SPARK_GRAFT_MASTER") or os.environ.get("MASTER")
+    if master:
+        builder = builder.master(master)
+    else:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,331 @@
+"""Index-structure oracle tests — the reference's own test strategy
+(SURVEY §5): approximate index vs FlatIndex exact results.
+
+Ported gates:
+- IVF results index-equal to Flat when enough clusters are probed
+  (ivf_index.rs:166-235);
+- PQ exactness when #distinct vectors ≤ 2^n_bits (pq_table.rs:324-372);
+- PQ p90 relative ADC error < 0.2 at m=ceil(dim/3) (pq_table.rs:374-438);
+- HNSW == Flat on a small set (hnsw_index.rs:713-790), both metrics;
+- results ascending by distance everywhere;
+- index save/load roundtrips (S8);
+- invalidation invariants (add keeps HNSW + clears PQ; delete clears
+  both — README.md:22,45, metadata_vec_table.rs:64-81, 170-171).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.db.vecdb import VecDB
+from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+from lab_1806_vec_db_spark.index.ivf import IVFIndex
+from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans
+from lab_1806_vec_db_spark.index.pq import PQTable, pack_codes, pq_groups, unpack_codes
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_correct):
+    return read_table(spark, sf_correct, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def _ids(rows):
+    return [r["vec_id"] for r in rows]
+
+
+def _pairs(rows):
+    return [(r["vec_id"], r["dist"]) for r in rows]
+
+
+# ---- k-means ----------------------------------------------------------------
+
+
+def test_kmeans_centroid_shape_and_self_nearest():
+    # k_means.rs:203-277: centroid count/dim; nearest centroid to a
+    # centroid is itself
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 8))
+    model = fit_kmeans(x, k=5, metric="l2sqr", seed=42)
+    assert model.centroids.shape == (5, 8)
+    assign = model.assign(model.centroids)
+    assert list(assign) == list(range(5))
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(100, 4))
+    a = fit_kmeans(x, k=3, seed=42).centroids
+    b = fit_kmeans(x, k=3, seed=42).centroids
+    assert np.array_equal(a, b)
+
+
+def test_kmeans_multi_probe_ranking():
+    # k_means.rs:174-191 find_n_nearest: ascending centroid ranking
+    model = KMeansModel(centroids=np.array([[0.0], [1.0], [4.0], [9.0]]), metric="l2sqr")
+    probes = model.rank_centroids(np.array([1.2]), 3)
+    assert list(probes) == [1, 0, 2]
+
+
+# ---- IVF -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf(emb):
+    return IVFIndex.build(
+        emb, k=16, metric="l2sqr", vec_col="embedding", id_col="vec_id", train_size=500
+    )
+
+
+def test_ivf_full_probe_equals_flat(emb, ivf, qvec):
+    flat = knn_ops.knn(emb, qvec, k=10, metric="l2sqr", vec_col="embedding", id_col="vec_id")
+    got = ivf.search(qvec, k=10, n_probes=16)
+    assert _pairs(got.collect()) == _pairs(flat.collect())
+
+
+def test_ivf_partial_probe_recall_and_order(emb, ivf, qvec):
+    flat_ids = set(_ids(knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id").collect()))
+    rows = ivf.search(qvec, k=10, n_probes=4).collect()
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert len(set(_ids(rows)) & flat_ids) / 10 >= 0.7  # n_probes=4/16 recall
+
+
+def test_ivf_batch_full_probe_equals_flat(emb, ivf):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(
+        emb, queries, k=5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    )
+    got = ivf.search_batch(queries, k=5, n_probes=16, qvec_col="embedding")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "ivf")
+    built = IVFIndex.build(
+        emb, k=8, metric="l2sqr", vec_col="embedding", id_col="vec_id",
+        train_size=500, path=path,
+    )
+    loaded = IVFIndex.load(spark, path)
+    assert np.array_equal(built.model.centroids, loaded.model.centroids)
+    assert _pairs(loaded.search(qvec, k=5, n_probes=8).collect()) == _pairs(
+        built.search(qvec, k=5, n_probes=8).collect()
+    )
+
+
+# ---- PQ --------------------------------------------------------------------
+
+
+def test_pq_groups_balanced():
+    # pq_table.rs:313-322 incl. the non-divisible 7→[3,2,2] case
+    assert pq_groups(7, 3) == [(0, 3), (3, 2), (5, 2)]
+    assert pq_groups(8, 4) == [(0, 2), (2, 2), (4, 2), (6, 2)]
+    assert [s for _, s in pq_groups(13, 4)] == [4, 3, 3, 3]
+    assert sum(s for _, s in pq_groups(960, 320)) == 960
+
+
+def test_pq_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    for n_bits, hi in ((4, 16), (8, 256)):
+        c = rng.integers(0, hi, (10, 7)).astype(np.uint8)
+        width = (7 + 1) // 2 if n_bits == 4 else 7
+        buf = np.frombuffer(b"".join(pack_codes(c, n_bits)), dtype=np.uint8).reshape(10, width)
+        assert (unpack_codes(buf, 7, n_bits) == c).all()
+
+
+def test_pq_precise_when_few_distinct(spark):
+    # pq_table.rs:324-372: with #distinct vecs ≤ 2^n_bits the ADC
+    # distance equals the true distance, both metrics
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8)).astype(np.float32)  # 12 ≤ 2^4
+    rows = [(i, [float(x) for x in base[i % 12]]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pq = PQTable.train(df, dim=8, m=4, n_bits=4, train_proportion=0.99,
+                       vec_col="embedding", id_col="vec_id")
+    q = [float(x) for x in base[0]]
+    for metric in ("l2sqr", "cosine"):
+        adc = {r["vec_id"]: r["dist"] for r in pq.adc_scan(q, metric).collect()}
+        exact = {
+            r["vec_id"]: r["dist"]
+            for r in knn_ops.knn(df, q, k=48, metric=metric,
+                                 vec_col="embedding", id_col="vec_id").collect()
+        }
+        for vid, d in exact.items():
+            assert adc[vid] == pytest.approx(d, abs=1e-3), (metric, vid)
+
+
+@pytest.fixture(scope="module")
+def pq16(emb):
+    return PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.5,
+                         vec_col="embedding", id_col="vec_id")
+
+
+def test_pq_full_ef_equals_flat(emb, pq16, qvec):
+    for metric in ("l2sqr", "cosine"):
+        flat = knn_ops.knn(emb, qvec, 10, metric, "embedding", id_col="vec_id")
+        got = pq16.search(qvec, k=10, ef=500, metric=metric)
+        assert _pairs(got.collect()) == _pairs(flat.collect()), metric
+
+
+def test_pq_adc_p90_error_gate(emb, pq16, qvec):
+    # pq_table.rs:374-438: p90 relative ADC error < 0.2 at m=ceil(dim/3)
+    adc = {r["vec_id"]: r["dist"] for r in pq16.adc_scan(qvec, "l2sqr").collect()}
+    exact = {
+        r["vec_id"]: r["dist"]
+        for r in knn_ops.knn(emb, qvec, 500, "l2sqr", "embedding", id_col="vec_id").collect()
+    }
+    errs = [
+        abs(adc[v] - d) / d for v, d in exact.items() if d > 1e-6
+    ]
+    assert np.percentile(errs, 90) < 0.2
+
+
+def test_pq_partial_ef_recall(emb, pq16, qvec):
+    flat_ids = set(_ids(knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id").collect()))
+    got_ids = set(_ids(pq16.search(qvec, k=10, ef=50, metric="l2sqr").collect()))
+    assert len(got_ids & flat_ids) / 10 >= 0.8
+
+
+def test_pq_batch_full_ef_equals_flat(emb, pq16):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(
+        emb, queries, k=5, metric="cosine", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    )
+    got = pq16.search_batch(queries, k=5, ef=500, metric="cosine", qvec_col="embedding")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+# ---- HNSW ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hnsw(emb):
+    return HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding", id_col="vec_id",
+                           m=16, ef_construction=200)
+
+
+def test_hnsw_equals_flat_small_set(emb, hnsw, qvec):
+    # hnsw_index.rs:713-790: HNSW == Flat on a small set
+    flat = knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id")
+    got = hnsw.search(qvec, k=10, ef=120)
+    assert _pairs(got.collect()) == _pairs(flat.collect())
+
+
+def test_hnsw_cosine_equals_flat(emb, qvec):
+    idx = HNSWIndex.build(emb, metric="cosine", vec_col="embedding", id_col="vec_id")
+    flat = knn_ops.knn(emb, qvec, 10, "cosine", "embedding", id_col="vec_id")
+    assert _pairs(idx.search(qvec, k=10, ef=120).collect()) == _pairs(flat.collect())
+
+
+def test_hnsw_batch_recall(emb, hnsw):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+                             id_col="vec_id", qid_col="query_id", qvec_col="embedding")
+    got = hnsw.search_batch(queries, k=10, ef=120, qvec_col="embedding")
+    by_q_f, by_q_g = {}, {}
+    for r in flat.collect():
+        by_q_f.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in got.collect():
+        by_q_g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q_f[q] & by_q_g.get(q, set())) / 10 for q in by_q_f]
+    assert np.mean(recalls) >= 0.95
+
+
+def test_hnsw_ascending_and_save_load(spark, emb, hnsw, qvec, tmp_path):
+    rows = hnsw.search(qvec, k=10, ef=64).collect()
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    path = str(tmp_path / "hnsw")
+    hnsw.save(path)
+    loaded = HNSWIndex.load(spark, path, base=emb)
+    assert _pairs(loaded.search(qvec, k=10, ef=64).collect()) == _pairs(rows)
+
+
+def test_hnsw_incremental_add(emb, qvec):
+    idx = HNSWIndex.build(emb.limit(100), metric="l2sqr", vec_col="embedding", id_col="vec_id")
+    new_vec = np.asarray(qvec) + 0.001
+    idx.add_batch(np.array([99999]), new_vec[None, :])
+    ids, _ = idx.search_np(np.asarray(qvec), 3, 64)
+    assert 99999 in ids
+
+
+# ---- VecDB wiring + invalidation invariants --------------------------------
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = VecDB(str(tmp_path / "db"), spark=spark)
+    yield d
+    d.close()
+
+
+def _seeded(db, key="t", n=30, dim=8):
+    db.create_table_if_not_exists(key, dim, "l2sqr")
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(n, dim))
+    db.batch_add(key, [[float(x) for x in v] for v in vecs],
+                 [{"i": str(i)} for i in range(n)])
+    return key, vecs
+
+
+def test_vecdb_index_ddl_and_search(db):
+    key, vecs = _seeded(db)
+    db.build_hnsw_index(key)
+    assert db.has_hnsw_index(key)
+    db.build_hnsw_index(key)  # no-op
+    res = db.search(key, [float(x) for x in vecs[5]], k=3)
+    assert res[0][0] == {"i": "5"}
+    db.build_pq_table(key)
+    assert db.has_pq_table(key)
+    res_pq = db.search(key, [float(x) for x in vecs[5]], k=3, ef=30)
+    assert res_pq[0][0] == {"i": "5"}
+    db.build_ivf_index(key, k=4, train_size=30)
+    assert db.has_ivf_index(key)
+
+
+def test_vecdb_invalidation_invariants(db):
+    # test_pyo3.py:6-37: add keeps HNSW + clears PQ; delete clears both
+    key, vecs = _seeded(db)
+    db.build_hnsw_index(key)
+    db.build_pq_table(key)
+    db.add(key, [0.0] * 8, {"i": "new"})
+    assert db.has_hnsw_index(key) and not db.has_pq_table(key)
+    # the incrementally-updated graph must actually see the new row
+    res = db.search(key, [0.0] * 8, k=1)
+    assert res[0][0] == {"i": "new"}
+    db.build_pq_table(key)
+    db.delete(key, {"i": "new"})
+    assert not db.has_hnsw_index(key) and not db.has_pq_table(key)
+
+
+def test_vecdb_index_persists_across_reopen(spark, tmp_path):
+    path = str(tmp_path / "db")
+    d1 = VecDB(path, spark=spark)
+    key, vecs = _seeded(d1)
+    d1.build_hnsw_index(key)
+    d1.build_pq_table(key)
+    d1.close()
+    d2 = VecDB(path, spark=spark)
+    assert d2.has_hnsw_index(key) and d2.has_pq_table(key)
+    # loads from disk, no rebuild
+    res = d2.search(key, [float(x) for x in vecs[7]], k=1)
+    assert res[0][0] == {"i": "7"}
+    res_pq = d2.search(key, [float(x) for x in vecs[7]], k=1, ef=30)
+    assert res_pq[0][0] == {"i": "7"}
+    d2.close()
