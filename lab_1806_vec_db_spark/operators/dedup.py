@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines.
+
+North-star extensions beyond the reference surface (SURVEY §2.8): the
+dedup family every large-scale LLM data pipeline runs over a
+``documents`` table, each designed around its shuffle:
+
+- **exact dedup**: one hash-groupBy — a single shuffle on a 128-bit
+  content hash; the canonical winner is ``min(id)`` per hash.
+- **MinHash + LSH**: shingle → 32-bit hashes → per-permutation min →
+  band → bucket join. Candidate pairs come from a shuffle on
+  ``(band_id, bucket_hash)`` keys — NEVER an all-pairs product. At
+  100 TB the only quadratic term is within-bucket, which banding keeps
+  tiny (the standard MMDS ch.3 LSH construction).
+- **SimHash**: 32-bit sign-aggregated token-hash fingerprint; near-dup
+  candidates join on identical fingerprints (or banded nibbles for
+  hamming tolerance).
+- **n-gram Jaccard**: the verification metric — exact set overlap over
+  word shingles, evaluated on candidate pairs only (or a bounded
+  subset for the oracle).
+- **embedding cosine near-dup**: exact all-pairs on a bounded subset;
+  random-hyperplane LSH bucketing as the scale path (Charikar's
+  SimHash for vectors — bucket key = sign-bit string of projections).
+
+Hashes are the md5-prefix 32-bit form (functions/text.py:hash32) so
+the DuckDB correctness oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions.distance import dist_expr
+from lab_1806_vec_db_spark.functions.text import hash32, tokens
+from lab_1806_vec_db_spark.operators.knn import round_dist
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical content: ``(content_hash, canonical_id, n_copies)``.
+    One shuffle, map-side partial aggregation. Canonical = min(id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct content (the canonical
+    min-id row). A semi-join against the winners — broadcast when the
+    winner set is small, shuffle-hash otherwise (Catalyst's call)."""
+    winners = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(winners, id_col, "semi")
+
+
+# ---- shingling -------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of a document. Built with
+    ``sequence`` + ``slice`` — pure Catalyst, map-only."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over all pairs of ``df`` —
+    quadratic by definition; use on bounded candidate sets (post-LSH)
+    or bounded subsets. Output: (id_a, id_b, jaccard), id_a < id_b."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", (F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) + F.lit(0.0)).alias("jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column | str, n: int = 3, num_hashes: int = 16
+) -> Column:
+    """MinHash signature: permutation j is the md5-prefix hash of
+    ``"j_" + shingle``; signature[j] = min over shingles. Empty docs
+    get an all--1 sentinel signature. Map-only, no shuffle."""
+    sh = word_shingles(text, n)
+
+    def perm_hasher(j: int):
+        # NB: a closure, NOT `lambda s, j=j` — PySpark counts lambda
+        # parameters to pick the (element) vs (element, index) calling
+        # convention, so a defaulted second arg silently becomes the
+        # element index.
+        prefix = f"{j}_"
+        return lambda s: hash32(F.concat(F.lit(prefix), s))
+
+    sigs = []
+    for j in range(num_hashes):
+        hashed = F.transform(sh, perm_hasher(j))
+        sigs.append(F.coalesce(F.array_min(hashed), F.lit(-1).cast("bigint")))
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    return df.select(F.col(id_col), minhash_signature(text_col, n, num_hashes).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` rows-per-band
+    groups, bucket by (band_id, band_hash), self-join within buckets.
+
+    The shuffle key is the bucket — |pairs| is Σ_bucket C(size, 2),
+    never |df|². Output: distinct (id_a, id_b), id_a < id_b."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws(",", *[
+                        F.element_at(F.col("sig"), b * r + i + 1).cast("string")
+                        for i in range(r)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    threshold. The exact verify joins shingle sets back onto the
+    (bucket-bounded) candidate pairs only."""
+    cand = lsh_candidate_pairs(df, n, num_hashes, bands, text_col, id_col)
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                (F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) + F.lit(0.0)).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash (Charikar): bit b is set iff the sum over tokens
+    of ±1 (per token-hash bit b) is positive. Expressed as 32 parallel
+    aggregates over the token-hash array — one projection, map-only."""
+    toks = tokens(text)
+    hashes = F.transform(toks, hash32)
+
+    def bit_merger(b: int):
+        # closure (see minhash_signature): 2-param lambdas only
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_merger(b))
+        out = out + F.when(bit_sum > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
+) -> DataFrame:
+    """Near-dup candidates by banded SimHash: split the 32-bit
+    fingerprint into 32/band_bits bands; docs sharing any band collide
+    (guaranteed to catch hamming distance < #bands). Shuffle on the
+    (band_id, band_value) key, like MinHash-LSH."""
+    n_bands = 32 // band_bits
+    sig = simhash_signatures(df, text_col, id_col)
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.val")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "val")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "val")
+    return (
+        a.join(b, ["band_id", "val"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+# ---- embedding near-dup ----------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs: all pairs with cosine distance ≤
+    threshold. Quadratic — bound the input (subset or LSH buckets)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist"))
+        .filter(F.col("dist") <= threshold)
+    )
+
+
+def embedding_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH (vector SimHash): bucket = the sign-bit
+    string of projections onto the given planes. Deterministic given
+    the planes — pass seeded planes (or data rows) for reproducibility.
+    Map-only; the near-dup join then shuffles on the bucket key."""
+    vec = F.col(vec_col)
+    bits = []
+    for p in planes:
+        plane = F.lit([float(x) for x in p]).cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), vec, F.concat(*bits).alias("bucket"))
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: bucket by hyperplane signs, verify cosine distance
+    only within buckets. Recall < 1 by design (LSH); raise the plane
+    count for precision, lower it for recall."""
+    bucketed = embedding_lsh_buckets(df, planes, vec_col, id_col)
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist"))
+        .filter(F.col("dist") <= threshold)
+        .distinct()
+    )

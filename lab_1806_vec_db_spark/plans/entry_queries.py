@@ -245,3 +245,10 @@ def knn_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- round-2 entries: index layer + LLM-pipeline operators -----------------
+# (imported last: the modules register themselves via @register)
+
+from lab_1806_vec_db_spark.plans import index_queries  # noqa: E402,F401
+from lab_1806_vec_db_spark.plans import pipeline_queries  # noqa: E402,F401

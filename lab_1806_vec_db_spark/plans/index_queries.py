@@ -1,0 +1,211 @@
+"""Driver-contract entries for the index layer (IVF / PQ / HNSW,
+Q3-Q5, Q9-Q10, A13).
+
+Oracle strategy (the reference's own gate, ivf_index.rs:166-235 /
+pq_table.rs:324-372: approximate index == Flat when parameters remove
+the approximation):
+
+- IVF probed with ALL clusters scans exactly the whole table → results
+  equal the flat scan; the entry still exercises the full IVF path
+  (k-means build, centroid ranking, cluster routing, per-cluster scan).
+- PQ with ef = |table| re-ranks every row exactly → flat results; the
+  entry exercises codebook training, encoding, the packed-code ADC
+  scan, and the re-rank join.
+- HNSW with a wide beam returns flat results on this scale (verified
+  empirically — same seeds as the driver run); beam width is data-
+  independent of the oracle.
+- Centroid assignment / multi-probe ranking use a FIXED deterministic
+  centroid set (the first rows of the table), making Q9/Q10 exactly
+  SQL-expressible.
+- Partial-probe / partial-ef variants (the genuinely approximate
+  regimes) are registered WITHOUT oracle SQL — the driver records the
+  weaker rows-only check; pytest covers their recall gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+from lab_1806_vec_db_spark.index.ivf import IVFIndex
+from lab_1806_vec_db_spark.index.kmeans import KMeansModel
+from lab_1806_vec_db_spark.index.pq import PQTable
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.plans.entry_queries import (
+    _Q0,
+    _E,
+    _dd,
+    _emb,
+    _l2_sql,
+    _query_vec,
+    register,
+)
+
+_FLAT_L2_ORACLE = f"""{_Q0}
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_ivf_l2", _FLAT_L2_ORACLE)
+def knn_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN probing every cluster (== flat, the reference's own
+    equivalence gate ivf_index.rs:166-235); exercises Q4 + A2-A4."""
+    emb = _emb(spark, sf_dir).cache()
+    idx = IVFIndex.build(emb, k=16, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=2000)
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=16)
+
+
+@register("knn_ivf_probed")
+def knn_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True approximate regime: 4 of 16 probes (rows-only check; the
+    recall gate lives in tests/test_indexes.py)."""
+    emb = _emb(spark, sf_dir).cache()
+    idx = IVFIndex.build(emb, k=16, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=2000)
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4)
+
+
+@register("knn_pq_rerank", _FLAT_L2_ORACLE)
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC scan + exact re-rank with ef = |table| (→ exact top-k,
+    pq_table.rs candidate_pair.rs:102-108); exercises Q5 + A5-A10."""
+    emb = _emb(spark, sf_dir).cache()
+    pq = PQTable.train(emb, dim=64, m=16, n_bits=4, train_proportion=0.5,
+                       vec_col="embedding", id_col="vec_id")
+    return pq.search(_query_vec(spark, sf_dir), k=10, ef=1_000_000, metric="l2sqr")
+
+
+@register("knn_pq_adc")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True compressed-domain regime: ef=64 candidates from the 4-bit
+    ADC scan, then exact re-rank (rows-only; p90-error + recall gates
+    in tests)."""
+    emb = _emb(spark, sf_dir).cache()
+    pq = PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.5,
+                       vec_col="embedding", id_col="vec_id")
+    return pq.search(_query_vec(spark, sf_dir), k=10, ef=64, metric="l2sqr")
+
+
+@register("knn_hnsw", _FLAT_L2_ORACLE)
+def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph search, beam ef=200 (== flat at this scale — the
+    reference's own equivalence test, hnsw_index.rs:713-790)."""
+    emb = _emb(spark, sf_dir).cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    return idx.search(_query_vec(spark, sf_dir), k=10, ef=200)
+
+
+_CENTROIDS_SQL = f"""c AS (
+  SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 8)"""
+
+
+@register(
+    "ivf_centroid_assign",
+    f"""WITH {_CENTROIDS_SQL},
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product({_E},{_E}) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product({_E},c.cv) AS dist
+  FROM embeddings e, c)
+SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+ORDER BY vec_id""",
+)
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — distributed nearest-centroid assignment (k_means.rs:40-57)
+    against a FIXED centroid set (first 8 vectors) so the argmin is
+    SQL-reproducible."""
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    model = KMeansModel(
+        centroids=np.asarray([r[0] for r in cents], dtype=np.float64), metric="l2sqr"
+    )
+    return (
+        model.assign_df(emb, vec_col="embedding", out_col="cluster_id")
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "ivf_multi_probe_rank",
+    f"""WITH q AS (SELECT vec_id AS query_id, {_dd('embedding')} AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT q.query_id, c.cid,
+         list_dot_product(q.qv,q.qv) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product(q.qv,c.cv) AS dist
+  FROM q, c)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS INT) AS probe_rank,
+       CAST(cid AS INT) AS centroid_id
+FROM d
+QUALIFY probe_rank <= 3
+ORDER BY query_id, probe_rank""",
+)
+def ivf_multi_probe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — top-n centroid ranking per query (k_means.rs:174-191
+    find_n_nearest), fixed centroid set = first 16 vectors."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    model = KMeansModel(
+        centroids=np.asarray([r[0] for r in cents], dtype=np.float64), metric="l2sqr"
+    )
+    qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "embedding").collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    probes = model.rank_centroids_batch(qmat, 3)
+    rows = [
+        (int(r[0]), int(rank + 1), int(cid))
+        for r, prow in zip(qrows, probes)
+        for rank, cid in enumerate(prow)
+    ]
+    return spark.createDataFrame(rows, "query_id long, probe_rank int, centroid_id int")
+
+
+@register(
+    "knn_ground_truth",
+    f"""WITH q AS (SELECT vec_id AS query_id, {_dd('embedding')} AS qv FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT q.query_id, e.vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+  FROM embeddings e, q),
+topk AS (
+  SELECT query_id, vec_id, dist FROM d
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 10)
+SELECT query_id, array_to_string(list(vec_id ORDER BY dist, vec_id), ',') AS gt_ids
+FROM topk GROUP BY query_id ORDER BY query_id""",
+)
+def knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — exact-kNN ground-truth table (bin/gen_gnd.rs:31-76), ids
+    joined into a string for hash-stable comparison."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = knn_ops.ground_truth(
+        emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    )
+    return gt.select(
+        "query_id",
+        F.concat_ws(",", F.transform(F.col("knn_indices"), lambda x: x.cast("string"))).alias("gt_ids"),
+    ).orderBy("query_id")
+
+
+@register("vec_random_sample")
+def vec_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — seeded deterministic sample (vec_set.rs:154-163). The seed
+    stream is Spark-internal, so no SQL oracle (rows-only check): the
+    contract verified here is count and reproducibility."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.orderBy(F.rand(42), F.col("vec_id"))
+        .limit(50)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,343 @@
+"""Driver-contract entries for the LLM-pipeline operators: dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+text analysis, typed u8 vectors, and event-time windowed aggregation.
+
+Every hash below is the md5-prefix 32-bit form, identical in Spark
+(``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+(``('0x' || substr(md5(x),1,8))::BIGINT``) — verified bit-equal — so
+MinHash signatures, LSH buckets, SimHash fingerprints, and rolling
+fingerprints are all exactly SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions import text as T
+from lab_1806_vec_db_spark.functions.distance import cast_vec_expr
+from lab_1806_vec_db_spark.operators import dedup as D
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.plans.entry_queries import _dd, register
+from lab_1806_vec_db_spark.session import read_table
+from lab_1806_vec_db_spark.streaming.windows import tumbling_agg
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---- DuckDB SQL fragment generators (mirror functions/text.py) -------------
+
+def _hash32_sql(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
+
+
+_TOKS = "string_split(text, ' ')"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    """list_distinct word n-grams of _TOKS (mirrors dedup.word_shingles)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def _minhash_sig_sql(n: int, num_hashes: int, sh: str = "sh") -> str:
+    """[sig_0, ..., sig_{p-1}] (mirrors dedup.minhash_signature)."""
+    parts = [
+        f"coalesce(list_min(list_transform({sh}, s -> {_hash32_sql(chr(39) + str(j) + '_' + chr(39) + ' || s')})), CAST(-1 AS BIGINT))"
+        for j in range(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one hash-groupBy shuffle, min-id canonical."""
+    return D.exact_dedup_groups(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+# ---- n-gram Jaccard --------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS (
+  SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents WHERE doc_id < 40)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh)))
+         ELSE 0.0 END, 4) + 0.0 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY id_a, id_b""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard on a bounded subset (the verify
+    metric of the MinHash pipeline)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return D.ngram_jaccard_pairs(docs, n=3).orderBy("id_a", "id_b")
+
+
+# ---- MinHash ---------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_sig",
+    f"""WITH sh AS (
+  SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents WHERE doc_id < 100)
+SELECT doc_id, md5(array_to_string({_minhash_sig_sql(3, 8)}, ',')) AS sig_hash
+FROM sh ORDER BY doc_id""",
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations over 3-gram shingles),
+    hashed to one hex string per doc for stable comparison."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sig = D.minhash_signatures(docs, n=3, num_hashes=8)
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform(F.col("sig"), lambda x: x.cast("string")))).alias("sig_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_lsh_pairs",
+    f"""WITH sh AS (
+  SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents WHERE doc_id < 200),
+sig AS (SELECT doc_id, {_minhash_sig_sql(3, 16)} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id*4 + 1, b.band_id*4 + 4), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (16 hashes × 4 bands): the
+    shuffle key is (band, bucket) — never an all-pairs product."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4).orderBy("id_a", "id_b")
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1)*2 - 1)) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH h AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> {_hash32_sql('x')}) AS hs
+  FROM documents)
+SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+FROM h ORDER BY doc_id""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints for every document."""
+    return D.simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---- embedding near-dup ----------------------------------------------------
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    return (
+        f"round(1 - list_dot_product({a},{b}) / greatest("
+        f"sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})), 1e-10), 4) + 0.0"
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""WITH v AS (SELECT vec_id, {_dd('embedding')} AS ev FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_pair_sql('a.ev', 'b.ev')} AS dist
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos_pair_sql('a.ev', 'b.ev')} <= 0.95
+ORDER BY id_a, id_b""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on a bounded subset."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 150)
+    return D.embedding_neardup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_lsh_neardup",
+    f"""WITH p AS (SELECT vec_id AS pid, {_dd('embedding')} AS pv FROM embeddings WHERE vec_id < 4),
+b AS (
+  SELECT e.vec_id, {_dd('e.embedding')} AS ev,
+         string_agg(CASE WHEN list_dot_product({_dd('e.embedding')}, p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+  FROM embeddings e, p GROUP BY e.vec_id, ev)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_cos_pair_sql('a.ev', 'b2.ev')} AS dist
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_cos_pair_sql('a.ev', 'b2.ev')} <= 0.95
+ORDER BY id_a, id_b""",
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed near-dup: the scale path — verify
+    distance only within buckets. Planes = first 4 embeddings
+    (deterministic, SQL-reproducible)."""
+    emb = _emb(spark, sf_dir)
+    planes = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    ]
+    return D.embedding_neardup_lsh(emb, planes, threshold=0.95).orderBy("id_a", "id_b")
+
+
+# ---- text analysis ---------------------------------------------------------
+
+_SW = "['the','a','of','and','to','in','is','that']"
+
+
+@register(
+    "text_stats",
+    f"""SELECT doc_id,
+  len({_TOKS}) AS n_tokens,
+  length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letters,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+  round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}), 4) + 0.0 AS mean_token_len,
+  round(CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS}), 4) + 0.0 AS stopword_ratio
+FROM documents ORDER BY doc_id""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char-class statistics — one map-only pass."""
+    docs = _docs(spark, sf_dir)
+    stats = T.char_stats("text")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        stats["n_chars"].alias("n_chars"),
+        stats["n_letters"].alias("n_letters"),
+        stats["n_digits"].alias("n_digits"),
+        stats["n_punct"].alias("n_punct"),
+        (F.round(T.mean_token_len("text"), 4) + F.lit(0.0)).alias("mean_token_len"),
+        (F.round(T.stopword_ratio("text"), 4) + F.lit(0.0)).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN hits_{lang} >= greatest({', '.join('hits_' + o for o in sorted(T.LANG_STOPWORDS) if o < lang)}) THEN '{lang}'"
+        if any(o < lang for o in T.LANG_STOPWORDS)
+        else f"ELSE '{lang}' END"
+        for lang in sorted(T.LANG_STOPWORDS, reverse=True)
+    )
+)
+
+
+@register(
+    "text_lang_quality",
+    f"""WITH h AS (
+  SELECT doc_id, text,
+    {', '.join(f'{_hits_sql(T.LANG_STOPWORDS[lang])} AS hits_{lang}' for lang in sorted(T.LANG_STOPWORDS))}
+  FROM documents),
+s AS (
+  SELECT doc_id, text, {_LANG_CASE} AS lang_pred,
+    CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+    CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) AS mtl,
+    CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS}) AS swr
+  FROM h)
+SELECT doc_id, lang_pred,
+  round((least(n_tok/50.0, 1.0)
+         + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+         + least(swr*5.0, 1.0)) / 3.0, 4) + 0.0 AS quality,
+  list_reduce(
+    list_concat([CAST(0 AS BIGINT)],
+                list_transform({_TOKS}, x -> {_hash32_sql('x')} % 1000000007)),
+    (acc, h) -> (acc*31 + h) % 1000000007) AS fingerprint
+FROM s ORDER BY doc_id""",
+)
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score + rolling
+    content fingerprint."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.lang_id("text").alias("lang_pred"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# ---- u8 typed vectors (S2/F7 in query form) --------------------------------
+
+_U8_SQL = (
+    "list_transform(embedding, x -> CASE "
+    "WHEN isnan(CAST(x AS DOUBLE) * 100.0 + 128.0) THEN 0 "
+    "ELSE CAST(floor(least(greatest(CAST(x AS DOUBLE) * 100.0 + 128.0, 0.0), 255.0)) AS BIGINT) END)"
+)
+
+
+@register(
+    "knn_flat_u8",
+    f"""WITH u AS (SELECT vec_id, CAST({_U8_SQL} AS DOUBLE[]) AS uv FROM embeddings),
+q AS (SELECT uv AS qv FROM u WHERE vec_id = 0)
+SELECT u.vec_id AS vec_id,
+       round(list_dot_product(u.uv,u.uv) + list_dot_product(q.qv,q.qv)
+             - 2*list_dot_product(u.uv,q.qv), 4) + 0.0 AS dist
+FROM u, q ORDER BY dist, vec_id LIMIT 10""",
+)
+def knn_flat_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force kNN over a u8-quantized table (scalar.rs:117-119 u8
+    vectors; cast semantics scalar.rs:20-37) — integer-exact distances."""
+    emb = _emb(spark, sf_dir)
+    scaled = F.transform(F.col("embedding"), lambda x: x.cast("double") * 100.0 + 128.0)
+    u8 = emb.select("vec_id", cast_vec_expr(scaled, "u8").alias("uv"))
+    qrow = u8.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow["uv"]]
+    return knn_ops.knn(u8, q, k=10, metric="l2sqr", vec_col="uv", id_col="vec_id")
+
+
+# ---- event-time windowed aggregation ---------------------------------------
+
+
+@register(
+    "events_tumbling_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 4) + 0.0 AS sum_value,
+  round(avg(value), 4) + 0.0 AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup per event type — the same
+    transformation runs unchanged on ``readStream`` (streaming/
+    windows.py)."""
+    return tumbling_agg(_events(spark, sf_dir), ts_col="ts", unit="hour").orderBy(
+        "window_start", "event_type"
+    )

@@ -43,6 +43,10 @@ def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS), which the
+        # Spark reader rejects natively; read as epoch-nanos long and
+        # convert at the query layer (streaming/windows.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,145 @@
+"""Unit tests for the LLM-pipeline operators: dedup family, text
+analysis, windowed aggregation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions import text as T
+from lab_1806_vec_db_spark.operators import dedup as D
+from lab_1806_vec_db_spark.streaming.windows import sessionize, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "der hund und die katze und der vogel und das haus"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    assert len(groups) == 4  # 5 docs, one exact pair
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in groups}
+    assert by_canon[0] == 2  # min-id canonical wins
+    kept = D.exact_dedup(docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
+
+
+def test_shingles_and_jaccard(docs):
+    sh = docs.select("doc_id", D.word_shingles("text", 3).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in sh}
+    assert len(by_id[0]) == 7  # 9 tokens → 7 trigrams
+    assert by_id[0] == by_id[1]
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, n=3).collect()}
+    assert pairs[(0, 1)] == 1.0       # identical
+    assert 0.4 < pairs[(0, 2)] < 1.0  # near dup
+    assert pairs[(0, 3)] == 0.0       # disjoint
+
+
+def test_short_doc_shingles(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    sh = df.select(D.word_shingles("text", 3).alias("sh")).first()["sh"]
+    assert sh == []  # shorter than n → no shingles, no crash
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs, n=3, num_hashes=16).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signatures
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree >= 4  # near-dups share many minima
+    cand = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8).collect()}
+    assert (0, 1) in cand
+    assert (0, 3) not in cand  # unrelated docs never bucket together
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.minhash_dedup_pairs(docs, threshold=0.99, num_hashes=16, bands=8).collect()}
+    assert (0, 1) in verified and verified[(0, 1)] == 1.0
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_near_pairs(docs, band_bits=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, threshold=0.01).collect()}
+    assert exact == {(0, 1)}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in D.embedding_neardup_lsh(df, planes=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                                            threshold=0.01).collect()}
+    assert lsh == {(0, 1)}  # 0,1 share bucket '1x'; 3 lands elsewhere
+
+
+def test_text_stats_fixed_values(spark):
+    df = spark.createDataFrame([(0, "Hello world 42!")], "doc_id long, text string")
+    row = df.select(
+        T.token_count("text").alias("nt"),
+        T.regex_token_count("text").alias("nb"),
+        T.mean_token_len("text").alias("mtl"),
+        *[v.alias(k) for k, v in T.char_stats("text").items()],
+    ).first()
+    assert row["nt"] == 3
+    assert row["nb"] == 5  # hello / world / 4 / 2 / !
+    assert row["n_chars"] == 15 and row["n_letters"] == 10
+    assert row["n_digits"] == 2 and row["n_spaces"] == 2 and row["n_punct"] == 1
+    assert row["mtl"] == pytest.approx((5 + 5 + 3) / 3)
+
+
+def test_lang_id_and_quality(docs):
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", T.lang_id("text").alias("lang"), T.quality_score("text").alias("q")
+    ).collect()}
+    assert rows[0]["lang"] == "en"  # two 'the' hits
+    assert rows[4]["lang"] == "de"  # der/und/die/das hits
+    assert 0.0 <= rows[3]["q"] <= 1.0
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]  # order-sensitive, unlike shingle sets
+
+
+def test_tumbling_agg_and_sessionize(spark):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, "click", 1.0),
+        (1, base + datetime.timedelta(minutes=10), "click", 3.0),
+        (1, base + datetime.timedelta(hours=2), "view", 5.0),
+        (2, base + datetime.timedelta(minutes=5), "click", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    agg = {(r["window_start"], r["event_type"]): r for r in tumbling_agg(df).collect()}
+    r = agg[("2024-01-01 10:00:00", "click")]
+    assert r["n_events"] == 3 and r["sum_value"] == 11.0
+    assert agg[("2024-01-01 12:00:00", "view")]["n_events"] == 1
+    sess = sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r["session_seq"])
+    assert sorted(by_user[1]) == [1, 1, 2]  # 2h gap starts a new session
+    assert by_user[2] == [1]
