@@ -306,20 +306,36 @@ class HNSWIndex:
         k_ = int(k)
         ef_ = ef
 
+        ub = upper_bound
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids, vecs, metric, levels, links, counts, entry, max_level, m = bc.value
             g = _Graph(1, m)
             g.levels, g.links, g.counts, g.entry, g.max_level = levels, links, counts, entry, max_level
             idx = HNSWIndex(ids, vecs, g, metric)
             for pdf in batches:
+                out_q, out_i, out_d = [], [], []
                 for qid, qv in zip(pdf[qid_col], pdf[qvec_col]):
                     rid, rd = idx.search_np(np.asarray(qv, dtype=np.float64), k_, ef_)
-                    yield pd.DataFrame({"query_id": qid, id_col: rid, "dist": rd})
+                    if ub is not None:
+                        keep = rd <= ub
+                        rid, rd = rid[keep], rd[keep]
+                    out_q.append(np.full(len(rid), qid, dtype=np.int64))
+                    out_i.append(rid)
+                    out_d.append(rd)
+                if out_q:
+                    yield pd.DataFrame({
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    })
 
-        out = queries.select(qid_col, qvec_col).repartition(
+        # each query is answered completely inside one task (the graph is
+        # broadcast), so results are already exact top-k ascending per
+        # query — no cross-partition merge window, no shuffle at all
+        return queries.select(qid_col, qvec_col).repartition(
             max(queries.sparkSession.sparkContext.defaultParallelism, 1)
         ).mapInPandas(run, schema=f"query_id long, {id_col} long, dist double")
-        return _topk_per_query(out, k_, id_col, upper_bound)
 
     # ---- persistence (S8: hnsw_index.rs:644-670 saves links w/o vectors) --
 

@@ -333,17 +333,23 @@ class PQTable:
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bqids, blut3, bsq3, bqn, m, n_bits = bc.value
-            gidx = np.arange(m)[None, :]
             for pdf in batches:
                 if pdf.empty:
                     continue
                 buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
                 codes = unpack_codes(buf, m, n_bits)
                 ids = pdf[id_col].to_numpy()
-                # (n × |Q|) approx distances via per-query gather
-                summed = blut3[:, gidx, codes].sum(axis=2).T  # (n, |Q|)
+                # (n × |Q|) approx distances, accumulated group-by-group:
+                # m cheap 2-D gathers instead of one giant (|Q|, n, m)
+                # fancy-index — no 3-D intermediate, BLAS-friendly
+                summed = np.zeros((codes.shape[0], blut3.shape[0]))
+                for g in range(m):
+                    summed += blut3[:, g, codes[:, g]].T
                 if bsq3 is not None:
-                    vnorm = np.sqrt(np.maximum(bsq3[:, gidx, codes].sum(axis=2).T, 0.0))
+                    v2 = np.zeros_like(summed)
+                    for g in range(m):
+                        v2 += bsq3[:, g, codes[:, g]].T
+                    vnorm = np.sqrt(np.maximum(v2, 0.0))
                     summed = 1.0 - summed / np.maximum(vnorm * bqn[None, :], 1e-10)
                 kk = min(ef_, summed.shape[0])
                 order_ids = np.broadcast_to(ids[:, None], summed.shape)
@@ -356,13 +362,35 @@ class PQTable:
 
         approx = self.codes.mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
         cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
-        qdf = queries.select(F.col(qid_col).alias("query_id"),
-                             F.col(qvec_col).cast("array<double>").alias("__qv"))
-        cand_q = cand.join(F.broadcast(qdf), "query_id")  # |Q|·ef rows — small
+        # exact re-rank: broadcast only the (query_id, id) pairs into the
+        # base scan — query vectors are looked up executor-side from a
+        # small (|Q| × dim) broadcast, never duplicated per candidate
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bc_q = spark.sparkContext.broadcast((qpos, qmat))
+        vec_col = self.vec_col
+
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bqpos, bqmat = bc_q.value
+            q2 = np.einsum("ij,ij->i", bqmat, bqmat)
+            qn = np.sqrt(q2)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+                ip = np.einsum("ij,ij->i", x, bqmat[qi])
+                x2 = np.einsum("ij,ij->i", x, x)
+                if metric == "l2sqr":
+                    d = x2 + q2[qi] - 2.0 * ip
+                else:
+                    d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
+                d = np.round(d, ROUND_DECIMALS) + 0.0
+                yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                    id_col: pdf[id_col].to_numpy(), "dist": d})
+
         rer = (
-            self.base.select(id_col, self.vec_col)
-            .join(F.broadcast(cand_q), id_col)  # broadcast candidates INTO the base scan
-            .select("query_id", id_col,
-                    round_dist(dist_expr(F.col(self.vec_col), F.col("__qv"), metric)).alias("dist"))
+            self.base.select(id_col, vec_col)
+            .join(F.broadcast(cand), id_col)
+            .mapInPandas(rerank, schema=f"query_id long, {id_col} long, dist double")
         )
         return _topk_per_query(rer, int(k), id_col, upper_bound)
