@@ -24,9 +24,20 @@ This package maps that capability surface onto the Spark execution model:
   examples/bench.rs:414-417).
 
 Beyond reference parity, the package ships the LLM-data-pipeline operators
-a 100 TB training-data pipeline needs: deduplication (exact / MinHash-LSH /
-SimHash / n-gram Jaccard / embedding cosine), approximate similarity
-search, text analysis, and multimodal binary-column plumbing.
+a 100 TB training-data pipeline needs:
+
+- ``operators/dedup.py`` — exact hash dedup, MinHash + banded LSH,
+  SimHash, n-gram Jaccard verify, embedding cosine near-dup (exact and
+  random-hyperplane-bucketed);
+- ``functions/text.py`` — tokenization, token/char statistics, stopword
+  ratio, language-ID heuristic, quality scoring, rolling fingerprints;
+- ``multimodal/binary_ops.py`` — opaque-binary media columns with
+  Arrow-batched decode/featurize/frame-sample plumbing (codec kernels
+  stubbed: no image/audio libraries in this environment);
+- ``sources/binary.py`` — fvecs / raw-bin (f32 & u8) readers, TOML
+  config dispatch, one-time Parquet converters;
+- ``streaming/windows.py`` — tumbling event-time rollups (batch/stream
+  dual-mode) and sessionization.
 """
 
 from lab_1806_vec_db_spark.session import get_spark

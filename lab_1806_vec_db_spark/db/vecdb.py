@@ -51,6 +51,21 @@ except ImportError:  # non-POSIX: degrade to advisory marker file
 
 TABLE_SCHEMA = "id long, vec array<float>, metadata map<string,string>"
 
+#: typed tables (S2): exactly f32 and u8, like the reference
+#: (scalar.rs:117-119); u8 stores as smallint (no unsigned byte in Spark)
+DATA_TYPES = {"float32": "float", "uint8": "smallint"}
+
+
+def _table_schema(data_type: str) -> str:
+    return f"id long, vec array<{DATA_TYPES[data_type]}>, metadata map<string,string>"
+
+
+def _cast_u8(x: float) -> int:
+    """Saturating, NaN→0, truncate-toward-zero (scalar.rs:20-37)."""
+    if x != x:  # NaN
+        return 0
+    return int(min(max(x, 0.0), 255.0))
+
 
 def sanitize_key(key: str) -> str:
     """Map a table key to a safe filename: keep [A-Za-z0-9_-], cap at 32
@@ -102,9 +117,13 @@ class VecDB:
     def _table_path(self, key: str) -> str:
         return os.path.join(self.dir, "tables", self._meta(key)["filename"])
 
-    def create_table_if_not_exists(self, key: str, dim: int, dist: str = "cosine") -> bool:
+    def create_table_if_not_exists(
+        self, key: str, dim: int, dist: str = "cosine", data_type: str = "float32"
+    ) -> bool:
         if dist not in DISTANCES:
             raise ValueError(f"Invalid distance function: {dist}")
+        if data_type not in DATA_TYPES:
+            raise ValueError(f"Invalid data type: {data_type} (float32/uint8)")
         if key in self._brief["tables"]:
             return False
         fname = sanitize_key(key)
@@ -118,6 +137,7 @@ class VecDB:
             "filename": fname,
             "dim": int(dim),
             "dist": dist,
+            "data_type": data_type,
             "len": 0,
             "next_id": 0,
             "has_hnsw": False,
@@ -125,7 +145,7 @@ class VecDB:
             "pq_params": None,
             "hnsw_params": None,
         }
-        empty = self.spark.createDataFrame([], TABLE_SCHEMA).withColumn(
+        empty = self.spark.createDataFrame([], _table_schema(data_type)).withColumn(
             "norm", F.lit(None).cast("double")
         )
         empty.write.mode("overwrite").parquet(os.path.join(self.dir, "tables", fname))
@@ -157,6 +177,9 @@ class VecDB:
 
     def get_dist(self, key: str) -> str:
         return str(self._meta(key)["dist"])
+
+    def get_data_type(self, key: str) -> str:
+        return str(self._meta(key).get("data_type", "float32"))
 
     # ---- table cache (S5: database/mod.rs:340-357,400-413) ---------------
 
@@ -203,11 +226,17 @@ class VecDB:
         if not vec_list:
             return
         start = meta["next_id"]
+        data_type = meta.get("data_type", "float32")
+        if data_type == "uint8":
+            # saturating NaN→0 cast on ingest (vec_set.rs:142-149 to_type)
+            conv = lambda v: [_cast_u8(float(x)) for x in v]  # noqa: E731
+        else:
+            conv = lambda v: [float(x) for x in v]  # noqa: E731
         rows = [
-            (start + i, [float(x) for x in v], {str(a): str(b) for a, b in md.items()})
+            (start + i, conv(v), {str(a): str(b) for a, b in md.items()})
             for i, (v, md) in enumerate(zip(vec_list, metadata_list))
         ]
-        df = self.spark.createDataFrame(rows, TABLE_SCHEMA).withColumn(
+        df = self.spark.createDataFrame(rows, _table_schema(data_type)).withColumn(
             "norm", norm_expr("vec")
         )
         df.write.mode("append").parquet(self._table_path(key))

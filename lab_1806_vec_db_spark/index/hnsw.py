@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist
-from lab_1806_vec_db_spark.operators.knn import ROUND_DECIMALS, _topk_per_query
+from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 
 
 def _dist_one(vecs: np.ndarray, i: int, q: np.ndarray, metric: str) -> float:
@@ -262,7 +262,7 @@ class HNSWIndex:
             ep = _greedy_descent(g, self.vecs, q, g.max_level, 0, self.metric)
         res = _beam_search(g, self.vecs, q, ep, ef_, 0, self.metric)[: int(k)]
         d = np.asarray([r[0] for r in res])
-        d = np.round(d, ROUND_DECIMALS) + 0.0
+        d = np_round_half_up(d)
         idx = np.asarray([r[1] for r in res], dtype=np.int64)
         return self.ids[idx], d
 

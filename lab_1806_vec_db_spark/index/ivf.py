@@ -41,7 +41,7 @@ from lab_1806_vec_db_spark.index.kmeans import (
     fit_kmeans,
     sample_rows,
 )
-from lab_1806_vec_db_spark.operators.knn import round_dist, _topk_per_query
+from lab_1806_vec_db_spark.operators.knn import _topk_per_query, np_round_half_up, round_dist
 from lab_1806_vec_db_spark.functions.distance import dist_expr
 
 
@@ -180,7 +180,7 @@ class IVFIndex:
                         continue
                     x = np.asarray(grp[vec_col].to_list(), dtype=np.float64)
                     d = _pairwise_dist(x, bq[sel], metric)
-                    d = np.round(d, 4) + 0.0
+                    d = np_round_half_up(d)
                     ids = grp[id_col].to_numpy()
                     kk = min(k_, d.shape[0])
                     order_ids = np.broadcast_to(ids[:, None], d.shape)

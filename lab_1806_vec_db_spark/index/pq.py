@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.functions.distance import dist_expr
 from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist, fit_kmeans, sample_rows
-from lab_1806_vec_db_spark.operators.knn import ROUND_DECIMALS, round_dist, _topk_per_query
+from lab_1806_vec_db_spark.operators.knn import (
+    ROUND_DECIMALS,
+    _topk_per_query,
+    np_round_half_up,
+    round_dist,
+)
 
 
 def pq_groups(dim: int, m: int) -> list[tuple[int, int]]:
@@ -384,7 +389,7 @@ class PQTable:
                     d = x2 + q2[qi] - 2.0 * ip
                 else:
                     d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
-                d = np.round(d, ROUND_DECIMALS) + 0.0
+                d = np_round_half_up(d)
                 yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
                                     id_col: pdf[id_col].to_numpy(), "dist": d})
 

@@ -60,6 +60,16 @@ def round_dist(col: Column) -> Column:
     return F.round(col, ROUND_DECIMALS) + F.lit(0.0)
 
 
+def np_round_half_up(a: np.ndarray, decimals: int = ROUND_DECIMALS) -> np.ndarray:
+    """SQL-compatible rounding for the numpy paths: ``np.round`` rounds
+    half-to-even (93.90625 → 93.9062) while Spark/DuckDB ``round``
+    rounds half away from zero (→ 93.9063) — a real hash-mismatch on
+    knife-edge values. Inputs here are non-negative distances/stats, so
+    floor(x·10^d + 0.5) is exactly SQL semantics."""
+    scale = 10.0 ** decimals
+    return np.floor(a * scale + 0.5) / scale + 0.0
+
+
 def knn(
     df: DataFrame,
     query: Sequence[float],
@@ -177,7 +187,7 @@ def knn_batch(
                 continue
             x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             d = _dist_matrix(x, bq, metric)
-            d = np.round(d, ROUND_DECIMALS) + 0.0
+            d = np_round_half_up(d)
             ids = pdf[id_col].to_numpy()
             kk = min(k, d.shape[0])
             # local top-k per query with (dist, id) tie-break; a global

@@ -322,6 +322,29 @@ def knn_flat_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ops.knn(u8, q, k=10, metric="l2sqr", vec_col="uv", id_col="vec_id")
 
 
+# ---- multimodal binary-column plumbing -------------------------------------
+
+
+@register(
+    "multimodal_byte_stats",
+    """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_bytes,
+  round(CAST(list_sum(list_transform(range(1, length(text)+1),
+        i -> unicode(substr(text, i, 1)))) AS DOUBLE) / length(text), 4) + 0.0 AS mean_byte,
+  CAST(unicode(substr(text, 1, 1)) AS INT) AS first_byte
+FROM documents ORDER BY id""",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing probe: documents.text treated as an opaque
+    BINARY media column, pushed through the Arrow-batched byte-stats
+    extractor (multimodal/binary_ops.py). ASCII corpus → bytes ==
+    code points, so DuckDB reproduces it exactly."""
+    from lab_1806_vec_db_spark.multimodal.binary_ops import byte_stats, media_table
+
+    docs = _docs(spark, sf_dir)
+    media = media_table(docs, content_col="text", id_col="doc_id", media_type="text/plain")
+    return byte_stats(media).orderBy("id")
+
+
 # ---- event-time windowed aggregation ---------------------------------------
 
 
