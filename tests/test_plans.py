@@ -1,0 +1,59 @@
+"""Physical-plan regression gates (docs/PLANS.md): the operators must
+keep compiling to the plans the 100 TB design requires."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.index.ivf import IVFIndex
+from lab_1806_vec_db_spark.index.pq import PQTable
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.session import read_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_correct):
+    # other modules cache this table; clear so plans show the real scan
+    spark.catalog.clearCache()
+    return read_table(spark, sf_correct, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_flat_knn_is_take_ordered_with_pruned_scan(emb, qvec):
+    plan = _plan(knn_ops.knn(emb, qvec, k=10, metric="l2sqr",
+                             vec_col="embedding", id_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan  # no full sort, no shuffle
+    # column pruning reaches the scan: label is never read
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all("label" not in l for l in schema_lines)
+
+
+def test_ivf_probe_is_partition_pruning(emb, qvec, tmp_path):
+    idx = IVFIndex.build(emb, k=8, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=500,
+                         path=str(tmp_path / "ivf"))
+    plan = _plan(idx.search(qvec, k=10, n_probes=2))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster_id" in pf[0] and " IN " in pf[0]
+
+
+def test_pq_rerank_is_broadcast_join(emb, qvec):
+    pq = PQTable.train(emb, dim=64, m=8, n_bits=4, train_proportion=0.2,
+                       vec_col="embedding", id_col="vec_id")
+    plan = _plan(pq.search(qvec, k=10, ef=50, metric="l2sqr"))
+    assert "BroadcastHashJoin" in plan  # base table is never shuffled
