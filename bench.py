@@ -138,6 +138,26 @@ def main() -> None:
     timings["hnsw_ef120"], rows = _timed(run_hnsw)
     recalls["hnsw_ef120"] = _recall(rows, gt)
 
+    # ---- HNSW point-serve (zero Spark jobs — the reference's own
+    # latency regime: sequential in-memory queries, bench.rs:423-426) --
+    qrows = queries.orderBy("query_id").collect()
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["query_id"]) for r in qrows]
+    n_point = min(len(qids), 300)
+
+    def run_point():
+        out = []
+        for i in range(n_point):
+            ids, _ = hnsw.search_np(qmat[i], K, 120)
+            out.append((qids[i], ids))
+        return out
+
+    best, out = _timed(run_point)
+    timings["hnsw_point_serve"] = best * (n_q / n_point)  # normalized to suite size
+    recalls["hnsw_point_serve"] = float(
+        np.mean([len(set(map(int, ids)) & gt[q]) / len(gt[q]) for q, ids in out])
+    )
+
     total = float(sum(timings.values()))
     out = {
         "metric": "ann_suite_sec",

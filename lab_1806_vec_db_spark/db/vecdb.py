@@ -203,6 +203,18 @@ class VecDB:
 
     def _invalidate_cache(self, key: str) -> None:
         self.remove_cached_table(key)
+        self._indexes.get(key, {}).pop("_mdmap", None)
+
+    def _metadata_map(self, key: str) -> dict[int, dict[str, str]]:
+        """Driver-resident id→metadata map for the point-serve fast
+        path — the reference keeps ALL metadata in RAM
+        (metadata_vec_table.rs:15), so this is the same envelope as the
+        driver-built HNSW graph; invalidated on every write."""
+        cache = self._indexes.setdefault(key, {})
+        if "_mdmap" not in cache:
+            rows = self.table_df(key).select("id", "metadata").collect()
+            cache["_mdmap"] = {int(r["id"]): dict(r["metadata"] or {}) for r in rows}
+        return cache["_mdmap"]
 
     # ---- DML (W1-W3) ------------------------------------------------------
 
@@ -332,10 +344,23 @@ class VecDB:
             out = pq.search(query, k, ef=ef, metric=meta["dist"],
                             payload_cols=["id", "metadata"])
         elif hnsw is not None:
-            hits = hnsw.search(query, k, ef=ef, metric=meta["dist"])
-            out = df.select("id", "metadata").join(F.broadcast(hits), "id").select(
-                "id", "metadata", "dist"
+            # point-serve fast path: beam search + metadata attach from
+            # broadcast-grade driver state — ZERO Spark jobs per query,
+            # the reference's own latency model (SURVEY §3.1: serve from
+            # in-memory state, don't launch a job per query)
+            import numpy as np
+
+            ids, dists = hnsw.search_np(
+                np.asarray([float(x) for x in query]), k, ef
             )
+            md = self._metadata_map(key)
+            result = [
+                (md.get(int(i), {}), float(d))
+                for i, d in zip(ids, dists)
+                if upper_bound is None or float(d) <= upper_bound
+            ]
+            result.sort(key=lambda t: t[1])
+            return result[:k]
         else:
             out = knn_ops.knn(
                 df, query, k, metric=meta["dist"], vec_col="vec",

@@ -56,6 +56,33 @@ def _dist_many(vecs: np.ndarray, idx: np.ndarray, q: np.ndarray, metric: str) ->
     return _pairwise_dist(q[None, :], vecs[idx], metric)[0]
 
 
+def _make_dist_kernel(vecs: np.ndarray, metric: str):
+    """Per-query distance closure with cached per-node self-dots — the
+    reference's dist_cache (hnsw_index.rs:136-140, 251-254). Shaves the
+    generic-pairwise overhead off the per-pop hot path."""
+    x2 = np.einsum("ij,ij->i", vecs, vecs)
+    if metric == "l2sqr":
+        def for_query(q: np.ndarray):
+            q2 = float(q @ q)
+
+            def dist(idx: np.ndarray) -> np.ndarray:
+                d = x2[idx] + q2 - 2.0 * (vecs[idx] @ q)
+                return np.maximum(d, 0.0, out=d)
+
+            return dist
+    else:
+        norms = np.sqrt(x2)
+
+        def for_query(q: np.ndarray):
+            qn = float(np.sqrt(q @ q))
+
+            def dist(idx: np.ndarray) -> np.ndarray:
+                return 1.0 - (vecs[idx] @ q) / np.maximum(norms[idx] * qn, 1e-10)
+
+            return dist
+    return for_query
+
+
 class _Graph:
     """Plain-array graph state shared by build and (broadcast) serve.
 
@@ -186,6 +213,7 @@ class HNSWIndex:
         self.base = base
         self.id_col = id_col
         self.path = path
+        self._dist_factory = _make_dist_kernel(vecs, metric) if len(vecs) else None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -253,16 +281,58 @@ class HNSWIndex:
 
     def search_np(self, q: np.ndarray, k: int, ef: int | None) -> tuple[np.ndarray, np.ndarray]:
         """Pure-numpy single search (the kernel the serve path runs per
-        query): greedy descent + layer-0 beam with width max(ef, k)."""
+        query): greedy descent + layer-0 beam with width max(ef, k).
+        Hot path — uses the cached-self-dot distance kernel and a
+        visited bitmap (no per-pop set churn)."""
         g = self.graph
         q = np.asarray(q, dtype=np.float64)
         ef_ = max(int(ef) if ef is not None else 2 * k, int(k))
-        ep = g.entry
-        if g.max_level > 0:
-            ep = _greedy_descent(g, self.vecs, q, g.max_level, 0, self.metric)
-        res = _beam_search(g, self.vecs, q, ep, ef_, 0, self.metric)[: int(k)]
-        d = np.asarray([r[0] for r in res])
-        d = np_round_half_up(d)
+        dist = self._dist_factory(q)
+        # greedy descent through upper layers (hnsw_index.rs:336-350)
+        cur = g.entry
+        cur_d = float(dist(np.asarray([cur]))[0])
+        for level in range(g.max_level, 0, -1):
+            improved = True
+            while improved:
+                improved = False
+                neigh = g.neighbors(level, cur)
+                if neigh.size == 0:
+                    continue
+                ds = dist(neigh)
+                best = int(np.argmin(ds))
+                if float(ds[best]) < cur_d:
+                    cur_d = float(ds[best])
+                    cur = int(neigh[best])
+                    improved = True
+        # layer-0 beam (hnsw_index.rs:258-330)
+        n = self.vecs.shape[0]
+        visited = np.zeros(n, dtype=bool)
+        visited[cur] = True
+        frontier = [(cur_d, cur)]
+        results = [(-cur_d, cur)]
+        links0, counts0 = g.links[0], g.counts[0]
+        while frontier:
+            d, node = heapq.heappop(frontier)
+            if d > -results[0][0] and len(results) >= ef_:
+                break
+            neigh = links0[node, : counts0[node]]
+            fresh = neigh[~visited[neigh]]
+            if fresh.size == 0:
+                continue
+            visited[fresh] = True
+            ds = dist(fresh)
+            worst = -results[0][0]
+            full = len(results) >= ef_
+            for dn, nn in zip(ds.tolist(), fresh.tolist()):
+                if not full or dn < worst:
+                    heapq.heappush(results, (-dn, nn))
+                    if len(results) > ef_:
+                        heapq.heappop(results)
+                    full = len(results) >= ef_
+                    worst = -results[0][0]
+                    heapq.heappush(frontier, (dn, nn))
+        res = sorted((-nd, node) for nd, node in results)[: int(k)]
+        d = np_round_half_up(np.asarray([r[0] for r in res]))
         idx = np.asarray([r[1] for r in res], dtype=np.int64)
         return self.ids[idx], d
 
@@ -393,6 +463,7 @@ class HNSWIndex:
                 [g.counts[lv], np.zeros(n - g.counts[lv].shape[0], dtype=np.int32)]
             )
         self.vecs, self.ids = vecs, ids
+        self._dist_factory = _make_dist_kernel(vecs, self.metric)
         for off, i in enumerate(range(n_old, n)):
             node_level = int(new_levels[off])
             while len(g.links) <= node_level:

@@ -28,6 +28,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # defensive: the driver may hand us a session without our defaults;
+    # both are runtime-settable SQL confs (session.py sets them too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts is TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window_start strings must be TZ-stable
     return read_table(spark, sf_dir, "events")
 
 
