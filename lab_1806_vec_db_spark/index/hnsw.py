@@ -121,48 +121,59 @@ def _select_heuristic(
 ) -> list[int]:
     """Diversity pruning (candidate_pair.rs:85-99): scan candidates in
     ascending distance; keep v iff its distance to the query is smaller
-    than its distance to every already-kept neighbor."""
+    than its distance to every already-kept neighbor.
+
+    Vectorized as a running min: when p is accepted, one numpy call
+    updates min-distance-to-chosen for ALL candidates; v's acceptance
+    test is then a scalar compare (``min ≥ d_vq`` ⇔ ``∀p: d ≥ d_vq``).
+    Same accepted set as the per-candidate loop, ~5× fewer numpy calls.
+    """
+    if not cand:
+        return []
+    cand_sorted = sorted(cand)
+    ids = np.asarray([c[1] for c in cand_sorted], dtype=np.int64)
+    d_q = np.asarray([c[0] for c in cand_sorted])
+    min_to_chosen = np.full(len(ids), np.inf)
     chosen: list[int] = []
-    for d_vq, v in sorted(cand):
+    for j in range(len(ids)):
         if len(chosen) >= m:
             break
-        ok = True
-        if chosen:
-            d_vp = _dist_many(vecs, np.asarray(chosen), vecs[v], metric)
-            ok = bool(np.all(d_vp >= d_vq))
-        if ok:
-            chosen.append(v)
+        if min_to_chosen[j] >= d_q[j]:
+            chosen.append(int(ids[j]))
+            d_new = _dist_many(vecs, ids, vecs[ids[j]], metric)
+            np.minimum(min_to_chosen, d_new, out=min_to_chosen)
     return chosen
 
 
 def _beam_search(
     g: _Graph,
-    vecs: np.ndarray,
-    q: np.ndarray,
+    dist,
     entry: int,
     ef: int,
     level: int,
-    metric: str,
+    n: int,
 ) -> list[tuple[float, int]]:
     """Best-first beam search on one level (hnsw_index.rs:258-330):
     bounded result set of ef, early-terminate when the nearest frontier
-    candidate is farther than the worst kept result."""
-    d0 = _dist_one(vecs, entry, q, metric)
-    visited = {entry}
+    candidate is farther than the worst kept result. ``dist`` is a
+    per-query kernel (idx array → distances)."""
+    d0 = float(dist(np.asarray([entry]))[0])
+    visited = np.zeros(n, dtype=bool)
+    visited[entry] = True
     frontier = [(d0, entry)]  # min-heap
     results = [(-d0, entry)]  # max-heap (negated)
+    links, counts = g.links[level], g.counts[level]
     while frontier:
         d, node = heapq.heappop(frontier)
         if d > -results[0][0] and len(results) >= ef:
             break  # early termination (candidate_pair.rs:55-57)
-        neigh = g.neighbors(level, node)
-        fresh = [int(x) for x in neigh if int(x) not in visited]
-        if not fresh:
+        neigh = links[node, : counts[node]]
+        fresh = neigh[~visited[neigh]]
+        if fresh.size == 0:
             continue
-        visited.update(fresh)
-        dists = _dist_many(vecs, np.asarray(fresh), q, metric)
-        for dn, nn in zip(dists, fresh):
-            dn = float(dn)
+        visited[fresh] = True
+        dists = dist(fresh)
+        for dn, nn in zip(dists.tolist(), fresh.tolist()):
             if len(results) < ef or dn < -results[0][0]:
                 heapq.heappush(results, (-dn, nn))
                 if len(results) > ef:
@@ -171,12 +182,10 @@ def _beam_search(
     return sorted((-nd, node) for nd, node in results)
 
 
-def _greedy_descent(
-    g: _Graph, vecs: np.ndarray, q: np.ndarray, from_level: int, to_level: int, metric: str
-) -> int:
+def _greedy_descent(g: _Graph, dist, from_level: int, to_level: int) -> int:
     """ef=1 greedy walk through the upper layers (hnsw_index.rs:336-350)."""
     cur = g.entry
-    cur_d = _dist_one(vecs, cur, q, metric)
+    cur_d = float(dist(np.asarray([cur]))[0])
     for level in range(from_level, to_level, -1):
         improved = True
         while improved:
@@ -184,13 +193,50 @@ def _greedy_descent(
             neigh = g.neighbors(level, cur)
             if neigh.size == 0:
                 continue
-            dists = _dist_many(vecs, neigh, q, metric)
+            dists = dist(neigh)
             best = int(np.argmin(dists))
             if float(dists[best]) < cur_d:
                 cur_d = float(dists[best])
                 cur = int(neigh[best])
                 improved = True
     return cur
+
+
+def _insert_node(
+    g: _Graph,
+    vecs: np.ndarray,
+    i: int,
+    node_level: int,
+    metric: str,
+    ef_c: int,
+    dist_factory,
+) -> None:
+    """Standard HNSW insert (hnsw_index.rs:538-572): greedy descent to
+    the node's level, then per level beam search + heuristic selection
+    + bidirectional linking with shrink."""
+    n = vecs.shape[0]
+    dist = dist_factory(vecs[i])
+    ep = g.entry
+    if g.max_level > node_level:
+        ep = _greedy_descent(g, dist, g.max_level, node_level)
+    for level in range(min(node_level, g.max_level), -1, -1):
+        cand = _beam_search(g, dist, ep, ef_c, level, n)
+        cap = g.max0 if level == 0 else g.M
+        chosen = _select_heuristic(cand, cap, vecs, metric)
+        g.set_neighbors(level, i, chosen)
+        # bidirectional links + shrink (hnsw_index.rs:443-447)
+        for p in chosen:
+            pn = list(g.neighbors(level, p))
+            if i not in pn:
+                pn.append(i)
+                if len(pn) > cap:
+                    d_pn = _dist_many(vecs, np.asarray(pn), vecs[p], metric)
+                    pn = _select_heuristic(list(zip(d_pn.tolist(), pn)), cap, vecs, metric)
+                g.set_neighbors(level, p, pn)
+        ep = cand[0][1] if cand else ep
+    if node_level > g.max_level:
+        g.max_level = node_level
+        g.entry = i
 
 
 class HNSWIndex:
@@ -246,6 +292,7 @@ class HNSWIndex:
         ml = 1.0 / np.log(m)
         levels = np.floor(-np.log(rng.uniform(size=n)) * ml).astype(np.int32)
         g.levels = levels
+        dist_factory = _make_dist_kernel(vecs, metric)
         for i in range(n):
             node_level = int(levels[i])
             g.ensure_level(node_level, n)
@@ -253,28 +300,7 @@ class HNSWIndex:
                 g.entry = i
                 g.max_level = node_level
                 continue
-            q = vecs[i]
-            ep = g.entry
-            if g.max_level > node_level:
-                ep = _greedy_descent(g, vecs, q, g.max_level, node_level, metric)
-            for level in range(min(node_level, g.max_level), -1, -1):
-                cand = _beam_search(g, vecs, q, ep, ef_c, level, metric)
-                cap = g.max0 if level == 0 else g.M
-                chosen = _select_heuristic(cand, cap, vecs, metric)
-                g.set_neighbors(level, i, chosen)
-                # bidirectional links + shrink (hnsw_index.rs:443-447)
-                for p in chosen:
-                    pn = list(g.neighbors(level, p))
-                    if i not in pn:
-                        pn.append(i)
-                        if len(pn) > cap:
-                            d_pn = _dist_many(vecs, np.asarray(pn), vecs[p], metric)
-                            pn = _select_heuristic(list(zip(d_pn.tolist(), pn)), cap, vecs, metric)
-                        g.set_neighbors(level, p, pn)
-                ep = cand[0][1] if cand else ep
-            if node_level > g.max_level:
-                g.max_level = node_level
-                g.entry = i
+            _insert_node(g, vecs, i, node_level, metric, ef_c, dist_factory)
         return g
 
     # ---- search (Q3) ------------------------------------------------------
@@ -469,24 +495,4 @@ class HNSWIndex:
             while len(g.links) <= node_level:
                 g.links.append(np.full((n, g.M), -1, dtype=np.int32))
                 g.counts.append(np.zeros(n, dtype=np.int32))
-            q = vecs[i]
-            ep = g.entry
-            if g.max_level > node_level:
-                ep = _greedy_descent(g, vecs, q, g.max_level, node_level, self.metric)
-            for level in range(min(node_level, g.max_level), -1, -1):
-                cand = _beam_search(g, vecs, q, ep, 200, level, self.metric)
-                cap = g.max0 if level == 0 else g.M
-                chosen = _select_heuristic(cand, cap, vecs, self.metric)
-                g.set_neighbors(level, i, chosen)
-                for p in chosen:
-                    pn = list(g.neighbors(level, p))
-                    if i not in pn:
-                        pn.append(i)
-                        if len(pn) > cap:
-                            d_pn = _dist_many(vecs, np.asarray(pn), vecs[p], self.metric)
-                            pn = _select_heuristic(list(zip(d_pn.tolist(), pn)), cap, vecs, self.metric)
-                        g.set_neighbors(level, p, pn)
-                ep = cand[0][1] if cand else ep
-            if node_level > g.max_level:
-                g.max_level = node_level
-                g.entry = i
+            _insert_node(g, vecs, i, node_level, self.metric, 200, self._dist_factory)

@@ -368,3 +368,34 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(_events(spark, sf_dir), ts_col="ts", unit="hour").orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "events_sessionize",
+    """WITH s AS (
+  SELECT user_id, event_id,
+    CASE WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) rolled up per user — the
+    classic lag/running-count construction (streaming/windows.py)."""
+    ev = _events(spark, sf_dir)
+    # ts is epoch-nanos long here; sessionize gaps in seconds
+    ev = ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    from lab_1806_vec_db_spark.streaming.windows import sessionize
+
+    out = sessionize(ev, ts_col="ts_sec", user_col="user_id",
+                     gap_minutes=30, tiebreak_cols=("event_id",))
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("session_seq").cast("bigint").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )

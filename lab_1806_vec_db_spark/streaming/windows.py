@@ -66,14 +66,17 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: int = 30,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gap-based sessionization via the classic window-function
     construction: a new session starts when the time since the user's
     previous event exceeds the gap; session_id = running count of
-    starts. One shuffle on ``user_id`` (the window partition key)."""
+    starts. One shuffle on ``user_id`` (the window partition key).
+    Pass ``tiebreak_cols`` (e.g. an event id) when timestamps can
+    collide, so the running count is deterministic."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
     prev_ts = F.lag(ts_col).over(w)
     new_sess = (
         F.when(prev_ts.isNull(), 1)
