@@ -376,11 +376,36 @@ class VecDB:
         return result[:k]
 
     def batch_search(
-        self, key: str, queries: DataFrame, k: int, upper_bound: float | None = None
+        self,
+        key: str,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        upper_bound: float | None = None,
     ) -> DataFrame:
         """Spark-native batch form: a DataFrame of queries
-        ``(query_id, vec)`` → ``(query_id, id, dist)``."""
+        ``(query_id, vec)`` → ``(query_id, id, dist)``.
+
+        Physical dispatch mirrors the single-query path
+        (metadata_vec_table.rs:201-205): ``ef`` + PQ built → batch ADC
+        + re-rank; HNSW built → broadcast-graph beam per query; IVF
+        built + ``ef`` → ef probes; else the flat Arrow scan."""
         meta = self._meta(key)
+        pq = self._get_index(key, "pq") if meta["has_pq"] else None
+        hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+        ivf = self._get_index(key, "ivf") if meta.get("has_ivf") else None
+        if ef is not None and pq is not None:
+            return pq.search_batch(queries, k, ef=ef, metric=meta["dist"],
+                                   qid_col="query_id", qvec_col="vec",
+                                   upper_bound=upper_bound)
+        if hnsw is not None:
+            return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
+                                     qvec_col="vec", upper_bound=upper_bound)
+        if ef is not None and ivf is not None:
+            # the reference reuses the ef knob as n_probes for IVF
+            # (dynamic_index.rs:85-90)
+            return ivf.search_batch(queries, k, n_probes=ef, qid_col="query_id",
+                                    qvec_col="vec", upper_bound=upper_bound)
         return knn_ops.knn_batch(
             self.table_df(key), queries, k, metric=meta["dist"],
             vec_col="vec", id_col="id", qid_col="query_id", qvec_col="vec",

@@ -314,6 +314,31 @@ def test_vecdb_invalidation_invariants(db):
     assert not db.has_hnsw_index(key) and not db.has_pq_table(key)
 
 
+def test_vecdb_batch_search_dispatch(db, spark):
+    key, vecs = _seeded(db)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "query_id long, vec array<float>",
+    )
+
+    def top1(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(r["id"])
+        return {q: ids[0] for q, ids in out.items()}
+
+    expect = {i: i for i in range(4)}  # self-query → itself
+    assert top1(db.batch_search(key, queries, k=3)) == expect  # flat
+    db.build_pq_table(key)
+    assert top1(db.batch_search(key, queries, k=3, ef=30)) == expect  # PQ branch
+    db.build_hnsw_index(key)
+    assert top1(db.batch_search(key, queries, k=3)) == expect  # HNSW branch
+    db.clear_hnsw_index(key)
+    db.clear_pq_table(key)
+    db.build_ivf_index(key, k=4, train_size=30)
+    assert top1(db.batch_search(key, queries, k=3, ef=4)) == expect  # IVF full probe
+
+
 def test_vecdb_index_persists_across_reopen(spark, tmp_path):
     path = str(tmp_path / "db")
     d1 = VecDB(path, spark=spark)
