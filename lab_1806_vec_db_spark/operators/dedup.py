@@ -257,6 +257,57 @@ def simhash_near_pairs(
     )
 
 
+# ---- dedup clusters (connected components) ---------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-dup pairs into dedup clusters: ``(id, component)``
+    where component = min id reachable through the pair graph
+    (SURVEY §7.8: similarity join + threshold + connected components).
+
+    Min-label propagation ("hash-to-min"): every node starts as its own
+    component; each round, a node's label becomes the min of its own and
+    its neighbors' labels. Converges in O(diameter) rounds — near-dup
+    clusters are shallow (pairs of pairs), so a handful of iterations;
+    each round is one join + one min-aggregation, both on the edge key.
+    Singleton docs keep themselves as component.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # symmetric edge list
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
+    labels = ids.select("id", F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("neigh_component", "component")).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
 # ---- embedding near-dup ----------------------------------------------------
 
 

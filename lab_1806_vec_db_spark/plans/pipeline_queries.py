@@ -144,6 +144,44 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_components",
+    f"""WITH sh AS (
+  SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents WHERE doc_id < 200),
+sig AS (SELECT doc_id, {_minhash_sig_sql(3, 16)} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id*4 + 1, b.band_id*4 + 4), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  -- transitive closure over the (tiny) near-dup graph
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+  SELECT * FROM r)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
+FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH candidate pairs → connected components →
+    per-doc canonical component id (min reachable doc_id). Singletons
+    map to themselves."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4)
+    return D.connected_components(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS_SQL = " + ".join(

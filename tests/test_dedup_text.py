@@ -124,6 +124,18 @@ def test_fingerprint_order_sensitivity(spark):
     assert fps[0] != fps[2]  # order-sensitive, unlike shingle sets
 
 
+def test_connected_components_chain(spark):
+    # chain 0-1-2 plus pair 5-6 plus singletons 3,4: transitivity must
+    # pull 2 into component 0 even though (0,2) is not a pair
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in D.connected_components(nodes, pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
 def test_tumbling_agg_and_sessionize(spark):
     base = datetime.datetime(2024, 1, 1, 10, 0, 0)
     rows = [

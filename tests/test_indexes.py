@@ -165,6 +165,20 @@ def test_pq_precise_when_few_distinct(spark):
             assert adc[vid] == pytest.approx(d, abs=1e-3), (metric, vid)
 
 
+def test_pq_8bit_full_ef_equals_flat(emb, qvec):
+    # the honored-n_bits path (deviation from the reference's forced 4-bit)
+    pq8 = PQTable.train(emb, dim=64, m=8, n_bits=8, train_proportion=0.6,
+                        vec_col="embedding", id_col="vec_id")
+    flat = knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id")
+    got = pq8.search(qvec, k=10, ef=500, metric="l2sqr")
+    assert _pairs(got.collect()) == _pairs(flat.collect())
+    # 8-bit codebooks are larger → ADC should be at least as accurate at
+    # matched ef; sanity: partial-ef recall stays high
+    flat_ids = set(_ids(flat.collect()))
+    got_ids = set(_ids(pq8.search(qvec, k=10, ef=50, metric="l2sqr").collect()))
+    assert len(got_ids & flat_ids) / 10 >= 0.8
+
+
 @pytest.fixture(scope="module")
 def pq16(emb):
     return PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.5,
