@@ -366,7 +366,13 @@ class PQTable:
                 })
 
         approx = self.codes.mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
-        cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
+        # single-partition codes already emit the global top-ef per query —
+        # the merge window would be a no-op shuffle (common in local/test
+        # runs; at scale codes span many partitions and the merge runs)
+        if self.codes.rdd.getNumPartitions() > 1:
+            cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
+        else:
+            cand = approx.select("query_id", id_col)
         # exact re-rank: broadcast only the (query_id, id) pairs into the
         # base scan — query vectors are looked up executor-side from a
         # small (|Q| × dim) broadcast, never duplicated per candidate
