@@ -1,40 +1,54 @@
-"""HNSW graph index — build + broadcast serving.
+"""HNSW graph index — chunked-parallel build + batched broadcast serving.
 
 Reference semantics (/root/reference/src/index_algorithm/hnsw_index.rs):
-- level sampling: ``floor(−ln U · 1/ln M)`` (hnsw_index.rs:112-119 via
-  the standard HNSW level generator);
-- insert: greedy descent from the entry point through layers above the
-  node's level, then per level a best-first beam search with
-  ``ef_construction`` candidates and heuristic neighbor selection
-  (hnsw_index.rs:538-572, 493-612);
-- heuristic pruning: keep candidate v iff for every already-chosen p,
-  d(v, p) ≥ d(v, query) — diversity pruning capped at M
-  (candidate_pair.rs:85-99);
-- search: greedy descent to layer 0, then beam search with width
-  ``max(ef, k)``; results ascending (hnsw_index.rs:614-634, 258-330).
+- level sampling: ``floor(−ln U · 1/ln M)`` (hnsw_index.rs:112-119);
+- chunked-parallel build (hnsw_index.rs:391-475 ``add_parallel``):
+  sequential inserts until the graph is seeded, then adaptive chunks —
+  every chunk node's candidates are computed against the FROZEN graph
+  in parallel (beam width ``ef_construction`` per level), earlier chunk
+  peers join the candidate set with exact distances
+  (hnsw_index.rs:431-438), then a serial link phase connects the chunk;
+- forward links capped at ``M`` even on level 0
+  (hnsw_index.rs:226-233 connect_new_links);
+- heuristic pruning: scan candidates ascending; keep v iff
+  d(v, p) ≥ d(v, q) for every already-kept p (candidate_pair.rs:85-99);
+- reverse-link shrink only on overflow: heuristic over ``limit+1``
+  (hnsw_index.rs arrange_links);
+- search: greedy descent to layer 0, then beam with width max(ef, k);
+  results ascending (hnsw_index.rs:614-634, 258-330);
+- ``knn_pq`` (hnsw_index.rs:672-696): the same traversal with PQ/ADC
+  approximate distances, then exact re-rank of the ef candidates
+  (candidate_pair.rs:102-108 pq_resort) — the reference's fastest
+  published configuration.
 
-Spark disposition (SURVEY §4): graph traversal is pointer-chasing,
-latency-bound, and per-query — it is NOT a relational dataflow. The
-reference itself is a single-node in-memory engine whose only
-parallelism is *across queries* (rayon over the query set,
-examples/bench.rs:414-417). The faithful AND scale-correct Spark design
-is therefore:
+Spark disposition (SURVEY §4): graph traversal is pointer-chasing and
+per-query — not a relational dataflow. The faithful AND scale-correct
+Spark design:
 
-- **build** driver-side over collected ``(id, vec)`` — the graph must
-  be globally connected, and the reference's own build is a single
-  shared-memory structure. The collected arrays are exactly what the
-  reference holds in RAM, so the capability envelope is unchanged. At
-  100 TB you shard tables (one graph per table/partition of a
-  catalog), or use the IVF/PQ path which is fully distributed;
-- **serve** by broadcasting the compact graph (few MB: int32 link
-  arrays + vectors) and running beam search inside ``mapInPandas``
-  over the *queries* DataFrame — queries are the parallel axis,
-  thousands of beam searches run per task with zero shuffle.
+- **build**: the chunk candidate phase is embarrassingly parallel
+  against a frozen graph — exactly a Spark stage (broadcast graph +
+  vectors, map over chunk nodes); the serial link phase runs on the
+  driver over k-bounded candidate lists. Small builds skip Spark and
+  run the same batched-numpy phases driver-side.
+- **serve**: broadcast the compact graph (flat int32 link arrays +
+  vectors) and run the *batched* beam kernel inside ``mapInPandas``
+  over the queries DataFrame — queries are the parallel axis
+  (examples/bench.rs:414-417), zero shuffle. The kernel
+  (index/beam.py) expands one frontier node per live query per wave,
+  so each wave is a few large numpy gathers instead of per-query
+  Python loops.
+
+Deviations (documented): reverse-link additions from one chunk are
+applied per neighbor in a single batched shrink instead of one shrink
+per edge — same heuristic, applied once over the union; and the
+heuristic candidate list is trimmed to the nearest ``3·M`` entries
+(the accept scan keeps at most M and virtually never reaches past the
+nearest few dozen). Both keep the graph bidirectional and connected;
+quality is gated by the recall tests.
 """
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from typing import Iterator, Sequence
@@ -44,56 +58,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist
+from lab_1806_vec_db_spark.index.beam import (
+    ADCPairDist,
+    ExactPairDist,
+    beam_search_batch,
+    greedy_descent_batch,
+)
 from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 
-
-def _dist_one(vecs: np.ndarray, i: int, q: np.ndarray, metric: str) -> float:
-    return float(_pairwise_dist(q[None, :], vecs[i : i + 1], metric)[0, 0])
-
-
-def _dist_many(vecs: np.ndarray, idx: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
-    return _pairwise_dist(q[None, :], vecs[idx], metric)[0]
-
-
-def _make_dist_kernel(vecs: np.ndarray, metric: str):
-    """Per-query distance closure with cached per-node self-dots — the
-    reference's dist_cache (hnsw_index.rs:136-140, 251-254). Shaves the
-    generic-pairwise overhead off the per-pop hot path."""
-    x2 = np.einsum("ij,ij->i", vecs, vecs)
-    if metric == "l2sqr":
-        def for_query(q: np.ndarray):
-            q2 = float(q @ q)
-
-            def dist(idx: np.ndarray) -> np.ndarray:
-                d = x2[idx] + q2 - 2.0 * (vecs[idx] @ q)
-                return np.maximum(d, 0.0, out=d)
-
-            return dist
-    else:
-        norms = np.sqrt(x2)
-
-        def for_query(q: np.ndarray):
-            qn = float(np.sqrt(q @ q))
-
-            def dist(idx: np.ndarray) -> np.ndarray:
-                return 1.0 - (vecs[idx] @ q) / np.maximum(norms[idx] * qn, 1e-10)
-
-            return dist
-    return for_query
+#: visited-bitmap budget per kernel call (bytes): bounds query-chunking
+#: in search and node-chunking in build. Q_chunk × N bools ≤ this.
+_VISITED_BUDGET = 256 * 1024 * 1024
 
 
 class _Graph:
     """Plain-array graph state shared by build and (broadcast) serve.
 
-    links[level] is an (n_at_or_above_level? n, max_links) int32 array
-    with -1 padding — flat arrays, not objects, so the broadcast is a
-    few contiguous buffers (the Spark analogue of the reference's
-    compact link vectors, hnsw_index.rs:136-147)."""
+    links[level] is an (n, cap) int32 array with -1 padding — flat
+    arrays, not objects, so the broadcast is a few contiguous buffers
+    (the Spark analogue of the reference's compact link vectors,
+    hnsw_index.rs:136-147)."""
 
     def __init__(self, n: int, m: int):
         self.M = m
-        self.max0 = 2 * m  # layer-0 degree cap, standard HNSW / reference default
+        self.max0 = 2 * m  # layer-0 degree cap (max_m0, hnsw_index.rs:507)
         self.levels = np.zeros(n, dtype=np.int32)
         self.links: list[np.ndarray] = [np.full((n, self.max0), -1, dtype=np.int32)]
         self.counts: list[np.ndarray] = [np.zeros(n, dtype=np.int32)]
@@ -116,131 +104,100 @@ class _Graph:
         self.counts[level][node] = len(neigh)
 
 
-def _select_heuristic(
-    cand: list[tuple[float, int]], m: int, vecs: np.ndarray, metric: str
-) -> list[int]:
-    """Diversity pruning (candidate_pair.rs:85-99): scan candidates in
-    ascending distance; keep v iff its distance to the query is smaller
-    than its distance to every already-kept neighbor.
+# ---------------------------------------------------------------------------
+# build helpers (A11-A12): batched candidate phase + vectorized heuristic
+# ---------------------------------------------------------------------------
 
-    Vectorized as a running min: when p is accepted, one numpy call
-    updates min-distance-to-chosen for ALL candidates; v's acceptance
-    test is then a scalar compare (``min ≥ d_vq`` ⇔ ``∀p: d ≥ d_vq``).
-    Same accepted set as the per-candidate loop, ~5× fewer numpy calls.
+
+def _pairwise_block(X: np.ndarray, metric: str) -> np.ndarray:
+    """(B, T, d) stacked candidate blocks → (B, T, T) pairwise distances
+    in one batched GEMM — the bulk compute of the link phase."""
+    G = X @ X.transpose(0, 2, 1)
+    n2 = np.einsum("btd,btd->bt", X, X)
+    if metric == "l2sqr":
+        D = n2[:, :, None] + n2[:, None, :] - 2.0 * G
+        return np.maximum(D, 0.0, out=D)
+    nrm = np.sqrt(n2)
+    denom = np.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-10)
+    return 1.0 - G / denom
+
+
+def _heuristic_select_batch(d_q: np.ndarray, D: np.ndarray, cap: int) -> np.ndarray:
+    """Vectorized diversity pruning (candidate_pair.rs:85-99) over B
+    nodes at once.
+
+    ``d_q`` (B, T): candidate→query distances ascending, inf padded.
+    ``D`` (B, T, T): candidate↔candidate distances.
+    Accepts per node exactly the sequential scan's set: v (ascending)
+    iff d(v, p) ≥ d(v, q) for every already-accepted p — realized as a
+    running min that only decreases, so one synchronized accept per
+    step reproduces the scan order. Returns a (B, T) taken mask.
     """
-    if not cand:
-        return []
-    cand_sorted = sorted(cand)
-    ids = np.asarray([c[1] for c in cand_sorted], dtype=np.int64)
-    d_q = np.asarray([c[0] for c in cand_sorted])
-    min_to_chosen = np.full(len(ids), np.inf)
-    chosen: list[int] = []
-    for j in range(len(ids)):
-        if len(chosen) >= m:
+    B, T = d_q.shape
+    min_to = np.full((B, T), np.inf)
+    taken = np.zeros((B, T), dtype=bool)
+    counts = np.zeros(B, dtype=np.int64)
+    for _ in range(cap):
+        ok = (min_to >= d_q) & ~taken & np.isfinite(d_q)
+        ok[counts >= cap] = False
+        has = ok.any(axis=1)
+        if not has.any():
             break
-        if min_to_chosen[j] >= d_q[j]:
-            chosen.append(int(ids[j]))
-            d_new = _dist_many(vecs, ids, vecs[ids[j]], metric)
-            np.minimum(min_to_chosen, d_new, out=min_to_chosen)
-    return chosen
+        j = ok.argmax(axis=1)
+        b = np.nonzero(has)[0]
+        taken[b, j[b]] = True
+        counts[b] += 1
+        # plain assignment: ``out=min_to[b]`` would write into the copy a
+        # fancy index returns, silently disabling the pruning state
+        min_to[b] = np.minimum(min_to[b], D[b, :, j[b]])
+    return taken
 
 
-def _beam_search(
-    g: _Graph,
-    dist,
+def _chunk_candidates(
+    links: list[np.ndarray],
+    counts: list[np.ndarray],
     entry: int,
-    ef: int,
-    level: int,
-    n: int,
-) -> list[tuple[float, int]]:
-    """Best-first beam search on one level (hnsw_index.rs:258-330):
-    bounded result set of ef, early-terminate when the nearest frontier
-    candidate is farther than the worst kept result. ``dist`` is a
-    per-query kernel (idx array → distances)."""
-    d0 = float(dist(np.asarray([entry]))[0])
-    visited = np.zeros(n, dtype=bool)
-    visited[entry] = True
-    frontier = [(d0, entry)]  # min-heap
-    results = [(-d0, entry)]  # max-heap (negated)
-    links, counts = g.links[level], g.counts[level]
-    while frontier:
-        d, node = heapq.heappop(frontier)
-        if d > -results[0][0] and len(results) >= ef:
-            break  # early termination (candidate_pair.rs:55-57)
-        neigh = links[node, : counts[node]]
-        fresh = neigh[~visited[neigh]]
-        if fresh.size == 0:
-            continue
-        visited[fresh] = True
-        dists = dist(fresh)
-        for dn, nn in zip(dists.tolist(), fresh.tolist()):
-            if len(results) < ef or dn < -results[0][0]:
-                heapq.heappush(results, (-dn, nn))
-                if len(results) > ef:
-                    heapq.heappop(results)
-                heapq.heappush(frontier, (dn, nn))
-    return sorted((-nd, node) for nd, node in results)
-
-
-def _greedy_descent(g: _Graph, dist, from_level: int, to_level: int) -> int:
-    """ef=1 greedy walk through the upper layers (hnsw_index.rs:336-350)."""
-    cur = g.entry
-    cur_d = float(dist(np.asarray([cur]))[0])
-    for level in range(from_level, to_level, -1):
-        improved = True
-        while improved:
-            improved = False
-            neigh = g.neighbors(level, cur)
-            if neigh.size == 0:
-                continue
-            dists = dist(neigh)
-            best = int(np.argmin(dists))
-            if float(dists[best]) < cur_d:
-                cur_d = float(dists[best])
-                cur = int(neigh[best])
-                improved = True
-    return cur
-
-
-def _insert_node(
-    g: _Graph,
-    vecs: np.ndarray,
-    i: int,
-    node_level: int,
-    metric: str,
+    max_level: int,
+    pairdist,
+    node_ids: np.ndarray,
+    node_levels: np.ndarray,
     ef_c: int,
-    dist_factory,
-) -> None:
-    """Standard HNSW insert (hnsw_index.rs:538-572): greedy descent to
-    the node's level, then per level beam search + heuristic selection
-    + bidirectional linking with shrink."""
-    n = vecs.shape[0]
-    dist = dist_factory(vecs[i])
-    ep = g.entry
-    if g.max_level > node_level:
-        ep = _greedy_descent(g, dist, g.max_level, node_level)
-    for level in range(min(node_level, g.max_level), -1, -1):
-        cand = _beam_search(g, dist, ep, ef_c, level, n)
-        cap = g.max0 if level == 0 else g.M
-        chosen = _select_heuristic(cand, cap, vecs, metric)
-        g.set_neighbors(level, i, chosen)
-        # bidirectional links + shrink (hnsw_index.rs:443-447)
-        for p in chosen:
-            pn = list(g.neighbors(level, p))
-            if i not in pn:
-                pn.append(i)
-                if len(pn) > cap:
-                    d_pn = _dist_many(vecs, np.asarray(pn), vecs[p], metric)
-                    pn = _select_heuristic(list(zip(d_pn.tolist(), pn)), cap, vecs, metric)
-                g.set_neighbors(level, p, pn)
-        ep = cand[0][1] if cand else ep
-    if node_level > g.max_level:
-        g.max_level = node_level
-        g.entry = i
+    n_nodes: int,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Frozen-graph candidate phase for one chunk (hnsw_index.rs:398-442):
+    greedy-descend levels above each node's level, beam-search (width
+    ``ef_construction``) each level at-or-below it.
+
+    Returns {level: (row_sel, pool_ids, pool_dists)} where row_sel
+    indexes into ``node_ids`` and pools are (R × ef) ascending."""
+    C = len(node_ids)
+    qsel = np.asarray(node_ids, dtype=np.int64)
+    cur = np.full(C, entry, dtype=np.int64)
+    cur_d = pairdist(qsel, cur)
+    out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for L in range(max_level, -1, -1):
+        beam_rows = np.nonzero(node_levels >= L)[0]
+        pass_rows = np.nonzero(node_levels < L)[0]
+        if L > 0 and pass_rows.size:
+            c2, d2 = greedy_descent_batch(
+                links, counts, pairdist, cur[pass_rows], cur_d[pass_rows],
+                L, L - 1, qsel=qsel[pass_rows],
+            )
+            cur[pass_rows], cur_d[pass_rows] = c2, d2
+        if beam_rows.size:
+            pid, pdist = beam_search_batch(
+                links[L], pairdist, cur[beam_rows], cur_d[beam_rows],
+                ef_c, n_nodes, qsel=qsel[beam_rows],
+            )
+            out[L] = (beam_rows, pid, pdist)
+            ok = pid[:, 0] >= 0
+            cur[beam_rows[ok]] = pid[ok, 0]
+            cur_d[beam_rows[ok]] = pdist[ok, 0]
+    return out
 
 
 class HNSWIndex:
-    """Driver-built, broadcast-served HNSW graph."""
+    """Chunk-parallel-built, broadcast-served HNSW graph."""
 
     def __init__(
         self,
@@ -251,6 +208,7 @@ class HNSWIndex:
         base: DataFrame | None = None,
         id_col: str = "id",
         path: str | None = None,
+        ef_construction: int = 200,
     ) -> None:
         self.ids = ids
         self.vecs = vecs
@@ -259,7 +217,8 @@ class HNSWIndex:
         self.base = base
         self.id_col = id_col
         self.path = path
-        self._dist_factory = _make_dist_kernel(vecs, metric) if len(vecs) else None
+        self.ef_construction = int(ef_construction)
+        self.dirty = False
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -274,93 +233,337 @@ class HNSWIndex:
         ef_construction: int = 200,
         seed: int = 42,
         path: str | None = None,
+        dtype=np.float64,
+        distributed: bool | None = None,
     ) -> "HNSWIndex":
+        """``dtype=float32`` gives the reference's own serving precision
+        (its vectors are f32) at half the memory traffic; float64 is the
+        oracle-stable default. ``distributed`` forces/disables the Spark
+        candidate phase (auto: on for large builds)."""
         rows = df.select(id_col, vec_col).orderBy(id_col).collect()
         ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-        vecs = np.asarray([r[1] for r in rows], dtype=np.float64)
-        graph = cls._build_graph(vecs, metric, m, ef_construction, seed)
-        obj = cls(ids, vecs, graph, metric, base=df, id_col=id_col, path=path)
+        vecs = np.asarray([r[1] for r in rows], dtype=dtype)
+        graph = cls._build_graph(
+            vecs, metric, m, ef_construction, seed,
+            spark=df.sparkSession, distributed=distributed,
+        )
+        obj = cls(ids, vecs, graph, metric, base=df, id_col=id_col, path=path,
+                  ef_construction=ef_construction)
         if path is not None:
             obj.save(path)
         return obj
 
     @staticmethod
-    def _build_graph(vecs: np.ndarray, metric: str, m: int, ef_c: int, seed: int) -> _Graph:
+    def _build_graph(
+        vecs: np.ndarray,
+        metric: str,
+        m: int,
+        ef_c: int,
+        seed: int,
+        spark: SparkSession | None = None,
+        distributed: bool | None = None,
+    ) -> _Graph:
         n = vecs.shape[0]
         g = _Graph(n, m)
         rng = np.random.default_rng(seed)
         ml = 1.0 / np.log(m)
-        levels = np.floor(-np.log(rng.uniform(size=n)) * ml).astype(np.int32)
-        g.levels = levels
-        dist_factory = _make_dist_kernel(vecs, metric)
-        for i in range(n):
-            node_level = int(levels[i])
-            g.ensure_level(node_level, n)
-            if g.entry < 0:
-                g.entry = i
-                g.max_level = node_level
-                continue
-            _insert_node(g, vecs, i, node_level, metric, ef_c, dist_factory)
+        g.levels = np.floor(-np.log(rng.uniform(size=n)) * ml).astype(np.int32)
+        if n == 0:
+            return g
+        ef_c = max(int(ef_c), 2 * m)  # reference clamp (hnsw_index.rs:508)
+        pd_all = ExactPairDist(vecs, vecs, metric)
+        # candidate-phase cost estimate decides driver vs Spark stage
+        est_flops = float(n) * ef_c * 2 * m * vecs.shape[1]
+        use_spark = (
+            distributed
+            if distributed is not None
+            else (spark is not None and n > 4000 and est_flops > 2e10)
+        )
+        bc_vecs = None
+        if use_spark and spark is not None:
+            bc_vecs = spark.sparkContext.broadcast(vecs)
+        try:
+            HNSWIndex._insert_all(
+                g, vecs, metric, np.arange(n, dtype=np.int64), ef_c, pd_all,
+                spark=spark if use_spark else None, bc_vecs=bc_vecs,
+            )
+        finally:
+            if bc_vecs is not None:
+                bc_vecs.destroy()
         return g
 
-    # ---- search (Q3) ------------------------------------------------------
+    @staticmethod
+    def _insert_all(
+        g: _Graph,
+        vecs: np.ndarray,
+        metric: str,
+        nodes: np.ndarray,
+        ef_c: int,
+        pd_all: ExactPairDist,
+        spark: SparkSession | None = None,
+        bc_vecs=None,
+    ) -> None:
+        """Chunked insert loop shared by build and incremental add."""
+        n = vecs.shape[0]
+        i = 0
+        total = len(nodes)
+        # node-chunk cap: visited bitmaps (C × n) stay under budget
+        mem_cap = max(32, _VISITED_BUDGET // max(n, 1))
+        while i < total:
+            if g.entry < 0:
+                first = int(nodes[i])
+                g.ensure_level(int(g.levels[first]), n)
+                g.entry = first
+                g.max_level = int(g.levels[first])
+                i += 1
+                continue
+            built = int(nodes[i])  # nodes are inserted in ascending order
+            C = int(min(total - i, max(32, built // 2), 1024, mem_cap))
+            chunk = nodes[i : i + C]
+            top_chunk = int(g.levels[chunk].max())
+            g.ensure_level(max(top_chunk, g.max_level), n)
+            if spark is not None:
+                cands = HNSWIndex._spark_candidates(
+                    spark, bc_vecs, metric, g, chunk, ef_c, n
+                )
+            else:
+                cands = _chunk_candidates(
+                    g.links, g.counts, g.entry, g.max_level, pd_all,
+                    chunk, g.levels[chunk], ef_c, n,
+                )
+            HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
+            # entry-point update (hnsw_index.rs:449-456)
+            for idx in chunk:
+                if int(g.levels[idx]) > g.max_level:
+                    g.max_level = int(g.levels[idx])
+                    g.entry = int(idx)
+            i += C
+
+    @staticmethod
+    def _spark_candidates(
+        spark: SparkSession,
+        bc_vecs,
+        metric: str,
+        g: _Graph,
+        chunk: np.ndarray,
+        ef_c: int,
+        n_nodes: int,
+    ) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """The chunk candidate phase as a Spark stage: broadcast the
+        frozen graph, fan the chunk nodes across executors, each task
+        runs the batched kernel on its slice (the Spark analogue of the
+        rayon par_iter at hnsw_index.rs:413-442)."""
+        bc_g = spark.sparkContext.broadcast(
+            (g.links, g.counts, g.levels, g.entry, g.max_level)
+        )
+        parts = max(1, min(len(chunk), spark.sparkContext.defaultParallelism))
+        cdf = spark.range(int(chunk[0]), int(chunk[-1]) + 1, 1, parts)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            vecs_ = bc_vecs.value
+            links, counts, levels, entry, max_level = bc_g.value
+            pd_ = ExactPairDist(vecs_, vecs_, metric)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                node_ids = pdf["id"].to_numpy()
+                out = _chunk_candidates(
+                    links, counts, entry, max_level, pd_,
+                    node_ids, levels[node_ids], ef_c, n_nodes,
+                )
+                recs: dict[str, list] = {"node": [], "level": [], "cids": [], "cds": []}
+                for L, (rows, pid, pdist) in out.items():
+                    for r in range(len(rows)):
+                        valid = pid[r] >= 0
+                        recs["node"].append(int(node_ids[rows[r]]))
+                        recs["level"].append(int(L))
+                        recs["cids"].append(pid[r][valid].tolist())
+                        recs["cds"].append(pdist[r][valid].tolist())
+                if recs["node"]:
+                    yield pd.DataFrame(recs)
+
+        rows = cdf.mapInPandas(
+            run, schema="node long, level int, cids array<long>, cds array<double>"
+        ).collect()
+        bc_g.destroy()
+        # reshape into the driver format {level: (row_sel, pool_ids, pool_d)}
+        pos = {int(nid): r for r, nid in enumerate(chunk)}
+        by_level: dict[int, list] = {}
+        for r in rows:
+            by_level.setdefault(int(r["level"]), []).append(r)
+        out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for L, lst in by_level.items():
+            lst.sort(key=lambda r: pos[int(r["node"])])
+            sel = np.asarray([pos[int(r["node"])] for r in lst], dtype=np.int64)
+            width = max(max((len(r["cids"]) for r in lst), default=1), 1)
+            pid = np.full((len(lst), width), -1, dtype=np.int64)
+            pdist = np.full((len(lst), width), np.inf)
+            for k, r in enumerate(lst):
+                c = len(r["cids"])
+                pid[k, :c] = r["cids"]
+                pdist[k, :c] = r["cds"]
+            out[L] = (sel, pid, pdist)
+        return out
+
+    @staticmethod
+    def _link_chunk(
+        g: _Graph,
+        vecs: np.ndarray,
+        metric: str,
+        chunk: np.ndarray,
+        cands: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]],
+        pd_all: ExactPairDist,
+    ) -> None:
+        """Serial link phase (hnsw_index.rs:443-447): merge chunk peers
+        into the candidate pools, heuristic-select forward links (cap M,
+        connect_new_links), then batched reverse-link shrink
+        (arrange_links)."""
+        m = g.M
+        trim = max(3 * m, 48)
+        # peer distances among chunk nodes (hnsw_index.rs:431-438)
+        chunk = np.asarray(chunk, dtype=np.int64)
+        Xc = vecs[chunk]
+        peer_D = _pairwise_block(Xc[None, :, :], metric)[0]  # (C, C)
+        cpos = {int(nid): k for k, nid in enumerate(chunk)}
+        for L in sorted(cands.keys(), reverse=True):
+            rows, pid, pdist = cands[L]
+            R = len(rows)
+            # peer block: node rows[k] sees peers rows[j], j < k
+            pD = peer_D[np.ix_(rows, rows)].copy()
+            iu = np.triu_indices(R)
+            pD[iu] = np.inf  # self + later peers masked
+            peer_ids = np.broadcast_to(chunk[rows][None, :], (R, R))
+            cat_d = np.concatenate([pdist, pD], axis=1)
+            cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
+            cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
+            order = np.lexsort((np.where(cat_id < 0, np.iinfo(np.int64).max, cat_id), cat_d), axis=1)
+            T = min(cat_d.shape[1], trim)
+            take = order[:, :T]
+            cd = np.take_along_axis(cat_d, take, axis=1)
+            cid = np.take_along_axis(cat_id, take, axis=1)
+            # candidate↔candidate distances for the heuristic
+            X = vecs[np.clip(cid, 0, None)]
+            D = _pairwise_block(X, metric)
+            taken = _heuristic_select_batch(cd, D, m)  # cap M even at L0
+            limit = g.max0 if L == 0 else g.M
+            # forward links + reverse additions
+            rev: dict[int, list[int]] = {}
+            for k in range(R):
+                node = int(chunk[rows[k]])
+                sel = cid[k][taken[k]]
+                g.set_neighbors(L, node, sel.tolist())
+                for p in sel.tolist():
+                    rev.setdefault(int(p), []).append(node)
+            HNSWIndex._apply_reverse(g, metric, L, limit, rev, pd_all)
+
+    @staticmethod
+    def _apply_reverse(
+        g: _Graph,
+        metric: str,
+        L: int,
+        limit: int,
+        rev: dict[int, list[int]],
+        pd_all: ExactPairDist,
+    ) -> None:
+        """Reverse-link maintenance (arrange_links): append when the
+        list fits; on overflow run the heuristic once over
+        old ∪ additions — one batched shrink per neighbor per chunk
+        instead of one per edge (documented deviation)."""
+        overflow: list[tuple[int, np.ndarray]] = []
+        for p, adds in rev.items():
+            old = g.neighbors(L, p)
+            merged = np.concatenate([old, np.asarray(adds, dtype=np.int64)])
+            if merged.size <= limit:
+                g.set_neighbors(L, p, merged.tolist())
+            else:
+                overflow.append((p, merged))
+        if not overflow:
+            return
+        vecs = pd_all.vecs
+        maxL = max(len(mg) for _, mg in overflow)
+        B = len(overflow)
+        md = np.full((B, maxL), np.inf)
+        mid = np.full((B, maxL), -1, dtype=np.int64)
+        for b, (p, mg) in enumerate(overflow):
+            dd = pd_all(np.full(len(mg), p, dtype=np.int64), mg)
+            md[b, : len(mg)] = dd
+            mid[b, : len(mg)] = mg
+        order = np.lexsort((np.where(mid < 0, np.iinfo(np.int64).max, mid), md), axis=1)
+        md = np.take_along_axis(md, order, axis=1)
+        mid = np.take_along_axis(mid, order, axis=1)
+        D = _pairwise_block(vecs[np.clip(mid, 0, None)], metric)
+        taken = _heuristic_select_batch(md, D, limit)
+        for b, (p, _) in enumerate(overflow):
+            g.set_neighbors(L, p, mid[b][taken[b]].tolist())
+
+    # ---- search (Q3 + the knn_pq combined path) ---------------------------
+
+    def _kernel_search(
+        self,
+        qmat: np.ndarray,
+        k: int,
+        ef: int | None,
+        adc: ADCPairDist | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched search over the whole query block: greedy descent +
+        layer-0 beam (hnsw_index.rs:614-634); with ``adc`` the traversal
+        uses PQ approximate distances and the ef pool is exact-re-ranked
+        (knn_pq, hnsw_index.rs:672-696 + pq_resort).
+
+        Returns (ids (Q × k), dists (Q × k)) ascending, -1/inf padded —
+        global ids, distances rounded to the oracle contract."""
+        g = self.graph
+        n = self.vecs.shape[0]
+        Q = qmat.shape[0]
+        k = int(k)
+        ef_ = max(int(ef) if ef is not None else 2 * k, k)
+        exact = ExactPairDist(self.vecs, qmat, self.metric)
+        pairdist = adc if adc is not None else exact
+        out_id = np.full((Q, k), -1, dtype=np.int64)
+        out_d = np.full((Q, k), np.inf)
+        qcap = max(1, _VISITED_BUDGET // max(n, 1))
+        big_id = np.iinfo(np.int64).max
+        for s in range(0, Q, qcap):
+            sel = np.arange(s, min(s + qcap, Q), dtype=np.int64)
+            start = np.full(sel.size, g.entry, dtype=np.int64)
+            start_d = pairdist(sel, start)
+            cur, cur_d = greedy_descent_batch(
+                g.links, g.counts, pairdist, start, start_d, g.max_level, 0, qsel=sel
+            )
+            pid, pdist = beam_search_batch(
+                g.links[0], pairdist, cur, cur_d, ef_, n, qsel=sel
+            )
+            if adc is not None:
+                # exact re-rank of the ef pool (candidate_pair.rs:102-108)
+                valid = pid >= 0
+                rows, cols = np.nonzero(valid)
+                rd = np.full(pid.shape, np.inf)
+                rd[rows, cols] = exact(sel[rows], pid[rows, cols])
+                order = np.lexsort((np.where(valid, pid, big_id), rd), axis=1)[:, :k]
+                pid = np.take_along_axis(pid, order, axis=1)
+                pdist = np.take_along_axis(rd, order, axis=1)
+            else:
+                pid, pdist = pid[:, :k], pdist[:, :k]
+            w = pid.shape[1]
+            out_id[sel, :w] = pid
+            out_d[sel, :w] = pdist
+        gids = np.where(out_id >= 0, self.ids[np.clip(out_id, 0, None)], -1)
+        return gids, np_round_half_up(out_d)
 
     def search_np(self, q: np.ndarray, k: int, ef: int | None) -> tuple[np.ndarray, np.ndarray]:
-        """Pure-numpy single search (the kernel the serve path runs per
-        query): greedy descent + layer-0 beam with width max(ef, k).
-        Hot path — uses the cached-self-dot distance kernel and a
-        visited bitmap (no per-pop set churn)."""
-        g = self.graph
-        q = np.asarray(q, dtype=np.float64)
-        ef_ = max(int(ef) if ef is not None else 2 * k, int(k))
-        dist = self._dist_factory(q)
-        # greedy descent through upper layers (hnsw_index.rs:336-350)
-        cur = g.entry
-        cur_d = float(dist(np.asarray([cur]))[0])
-        for level in range(g.max_level, 0, -1):
-            improved = True
-            while improved:
-                improved = False
-                neigh = g.neighbors(level, cur)
-                if neigh.size == 0:
-                    continue
-                ds = dist(neigh)
-                best = int(np.argmin(ds))
-                if float(ds[best]) < cur_d:
-                    cur_d = float(ds[best])
-                    cur = int(neigh[best])
-                    improved = True
-        # layer-0 beam (hnsw_index.rs:258-330)
-        n = self.vecs.shape[0]
-        visited = np.zeros(n, dtype=bool)
-        visited[cur] = True
-        frontier = [(cur_d, cur)]
-        results = [(-cur_d, cur)]
-        links0, counts0 = g.links[0], g.counts[0]
-        while frontier:
-            d, node = heapq.heappop(frontier)
-            if d > -results[0][0] and len(results) >= ef_:
-                break
-            neigh = links0[node, : counts0[node]]
-            fresh = neigh[~visited[neigh]]
-            if fresh.size == 0:
-                continue
-            visited[fresh] = True
-            ds = dist(fresh)
-            worst = -results[0][0]
-            full = len(results) >= ef_
-            for dn, nn in zip(ds.tolist(), fresh.tolist()):
-                if not full or dn < worst:
-                    heapq.heappush(results, (-dn, nn))
-                    if len(results) > ef_:
-                        heapq.heappop(results)
-                    full = len(results) >= ef_
-                    worst = -results[0][0]
-                    heapq.heappush(frontier, (dn, nn))
-        res = sorted((-nd, node) for nd, node in results)[: int(k)]
-        d = np_round_half_up(np.asarray([r[0] for r in res]))
-        idx = np.asarray([r[1] for r in res], dtype=np.int64)
-        return self.ids[idx], d
+        """Single-query driver-side search (point-serve hot path)."""
+        gids, dists = self._kernel_search(
+            np.asarray(q, dtype=self.vecs.dtype)[None, :], k, ef
+        )
+        keep = gids[0] >= 0
+        return gids[0][keep], dists[0][keep]
+
+    def search_many(
+        self, qmat: np.ndarray, k: int, ef: int | None, adc: ADCPairDist | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Driver-side batch search over a (Q × d) query block — the
+        reference's bench regime (all queries against in-memory state)."""
+        return self._kernel_search(np.asarray(qmat, dtype=self.vecs.dtype), k, ef, adc=adc)
 
     def search(
         self,
@@ -372,8 +575,8 @@ class HNSWIndex:
     ) -> DataFrame:
         """Single-query convenience form returning a DataFrame shaped
         like the flat path (id, dist). Runs on the driver — serving a
-        point query from in-memory state, exactly the reference's
-        latency model; no Spark job at all."""
+        point query from in-memory state, the reference's latency model;
+        no Spark job at all."""
         spark = self.base.sparkSession if self.base is not None else SparkSession.getActiveSession()
         ids, dists = self.search_np(np.asarray(list(query)), k, ef)
         rows = [(int(i), float(d)) for i, d in zip(ids, dists)
@@ -389,41 +592,60 @@ class HNSWIndex:
         qid_col: str = "query_id",
         qvec_col: str = "vec",
         upper_bound: float | None = None,
+        pq=None,
     ) -> DataFrame:
-        """Broadcast the graph, beam-search inside mapInPandas over the
-        queries DataFrame — queries are the parallel axis (bench.rs:
-        414-417), no shuffle of anything but the k-bounded results."""
+        """Broadcast the graph, run the batched beam kernel inside
+        mapInPandas over the queries DataFrame — queries are the
+        parallel axis (bench.rs:414-417), no shuffle of anything but the
+        k-bounded results.
+
+        ``pq``: a trained PQTable → the knn_pq combined path: ADC
+        distances steer the traversal, the ef pool is exact-re-ranked
+        in-task (hnsw_index.rs:672-696)."""
         spark = queries.sparkSession
+        pq_payload = None
+        if pq is not None:
+            from lab_1806_vec_db_spark.index.pq import aligned_codes
+
+            codes_np = aligned_codes(pq, self.ids)
+            pq_payload = (codes_np, pq.codebooks, pq.groups, pq.n_bits)
         payload = (self.ids, self.vecs, self.metric,
                    self.graph.levels, self.graph.links, self.graph.counts,
-                   self.graph.entry, self.graph.max_level, self.graph.M)
+                   self.graph.entry, self.graph.max_level, self.graph.M,
+                   pq_payload)
         bc = spark.sparkContext.broadcast(payload)
         id_col = self.id_col
         k_ = int(k)
         ef_ = ef
-
         ub = upper_bound
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids, vecs, metric, levels, links, counts, entry, max_level, m = bc.value
+            from lab_1806_vec_db_spark.index.pq import build_lookup_batch
+
+            ids, vecs, metric, levels, links, counts, entry, max_level, m, pqp = bc.value
             g = _Graph(1, m)
             g.levels, g.links, g.counts, g.entry, g.max_level = levels, links, counts, entry, max_level
             idx = HNSWIndex(ids, vecs, g, metric)
             for pdf in batches:
-                out_q, out_i, out_d = [], [], []
-                for qid, qv in zip(pdf[qid_col], pdf[qvec_col]):
-                    rid, rd = idx.search_np(np.asarray(qv, dtype=np.float64), k_, ef_)
-                    if ub is not None:
-                        keep = rd <= ub
-                        rid, rd = rid[keep], rd[keep]
-                    out_q.append(np.full(len(rid), qid, dtype=np.int64))
-                    out_i.append(rid)
-                    out_d.append(rd)
-                if out_q:
+                if pdf.empty:
+                    continue
+                qids = pdf[qid_col].to_numpy()
+                qmat = np.asarray(pdf[qvec_col].to_list(), dtype=vecs.dtype)
+                adc = None
+                if pqp is not None:
+                    codes_np, codebooks, groups, n_bits = pqp
+                    lut, sq, qn = build_lookup_batch(qmat, codebooks, groups, n_bits, metric)
+                    adc = ADCPairDist(codes_np, lut, sq, qn)
+                rid, rd = idx._kernel_search(qmat, k_, ef_, adc=adc)
+                valid = rid >= 0
+                if ub is not None:
+                    valid &= rd <= ub
+                rows, cols = np.nonzero(valid)
+                if rows.size:
                     yield pd.DataFrame({
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "dist": np.concatenate(out_d),
+                        "query_id": qids[rows],
+                        id_col: rid[rows, cols],
+                        "dist": rd[rows, cols],
                     })
 
         # each query is answered completely inside one task (the graph is
@@ -440,7 +662,7 @@ class HNSWIndex:
         np.savez_compressed(
             os.path.join(path, "graph.npz"),
             ids=self.ids,
-            vecs=self.vecs.astype(np.float32),
+            vecs=self.vecs,  # stored at native precision — f64 round-trips
             levels=self.graph.levels,
             **{f"links{g}": arr for g, arr in enumerate(self.graph.links)},
             **{f"counts{g}": arr for g, arr in enumerate(self.graph.counts)},
@@ -448,7 +670,9 @@ class HNSWIndex:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"metric": self.metric, "id_col": self.id_col, "m": self.graph.M,
                        "entry": int(self.graph.entry), "max_level": int(self.graph.max_level),
-                       "n_levels": len(self.graph.links)}, f)
+                       "n_levels": len(self.graph.links),
+                       "ef_construction": self.ef_construction}, f)
+        self.dirty = False
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: DataFrame | None = None) -> "HNSWIndex":
@@ -456,24 +680,35 @@ class HNSWIndex:
             meta = json.load(f)
         npz = np.load(os.path.join(path, "graph.npz"), allow_pickle=True)
         ids = npz["ids"]
-        vecs = npz["vecs"].astype(np.float64)
+        vecs = np.asarray(npz["vecs"])
         g = _Graph(len(ids), meta["m"])
         g.levels = npz["levels"]
         g.links = [npz[f"links{i}"] for i in range(meta["n_levels"])]
         g.counts = [npz[f"counts{i}"] for i in range(meta["n_levels"])]
         g.entry = meta["entry"]
         g.max_level = meta["max_level"]
-        return cls(ids, vecs, g, meta["metric"], base=base, id_col=meta["id_col"], path=path)
+        return cls(ids, vecs, g, meta["metric"], base=base, id_col=meta["id_col"],
+                   path=path, ef_construction=meta.get("ef_construction", 200))
 
     # ---- incremental add (W4: hnsw_index.rs:538-572) ----------------------
 
-    def add_batch(self, new_ids: np.ndarray, new_vecs: np.ndarray, seed: int = 43) -> None:
+    def add_batch(
+        self,
+        new_ids: np.ndarray,
+        new_vecs: np.ndarray,
+        seed: int = 43,
+        ef_construction: int | None = None,
+    ) -> None:
         """Incremental insert — the invariant the reference guarantees:
-        adds do NOT invalidate the HNSW graph (README.md:45). Rebuilds
-        the flat arrays with the new rows appended, then inserts each
-        new node with the standard insert loop."""
+        adds do NOT invalidate the HNSW graph (README.md:45). Appends
+        the new rows to the flat arrays, then runs the same chunked
+        insert loop over them with the index's stored
+        ``ef_construction`` (unless overridden). Marks the index dirty;
+        persistence is the caller's save policy."""
         n_old = self.vecs.shape[0]
-        vecs = np.concatenate([self.vecs, np.asarray(new_vecs, dtype=np.float64)], axis=0)
+        vecs = np.concatenate(
+            [self.vecs, np.asarray(new_vecs, dtype=self.vecs.dtype)], axis=0
+        )
         ids = np.concatenate([self.ids, np.asarray(new_ids, dtype=np.int64)])
         n = vecs.shape[0]
         g = self.graph
@@ -481,7 +716,6 @@ class HNSWIndex:
         ml = 1.0 / np.log(g.M)
         new_levels = np.floor(-np.log(rng.uniform(size=n - n_old)) * ml).astype(np.int32)
         g.levels = np.concatenate([g.levels, new_levels])
-        # grow link arrays
         for lv in range(len(g.links)):
             pad = np.full((n - g.links[lv].shape[0], g.links[lv].shape[1]), -1, dtype=np.int32)
             g.links[lv] = np.concatenate([g.links[lv], pad], axis=0)
@@ -489,10 +723,9 @@ class HNSWIndex:
                 [g.counts[lv], np.zeros(n - g.counts[lv].shape[0], dtype=np.int32)]
             )
         self.vecs, self.ids = vecs, ids
-        self._dist_factory = _make_dist_kernel(vecs, self.metric)
-        for off, i in enumerate(range(n_old, n)):
-            node_level = int(new_levels[off])
-            while len(g.links) <= node_level:
-                g.links.append(np.full((n, g.M), -1, dtype=np.int32))
-                g.counts.append(np.zeros(n, dtype=np.int32))
-            _insert_node(g, vecs, i, node_level, self.metric, 200, self._dist_factory)
+        ef_c = max(int(ef_construction or self.ef_construction), 2 * g.M)
+        pd_all = ExactPairDist(vecs, vecs, self.metric)
+        HNSWIndex._insert_all(
+            g, vecs, self.metric, np.arange(n_old, n, dtype=np.int64), ef_c, pd_all
+        )
+        self.dirty = True

@@ -92,6 +92,58 @@ def unpack_codes(buf: np.ndarray, m: int, n_bits: int) -> np.ndarray:
     return out[:, :m]
 
 
+def build_lookup_batch(
+    qmat: np.ndarray,
+    codebooks: list[np.ndarray],
+    groups: list[tuple[int, int]],
+    n_bits: int,
+    metric: str,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+    """Batched per-query ADC lookup tensors (pq_table.rs:195-224 applied
+    to a query block): returns ``(lut (Q × m × 2^b), sq (m × 2^b)|None,
+    qnorms (Q,))``. For L2² the entries are sub-distances and ``sq`` is
+    None; for cosine they are sub-dots plus the shared centroid
+    self-dot table (pq_table.rs:131-136)."""
+    qmat = np.asarray(qmat, dtype=np.float64)
+    nq = qmat.shape[0]
+    m = len(groups)
+    ksub = 1 << n_bits
+    lut = np.zeros((nq, m, ksub), dtype=np.float64)
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    if metric == "l2sqr":
+        for gi, (start, size) in enumerate(groups):
+            cb = codebooks[gi]
+            lut[:, gi, : cb.shape[0]] = _pairwise_dist(
+                qmat[:, start : start + size], cb, "l2sqr"
+            )
+        return lut, None, qnorms
+    sq = np.zeros((m, ksub), dtype=np.float64)
+    for gi, (start, size) in enumerate(groups):
+        cb = codebooks[gi]
+        lut[:, gi, : cb.shape[0]] = qmat[:, start : start + size] @ cb.T
+        sq[gi, : cb.shape[0]] = np.einsum("ij,ij->i", cb, cb)
+    return lut, sq, qnorms
+
+
+def aligned_codes(pq: "PQTable", ids: np.ndarray) -> np.ndarray:
+    """Collect + unpack the codes table into an (N × m) uint8 matrix
+    row-aligned with ``ids`` (an HNSW index's id order) — the
+    driver-resident companion of the broadcast graph for the knn_pq
+    combined path (hnsw_index.rs:672-696). At m bytes per row it is
+    smaller than the graph's link arrays, so it rides the same bounded
+    broadcast tier (docs/SCALE.md)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    pdf = pq.codes.toPandas()
+    buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+    codes = unpack_codes(buf, pq.m, pq.n_bits)
+    code_ids = pdf[pq.id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(code_ids, kind="stable")
+    pos = order[np.searchsorted(code_ids[order], ids)]
+    if not np.array_equal(code_ids[pos], ids):
+        raise ValueError("PQ codes table does not cover every index id")
+    return np.ascontiguousarray(codes[pos])
+
+
 class PQTable:
     """Trained codebooks + encoded codes DataFrame + the base table for
     exact re-ranking."""
