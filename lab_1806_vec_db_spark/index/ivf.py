@@ -145,6 +145,7 @@ class IVFIndex:
         qid_col: str = "query_id",
         qvec_col: str = "vec",
         upper_bound: float | None = None,
+        max_queries: int = 200_000,
     ) -> DataFrame:
         """Batch IVF kNN: each query scans only its own probed clusters.
 
@@ -157,6 +158,13 @@ class IVFIndex:
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
             return self._empty_result(spark)
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                "IVF batch path (the query block is driver-collected and broadcast); "
+                "chunk the query set upstream or stream it through "
+                "knn_batch(strategy='crossjoin')."
+            )
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         probes = self.model.rank_centroids_batch(qmat, n_probes)  # (m, n_probes)

@@ -169,6 +169,16 @@ class PQTable:
         self.path = path
         # cosine ADC needs per-centroid self-dots (pq_table.rs:131-136)
         self.self_dots = [np.einsum("ij,ij->i", cb, cb) for cb in codebooks]
+        self._code_parts: int | None = None
+
+    @property
+    def code_partitions(self) -> int:
+        """Partition count of the codes table, probed once and cached —
+        ``df.rdd.getNumPartitions()`` forces plan materialization, so it
+        must not run per query batch."""
+        if self._code_parts is None:
+            self._code_parts = self.codes.rdd.getNumPartitions()
+        return self._code_parts
 
     @property
     def m(self) -> int:
@@ -363,65 +373,100 @@ class PQTable:
         qid_col: str = "query_id",
         qvec_col: str = "vec",
         upper_bound: float | None = None,
+        max_queries: int = 200_000,
+        max_lut_bytes: int = 64 << 20,
     ) -> DataFrame:
-        """Batch ADC: one lookup tensor for all queries (|Q| × m × 2^b,
-        broadcast), one Arrow scan of the codes table emitting each
-        batch's local top-ef per query, window-merge, then one
-        broadcast join back to vectors for the exact re-rank."""
+        """Batch ADC: per-query lookup tensors broadcast in bounded
+        chunks (≤ ``max_lut_bytes`` each), one Arrow scan of the codes
+        table per chunk emitting each PARTITION's top-ef per query
+        (batches are merged inside the scan closure — emitting per
+        Arrow batch would make the single-partition fast path return a
+        superset), window-merge across partitions, then one broadcast
+        join back to vectors for the exact re-rank."""
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
             return spark.createDataFrame([], f"query_id long, {self.id_col} long, dist double")
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                "ADC batch path (per-query lookup tensors are driver-built and "
+                "broadcast); chunk the query set upstream or stream the queries "
+                "through knn_batch(strategy='crossjoin')."
+            )
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
-        luts, sqs, qnorms = [], [], []
-        for qi in range(qmat.shape[0]):
-            lut, sq, qn = self.build_lookup(qmat[qi], metric)
-            luts.append(lut)
-            sqs.append(sq)
-            qnorms.append(qn)
-        lut3 = np.stack(luts)
-        sq3 = np.stack(sqs) if sqs[0] is not None else None
-        bc = spark.sparkContext.broadcast(
-            (qids, lut3, sq3, np.asarray(qnorms), self.m, self.n_bits)
-        )
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
+        ksub = 1 << self.n_bits
+        # bound each broadcast lookup tensor (default ~64 MB; dim 960 /
+        # m=320: ~1.6k queries per chunk; small m → one chunk for all)
+        chunk = max(256, int(max_lut_bytes // (self.m * ksub * 8)))
+        n_parts = self.code_partitions
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bqids, blut3, bsq3, bqn, m, n_bits = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
-                codes = unpack_codes(buf, m, n_bits)
-                ids = pdf[id_col].to_numpy()
-                # (n × |Q|) approx distances, accumulated group-by-group:
-                # m cheap 2-D gathers instead of one giant (|Q|, n, m)
-                # fancy-index — no 3-D intermediate, BLAS-friendly
-                summed = np.zeros((codes.shape[0], blut3.shape[0]))
-                for g in range(m):
-                    summed += blut3[:, g, codes[:, g]].T
-                if bsq3 is not None:
-                    v2 = np.zeros_like(summed)
+        def make_scan(bc):
+            def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                bqids, blut3, bsq, bqn, m, n_bits = bc.value
+                run_d = run_id = None
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                    codes = unpack_codes(buf, m, n_bits)
+                    ids = pdf[id_col].to_numpy()
+                    # (n × |Q|) approx distances, accumulated group-by-
+                    # group: m cheap 2-D gathers instead of one giant
+                    # (|Q|, n, m) fancy-index — no 3-D intermediate
+                    summed = np.zeros((codes.shape[0], blut3.shape[0]))
                     for g in range(m):
-                        v2 += bsq3[:, g, codes[:, g]].T
-                    vnorm = np.sqrt(np.maximum(v2, 0.0))
-                    summed = 1.0 - summed / np.maximum(vnorm * bqn[None, :], 1e-10)
-                kk = min(ef_, summed.shape[0])
-                order_ids = np.broadcast_to(ids[:, None], summed.shape)
-                top = np.lexsort((order_ids, summed), axis=0)[:kk, :]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(bqids, kk),
-                    id_col: ids[top].T.reshape(-1),
-                    "dist": np.take_along_axis(summed, top, axis=0).T.reshape(-1),
-                })
+                        summed += blut3[:, g, codes[:, g]].T
+                    if bsq is not None:
+                        # centroid self-dots are query-independent: one
+                        # (n,) reconstructed norm shared by all queries
+                        v2 = np.zeros(codes.shape[0])
+                        for g in range(m):
+                            v2 += bsq[g, codes[:, g]]
+                        vnorm = np.sqrt(np.maximum(v2, 0.0))
+                        summed = 1.0 - summed / np.maximum(vnorm[:, None] * bqn[None, :], 1e-10)
+                    idm = np.broadcast_to(ids[:, None], summed.shape)
+                    if run_d is not None:
+                        summed = np.concatenate([run_d, summed], axis=0)
+                        idm = np.concatenate([run_id, idm], axis=0)
+                    kk = min(ef_, summed.shape[0])
+                    sel = np.lexsort((idm, summed), axis=0)[:kk, :]
+                    run_d = np.take_along_axis(summed, sel, axis=0)
+                    run_id = np.take_along_axis(idm, sel, axis=0)
+                if run_d is not None:
+                    kk = run_d.shape[0]
+                    yield pd.DataFrame({
+                        "query_id": np.repeat(bqids, kk),
+                        id_col: run_id.T.reshape(-1),
+                        "dist": run_d.T.reshape(-1),
+                    })
 
-        approx = self.codes.mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
-        # single-partition codes already emit the global top-ef per query —
-        # the merge window would be a no-op shuffle (common in local/test
-        # runs; at scale codes span many partitions and the merge runs)
-        if self.codes.rdd.getNumPartitions() > 1:
+            return scan
+
+        pieces = []
+        for s in range(0, len(qids), chunk):
+            lut3, sq, qn = build_lookup_batch(
+                qmat[s : s + chunk], self.codebooks, self.groups, self.n_bits, metric
+            )
+            bc = spark.sparkContext.broadcast(
+                (qids[s : s + chunk], lut3, sq, qn, self.m, self.n_bits)
+            )
+            pieces.append(
+                self.codes.mapInPandas(
+                    make_scan(bc), schema=f"query_id long, {id_col} long, dist double"
+                )
+            )
+        approx = pieces[0]
+        for p in pieces[1:]:
+            approx = approx.unionByName(p)
+        # single-partition codes already emit the global top-ef per query
+        # (the scan merges across Arrow batches) — the merge window would
+        # be a no-op shuffle (common in local/test runs; at scale codes
+        # span many partitions and the merge runs)
+        if n_parts > 1:
             cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
         else:
             cand = approx.select("query_id", id_col)

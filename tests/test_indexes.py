@@ -223,6 +223,65 @@ def test_pq_batch_full_ef_equals_flat(emb, pq16):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
 
 
+def test_pq_batch_single_partition_multi_arrow_batch(spark, emb, pq16):
+    # the single-partition merge-window skip is only sound if the scan
+    # merges ACROSS Arrow batches: force 100-row batches so one
+    # partition yields many, and require exact parity with the flat path
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_part = PQTable(pq16.codebooks, pq16.groups, pq16.n_bits,
+                       pq16.codes.coalesce(1), pq16.base,
+                       vec_col=pq16.vec_col, id_col=pq16.id_col)
+    assert one_part.code_partitions == 1
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        got = one_part.search_batch(queries, k=5, ef=50, metric="l2sqr",
+                                    qvec_col="embedding").collect()
+    finally:
+        spark.conf.set(key, old)
+    ref = pq16.search_batch(queries, k=5, ef=50, metric="l2sqr",
+                            qvec_col="embedding").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_pq_batch_chunked_lut_broadcast_matches(emb, pq16, monkeypatch):
+    # force multiple lookup-tensor chunks (chunk floor is 256 queries)
+    # and check the unioned result equals the single-chunk plan
+    queries = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    single = pq16.search_batch(queries, k=3, ef=40, metric="l2sqr",
+                               qvec_col="embedding").collect()
+    import lab_1806_vec_db_spark.index.pq as pq_mod
+    real = pq_mod.build_lookup_batch
+    calls: list[int] = []
+
+    def counting(qmat, *a, **kw):
+        calls.append(len(qmat))
+        return real(qmat, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "build_lookup_batch", counting)
+    chunked = pq16.search_batch(queries, k=3, ef=40, metric="l2sqr",
+                                qvec_col="embedding", max_lut_bytes=1).collect()
+    assert calls == [256, 44]  # chunk floor of 256 → two lookup tensors
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in single]
+
+
+def test_batch_query_caps_raise(emb, pq16):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="exceeds the broadcast bound"):
+        pq16.search_batch(queries, k=3, ef=40, qvec_col="embedding", max_queries=4)
+    ivf = IVFIndex.build(emb, k=8, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=300)
+    with pytest.raises(ValueError, match="exceeds the broadcast bound"):
+        ivf.search_batch(queries, k=3, n_probes=2, qvec_col="embedding", max_queries=4)
+
+
 # ---- HNSW ------------------------------------------------------------------
 
 
