@@ -331,15 +331,34 @@ class VecDB:
     ) -> list[tuple[dict[str, str], float]]:
         """Single-query kNN returning ascending ``(metadata, distance)``
         (database/mod.rs:492-506). Physical dispatch mirrors
-        metadata_vec_table.rs:201-205: PQ present & ef given → ADC scan
-        + re-rank; HNSW present → graph search with beam ef; else flat
-        scan (which ignores ef, dynamic_index.rs:77)."""
+        metadata_vec_table.rs:201-205: PQ present & ef given → ``knn_pq``
+        on whatever index is live (HNSW built → ADC-steered graph
+        traversal + exact re-rank, the reference's fastest published
+        configuration, hnsw_index.rs:672-696; else flat ADC + re-rank);
+        HNSW present → graph search with beam ef; else flat scan (which
+        ignores ef, dynamic_index.rs:77)."""
         meta = self._meta(key)
         if len(query) != meta["dim"]:
             raise ValueError("Dimension mismatch")
         df = self.table_df(key)
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+        if ef is not None and pq is not None and hnsw is not None:
+            # knn_pq combined path — zero Spark jobs, like the HNSW
+            # point-serve branch below
+            import numpy as np
+
+            ids, dists = hnsw.search_np(
+                np.asarray([float(x) for x in query]), k, ef, pq=pq
+            )
+            md = self._metadata_map(key)
+            result = [
+                (md.get(int(i), {}), float(d))
+                for i, d in zip(ids, dists)
+                if upper_bound is None or float(d) <= upper_bound
+            ]
+            result.sort(key=lambda t: t[1])
+            return result[:k]
         if ef is not None and pq is not None:
             out = pq.search(query, k, ef=ef, metric=meta["dist"],
                             payload_cols=["id", "metadata"])
@@ -387,13 +406,19 @@ class VecDB:
         ``(query_id, vec)`` → ``(query_id, id, dist)``.
 
         Physical dispatch mirrors the single-query path
-        (metadata_vec_table.rs:201-205): ``ef`` + PQ built → batch ADC
-        + re-rank; HNSW built → broadcast-graph beam per query; IVF
+        (metadata_vec_table.rs:201-205): ``ef`` + PQ built → ``knn_pq``
+        on the live index (HNSW built → ADC-steered broadcast-graph
+        traversal + in-task exact re-rank; else flat batch ADC +
+        re-rank); HNSW built → broadcast-graph beam per query; IVF
         built + ``ef`` → ef probes; else the flat Arrow scan."""
         meta = self._meta(key)
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
         ivf = self._get_index(key, "ivf") if meta.get("has_ivf") else None
+        if ef is not None and pq is not None and hnsw is not None:
+            return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
+                                     qvec_col="vec", upper_bound=upper_bound,
+                                     pq=pq)
         if ef is not None and pq is not None:
             return pq.search_batch(queries, k, ef=ef, metric=meta["dist"],
                                    qid_col="query_id", qvec_col="vec",

@@ -219,6 +219,9 @@ class HNSWIndex:
         self.path = path
         self.ef_construction = int(ef_construction)
         self.dirty = False
+        # (id(pq), aligned code matrix) — recomputed when the PQ table
+        # changes or rows are added (the codes must cover every id)
+        self._pq_cache: tuple[int, np.ndarray] | None = None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -550,20 +553,47 @@ class HNSWIndex:
         gids = np.where(out_id >= 0, self.ids[np.clip(out_id, 0, None)], -1)
         return gids, np_round_half_up(out_d)
 
-    def search_np(self, q: np.ndarray, k: int, ef: int | None) -> tuple[np.ndarray, np.ndarray]:
-        """Single-query driver-side search (point-serve hot path)."""
-        gids, dists = self._kernel_search(
-            np.asarray(q, dtype=self.vecs.dtype)[None, :], k, ef
+    def adc_for(self, pq, qmat: np.ndarray) -> ADCPairDist:
+        """Per-query-block ADC distance backend for the knn_pq combined
+        path: the PQ codes aligned to this graph's id order (cached —
+        they are query-independent) plus the per-query lookup tensors
+        (pq_table.rs:195-224)."""
+        from lab_1806_vec_db_spark.index.pq import aligned_codes, build_lookup_batch
+
+        if self._pq_cache is None or self._pq_cache[0] != id(pq):
+            self._pq_cache = (id(pq), aligned_codes(pq, self.ids))
+        lut, sq, qn = build_lookup_batch(
+            np.asarray(qmat, dtype=np.float64), pq.codebooks, pq.groups,
+            pq.n_bits, self.metric,
         )
+        return ADCPairDist(self._pq_cache[1], lut, sq, qn)
+
+    def search_np(
+        self, q: np.ndarray, k: int, ef: int | None, pq=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Single-query driver-side search (point-serve hot path).
+        ``pq``: a trained PQTable → knn_pq (ADC-steered traversal +
+        exact re-rank, hnsw_index.rs:672-696)."""
+        qmat = np.asarray(q, dtype=self.vecs.dtype)[None, :]
+        adc = self.adc_for(pq, qmat) if pq is not None else None
+        gids, dists = self._kernel_search(qmat, k, ef, adc=adc)
         keep = gids[0] >= 0
         return gids[0][keep], dists[0][keep]
 
     def search_many(
-        self, qmat: np.ndarray, k: int, ef: int | None, adc: ADCPairDist | None = None
+        self,
+        qmat: np.ndarray,
+        k: int,
+        ef: int | None,
+        adc: ADCPairDist | None = None,
+        pq=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Driver-side batch search over a (Q × d) query block — the
         reference's bench regime (all queries against in-memory state)."""
-        return self._kernel_search(np.asarray(qmat, dtype=self.vecs.dtype), k, ef, adc=adc)
+        qmat = np.asarray(qmat, dtype=self.vecs.dtype)
+        if adc is None and pq is not None:
+            adc = self.adc_for(pq, qmat)
+        return self._kernel_search(qmat, k, ef, adc=adc)
 
     def search(
         self,
@@ -728,4 +758,5 @@ class HNSWIndex:
         HNSWIndex._insert_all(
             g, vecs, self.metric, np.arange(n_old, n, dtype=np.int64), ef_c, pd_all
         )
+        self._pq_cache = None  # aligned codes no longer cover every id
         self.dirty = True

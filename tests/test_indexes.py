@@ -330,6 +330,51 @@ def test_hnsw_ascending_and_save_load(spark, emb, hnsw, qvec, tmp_path):
     assert _pairs(loaded.search(qvec, k=10, ef=64).collect()) == _pairs(rows)
 
 
+def test_hnsw_pq_full_ef_equals_flat(emb, hnsw, pq16, qvec):
+    # knn_pq (hnsw_index.rs:672-696): ADC-steered traversal + exact
+    # re-rank; at ef >= n the pool covers the graph, the re-rank is
+    # exact, so results equal the flat scan — the same gate the flat-PQ
+    # path passes (candidate_pair.rs:102-108 pq_resort)
+    flat = knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id")
+    ids, dists = hnsw.search_np(np.asarray(qvec), 10, ef=600, pq=pq16)
+    assert [(int(i), float(d)) for i, d in zip(ids, dists)] == _pairs(flat.collect())
+
+
+def test_hnsw_pq_batch_matches_driver_kernel(emb, hnsw, pq16):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qrows = queries.orderBy("query_id").collect()
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    rid, rd = hnsw.search_many(qmat, 10, ef=80, pq=pq16)
+    driver = {
+        (int(qrows[r]["query_id"]), int(rid[r, c]))
+        for r in range(rid.shape[0]) for c in range(rid.shape[1]) if rid[r, c] >= 0
+    }
+    dist = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in hnsw.search_batch(queries, k=10, ef=80, qvec_col="embedding",
+                                   pq=pq16).collect()
+    }
+    assert driver == dist
+
+
+def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+                             id_col="vec_id", qid_col="query_id", qvec_col="embedding")
+    by_q_f, by_q_g = {}, {}
+    for r in flat.collect():
+        by_q_f.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = hnsw.search_batch(queries, k=10, ef=120, qvec_col="embedding", pq=pq16)
+    for r in got.collect():
+        by_q_g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q_f[q] & by_q_g.get(q, set())) / 10 for q in by_q_f]
+    assert np.mean(recalls) >= 0.8  # ADC-steered, exact re-ranked
+
+
 def test_hnsw_incremental_add(emb, qvec):
     idx = HNSWIndex.build(emb.limit(100), metric="l2sqr", vec_col="embedding", id_col="vec_id")
     new_vec = np.asarray(qvec) + 0.001
@@ -406,6 +451,8 @@ def test_vecdb_batch_search_dispatch(db, spark):
     assert top1(db.batch_search(key, queries, k=3, ef=30)) == expect  # PQ branch
     db.build_hnsw_index(key)
     assert top1(db.batch_search(key, queries, k=3)) == expect  # HNSW branch
+    # ef + PQ + HNSW → the knn_pq combined branch (metadata_vec_table.rs:201-205)
+    assert top1(db.batch_search(key, queries, k=3, ef=30)) == expect
     db.clear_hnsw_index(key)
     db.clear_pq_table(key)
     db.build_ivf_index(key, k=4, train_size=30)
