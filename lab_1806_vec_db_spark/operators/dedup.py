@@ -276,35 +276,59 @@ def connected_components(
     clusters are shallow (pairs of pairs), so a handful of iterations;
     each round is one join + one min-aggregation, both on the edge key.
     Singleton docs keep themselves as component.
+
+    Iteration discipline (the 100 TB concern): each round's labels are
+    ``localCheckpoint``-ed eagerly, so the logical plan stays ONE round
+    deep regardless of iteration count — no O(iter²) lineage recompute,
+    no exploding plan for the optimizer to re-analyze. The convergence
+    probe reads the already-materialized round output (old + new label
+    side by side), not a fresh join lineage. Warns if ``max_iter`` is
+    reached before convergence (labels are then a correct upper
+    approximation of min-reachable, but possibly not converged).
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    # symmetric edge list
+    # symmetric edge list, materialized once — every round re-reads it
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
-    labels = ids.select("id", F.col("id").alias("component"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("neigh_component"))
         )
-        new_labels = (
+        # one materialized frame holds old + new labels: the changed
+        # probe and the next round both read it without recompute
+        stepped = (
             labels.join(neigh_min, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("old_component"),
                 F.least(F.col("component"), F.coalesce("neigh_component", "component")).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("component") != F.col("old_component")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("id", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before convergence; "
+            "labels may be partially propagated — raise max_iter (rounds needed "
+            "~= graph diameter)",
+            RuntimeWarning,
+        )
     return labels.select(F.col("id").alias(id_col), "component")
 
 

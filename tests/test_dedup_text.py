@@ -136,6 +136,35 @@ def test_connected_components_chain(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
 
 
+def test_connected_components_bounded_plan_and_warning(spark):
+    import warnings
+
+    # a 16-node path graph: min-label propagation needs ~15 rounds, so
+    # without per-round checkpointing the final plan would nest 15
+    # join+agg layers; with it the plan reads from a materialized RDD
+    # and stays one round deep
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = D.connected_components(nodes, pairs, max_iter=30)
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "extended"
+    ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().toString()
+    # checkpointed lineage: the analyzed plan contains a scan of an
+    # existing (materialized) RDD, and is far too short to be 15 nested
+    # join rounds
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+    assert len(plan) < 20_000
+    # non-convergence within max_iter warns instead of silently
+    # returning partial labels
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.connected_components(nodes, pairs, max_iter=3).collect()
+        assert any("max_iter" in str(x.message) for x in w)
+
+
 def test_tumbling_agg_and_sessionize(spark):
     base = datetime.datetime(2024, 1, 1, 10, 0, 0)
     rows = [
