@@ -7,8 +7,13 @@ stream (per-type counts/sums for monitoring, rate features, etc.).
 
 The same transformation works on a batch DataFrame and on a
 ``readStream`` DataFrame — that is the point of Structured Streaming's
-unified model. In streaming mode, add ``withWatermark`` before calling
-so late data is bounded; the aggregation state is then evictable.
+unified model. In streaming mode the grouping uses ``F.window`` (a
+time-window grouping the state store understands), so with a
+``watermark`` the per-window aggregation state is actually evicted
+once the watermark passes the window end; a plain
+``groupBy(date_trunc(ts))`` would be opaque to the state manager and
+grow without bound. Batch mode keeps the ``date_trunc`` form (same
+results, oracle-friendly plan).
 
 Scale notes: a tumbling-window groupBy shuffles once on
 ``(window, keys)``; partial aggregation happens map-side, so the
@@ -35,29 +40,40 @@ def tumbling_agg(
 
     Output window_start is a formatted string so downstream hashing is
     timezone-representation-stable.
+
+    Caveat: in streaming mode the window is ``F.window(ts, "1 <unit>")``,
+    whose calendar alignment matches ``date_trunc`` for minute/hour in
+    any whole-hour timezone; for ``day`` the two coincide only when the
+    session timezone is UTC (Spark windows align to the epoch).
     """
-    if watermark is not None:
-        df = df.withWatermark(ts_col, watermark)
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "bigint":
         # epoch-nanos long (parquet TIMESTAMP(NANOS) via nanosAsLong):
         # integer `div` to seconds — exact, no double rounding
         ts = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
-    w = F.date_trunc(unit, ts)
-    return (
-        df.groupBy(w.alias("__w"), *keys)
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.round(F.sum(value_col), 4) + F.lit(0.0)).alias("sum_value"),
-            (F.round(F.avg(value_col), 4) + F.lit(0.0)).alias("avg_value"),
-        )
-        .select(
-            F.date_format("__w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            *keys,
-            "n_events",
-            "sum_value",
-            "avg_value",
-        )
+    df = df.withColumn("__ts", ts)
+    if watermark is not None:
+        # watermark on the (possibly converted) event-time column the
+        # grouping actually uses — required for state eviction
+        df = df.withWatermark("__ts", watermark)
+    aggs = (
+        F.count("*").alias("n_events"),
+        (F.round(F.sum(value_col), 4) + F.lit(0.0)).alias("sum_value"),
+        (F.round(F.avg(value_col), 4) + F.lit(0.0)).alias("avg_value"),
+    )
+    if df.isStreaming:
+        dur = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}[unit]
+        out = df.groupBy(F.window("__ts", dur).alias("__w"), *keys).agg(*aggs)
+        wstart = F.col("__w.start")
+    else:
+        out = df.groupBy(F.date_trunc(unit, F.col("__ts")).alias("__w"), *keys).agg(*aggs)
+        wstart = F.col("__w")
+    return out.select(
+        F.date_format(wstart, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        *keys,
+        "n_events",
+        "sum_value",
+        "avg_value",
     )
 
 
