@@ -70,6 +70,20 @@ from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 #: in search and node-chunking in build. Q_chunk × N bools ≤ this.
 _VISITED_BUDGET = 256 * 1024 * 1024
 
+#: state inherited by fork-pool workers (set immediately before the
+#: pool forks; children snapshot it copy-on-write, so the graph and
+#: vectors are shared without serialization — the rayon-thread-pool
+#: analogue for driver-side serving, examples/bench.rs:414-417 -t)
+_FORK_STATE: dict = {}
+
+
+def _fork_search(args):
+    qsub, k, ef, use_pq, bw = args
+    idx = _FORK_STATE["idx"]
+    pq = _FORK_STATE["pq"] if use_pq else None
+    adc = idx.adc_for(pq, qsub) if pq is not None else None
+    return idx._kernel_search(qsub, k, ef, adc=adc, beam_width=bw)
+
 
 class _Graph:
     """Plain-array graph state shared by build and (broadcast) serve.
@@ -222,6 +236,8 @@ class HNSWIndex:
         # (id(pq), aligned code matrix) — recomputed when the PQ table
         # changes or rows are added (the codes must cover every id)
         self._pq_cache: tuple[int, np.ndarray] | None = None
+        self._pool = None
+        self._pool_key = None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -507,6 +523,7 @@ class HNSWIndex:
         k: int,
         ef: int | None,
         adc: ADCPairDist | None = None,
+        beam_width: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched search over the whole query block: greedy descent +
         layer-0 beam (hnsw_index.rs:614-634); with ``adc`` the traversal
@@ -534,7 +551,8 @@ class HNSWIndex:
                 g.links, g.counts, pairdist, start, start_d, g.max_level, 0, qsel=sel
             )
             pid, pdist = beam_search_batch(
-                g.links[0], pairdist, cur, cur_d, ef_, n, qsel=sel
+                g.links[0], pairdist, cur, cur_d, ef_, n, qsel=sel,
+                beam_width=beam_width,
             )
             if adc is not None:
                 # exact re-rank of the ef pool (candidate_pair.rs:102-108)
@@ -587,13 +605,73 @@ class HNSWIndex:
         ef: int | None,
         adc: ADCPairDist | None = None,
         pq=None,
+        beam_width: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Driver-side batch search over a (Q × d) query block — the
         reference's bench regime (all queries against in-memory state)."""
         qmat = np.asarray(qmat, dtype=self.vecs.dtype)
         if adc is None and pq is not None:
             adc = self.adc_for(pq, qmat)
-        return self._kernel_search(qmat, k, ef, adc=adc)
+        return self._kernel_search(qmat, k, ef, adc=adc, beam_width=beam_width)
+
+    # ---- fork-parallel driver serving (the rayon -t analogue) -------------
+
+    def _ensure_pool(self, pq, workers: int):
+        import multiprocessing as mp
+
+        key = (None if pq is None else id(pq), workers)
+        if self._pool is not None and self._pool_key == key:
+            return self._pool
+        self.close_pool()
+        if pq is not None:
+            # pre-warm the aligned-code cache BEFORE forking: children
+            # must never touch Spark (aligned_codes reads a DataFrame)
+            self.adc_for(pq, np.zeros((1, self.vecs.shape[1])))
+        global _FORK_STATE
+        _FORK_STATE = {"idx": self, "pq": pq}
+        self._pool = mp.get_context("fork").Pool(workers)
+        self._pool_key = key
+        return self._pool
+
+    def close_pool(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+            self._pool_key = None
+
+    def search_many_parallel(
+        self,
+        qmat: np.ndarray,
+        k: int,
+        ef: int | None,
+        pq=None,
+        workers: int | None = None,
+        beam_width: int = 4,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched driver-side search fanned over a persistent fork
+        pool: queries are the parallel axis, workers inherit the graph
+        copy-on-write (zero serialization of index state — only the
+        query slices and the k-bounded results cross process
+        boundaries). This is the in-memory serving regime the reference
+        benches (a rayon par_iter over queries); the Spark
+        ``search_batch`` path is the same kernel fanned over executor
+        tasks instead."""
+        qmat = np.asarray(qmat, dtype=self.vecs.dtype)
+        w = int(workers or os.cpu_count() or 1)
+        if w <= 1 or qmat.shape[0] < 4 * w:
+            return self.search_many(qmat, k, ef, pq=pq, beam_width=beam_width)
+        pool = self._ensure_pool(pq, w)
+        bounds = np.linspace(0, qmat.shape[0], w + 1).astype(int)
+        jobs = [
+            (qmat[s:e], k, ef, pq is not None, beam_width)
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if e > s
+        ]
+        parts = pool.map(_fork_search, jobs)
+        return (
+            np.concatenate([p[0] for p in parts], axis=0),
+            np.concatenate([p[1] for p in parts], axis=0),
+        )
 
     def search(
         self,
@@ -759,4 +837,5 @@ class HNSWIndex:
             g, vecs, self.metric, np.arange(n_old, n, dtype=np.int64), ef_c, pd_all
         )
         self._pq_cache = None  # aligned codes no longer cover every id
+        self.close_pool()  # forked workers hold the pre-add graph
         self.dirty = True

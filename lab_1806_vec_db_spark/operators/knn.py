@@ -262,3 +262,24 @@ def ground_truth(
             lambda s: s[id_col],
         ).alias("knn_indices")
     )
+
+
+def save_ground_truth(gt: DataFrame, path: str) -> None:
+    """Persist the exact-kNN table (reference GroundTruth::save,
+    candidate_pair.rs:176-191 — bincode there, Parquet here). At sf≥1
+    the exact scan dominates bench startup; computing it once and
+    reloading is the reference's own workflow (bin/gen_gnd.rs writes
+    gnd.bin, examples/bench.rs reads it)."""
+    gt.write.mode("overwrite").parquet(path)
+
+
+def load_ground_truth(spark, path: str) -> DataFrame | None:
+    """Reload a persisted ground-truth table; None when absent."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None

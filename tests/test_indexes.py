@@ -375,6 +375,18 @@ def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
     assert np.mean(recalls) >= 0.8  # ADC-steered, exact re-ranked
 
 
+def test_hnsw_parallel_pool_and_beam_width_exact(emb, hnsw):
+    # fork-pool serving and multi-expansion (beam_width>1) must preserve
+    # the exactness contract: at ef >= n both equal the serial kernel
+    qrows = emb.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    sid, sd = hnsw.search_many(qmat, 10, ef=600)
+    pid, pdist = hnsw.search_many_parallel(qmat, 10, ef=600, workers=4, beam_width=4)
+    hnsw.close_pool()
+    assert np.array_equal(sid, pid)
+    assert np.allclose(sd, pdist)
+
+
 def test_hnsw_incremental_add(emb, qvec):
     idx = HNSWIndex.build(emb.limit(100), metric="l2sqr", vec_col="embedding", id_col="vec_id")
     new_vec = np.asarray(qvec) + 0.001
