@@ -70,6 +70,11 @@ from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 #: in search and node-chunking in build. Q_chunk × N bools ≤ this.
 _VISITED_BUDGET = 256 * 1024 * 1024
 
+#: build insert-chunk cap: bounds the link phase's quadratic
+#: peer-distance block while keeping enough nodes per chunk to
+#: amortize the candidate-phase kernel launches
+_CHUNK_CAP = 512
+
 #: state inherited by fork-pool workers (set immediately before the
 #: pool forks; children snapshot it copy-on-write, so the graph and
 #: vectors are shared without serialization — the rayon-thread-pool
@@ -337,7 +342,7 @@ class HNSWIndex:
                 i += 1
                 continue
             built = int(nodes[i])  # nodes are inserted in ascending order
-            C = int(min(total - i, max(32, built // 2), 1024, mem_cap))
+            C = int(min(total - i, max(32, built // 2), _CHUNK_CAP, mem_cap))
             chunk = nodes[i : i + C]
             top_chunk = int(g.levels[chunk].max())
             g.ensure_level(max(top_chunk, g.max_level), n)
@@ -377,6 +382,7 @@ class HNSWIndex:
         )
         parts = max(1, min(len(chunk), spark.sparkContext.defaultParallelism))
         cdf = spark.range(int(chunk[0]), int(chunk[-1]) + 1, 1, parts)
+        ef_w = int(ef_c)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             vecs_ = bc_vecs.value
@@ -390,38 +396,49 @@ class HNSWIndex:
                     links, counts, entry, max_level, pd_,
                     node_ids, levels[node_ids], ef_c, n_nodes,
                 )
-                recs: dict[str, list] = {"node": [], "level": [], "cids": [], "cds": []}
+                # fixed-width pools as raw byte blobs: one Arrow row per
+                # (node, level), decoded with frombuffer on the driver —
+                # no per-element Row/list conversion on either side
+                recs: dict[str, list] = {"node": [], "level": [], "pid": [], "pdist": []}
                 for L, (rows, pid, pdist) in out.items():
+                    w = pid.shape[1]
+                    if w < ef_w:
+                        pid = np.concatenate(
+                            [pid, np.full((pid.shape[0], ef_w - w), -1, dtype=np.int64)], axis=1)
+                        pdist = np.concatenate(
+                            [pdist, np.full((pdist.shape[0], ef_w - w), np.inf)], axis=1)
+                    pid = pid[:, :ef_w].astype(np.int64)
+                    pdist = pdist[:, :ef_w].astype(np.float64)
                     for r in range(len(rows)):
-                        valid = pid[r] >= 0
                         recs["node"].append(int(node_ids[rows[r]]))
                         recs["level"].append(int(L))
-                        recs["cids"].append(pid[r][valid].tolist())
-                        recs["cds"].append(pdist[r][valid].tolist())
+                        recs["pid"].append(pid[r].tobytes())
+                        recs["pdist"].append(pdist[r].tobytes())
                 if recs["node"]:
                     yield pd.DataFrame(recs)
 
-        rows = cdf.mapInPandas(
-            run, schema="node long, level int, cids array<long>, cds array<double>"
-        ).collect()
+        pdf = cdf.mapInPandas(
+            run, schema="node long, level int, pid binary, pdist binary"
+        ).toPandas()
         bc_g.destroy()
         # reshape into the driver format {level: (row_sel, pool_ids, pool_d)}
         pos = {int(nid): r for r, nid in enumerate(chunk)}
-        by_level: dict[int, list] = {}
-        for r in rows:
-            by_level.setdefault(int(r["level"]), []).append(r)
         out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for L, lst in by_level.items():
-            lst.sort(key=lambda r: pos[int(r["node"])])
-            sel = np.asarray([pos[int(r["node"])] for r in lst], dtype=np.int64)
-            width = max(max((len(r["cids"]) for r in lst), default=1), 1)
-            pid = np.full((len(lst), width), -1, dtype=np.int64)
-            pdist = np.full((len(lst), width), np.inf)
-            for k, r in enumerate(lst):
-                c = len(r["cids"])
-                pid[k, :c] = r["cids"]
-                pdist[k, :c] = r["cds"]
-            out[L] = (sel, pid, pdist)
+        nodes_np = pdf["node"].to_numpy()
+        levels_np = pdf["level"].to_numpy()
+        for L in np.unique(levels_np):
+            mask = levels_np == L
+            sel = np.asarray([pos[int(n)] for n in nodes_np[mask]], dtype=np.int64)
+            order = np.argsort(sel, kind="stable")
+            sel = sel[order]
+            rows_idx = np.nonzero(mask)[0][order]
+            pid = np.frombuffer(
+                b"".join(pdf["pid"].iloc[i] for i in rows_idx), dtype=np.int64
+            ).reshape(len(rows_idx), ef_w)
+            pdist = np.frombuffer(
+                b"".join(pdf["pdist"].iloc[i] for i in rows_idx), dtype=np.float64
+            ).reshape(len(rows_idx), ef_w)
+            out[int(L)] = (sel, pid, pdist)
         return out
 
     @staticmethod
@@ -455,11 +472,16 @@ class HNSWIndex:
             cat_d = np.concatenate([pdist, pD], axis=1)
             cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
             cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
-            order = np.lexsort((np.where(cat_id < 0, np.iinfo(np.int64).max, cat_id), cat_d), axis=1)
             T = min(cat_d.shape[1], trim)
-            take = order[:, :T]
-            cd = np.take_along_axis(cat_d, take, axis=1)
-            cid = np.take_along_axis(cat_id, take, axis=1)
+            if cat_d.shape[1] > T:
+                # linear top-T cut before the (id, dist) ordering sort:
+                # the full-width lexsort was the link phase's hot spot
+                part = np.argpartition(cat_d, T - 1, axis=1)[:, :T]
+                cat_d = np.take_along_axis(cat_d, part, axis=1)
+                cat_id = np.take_along_axis(cat_id, part, axis=1)
+            order = np.lexsort((np.where(cat_id < 0, np.iinfo(np.int64).max, cat_id), cat_d), axis=1)
+            cd = np.take_along_axis(cat_d, order, axis=1)
+            cid = np.take_along_axis(cat_id, order, axis=1)
             # candidate↔candidate distances for the heuristic
             X = vecs[np.clip(cid, 0, None)]
             D = _pairwise_block(X, metric)
