@@ -172,6 +172,69 @@ def _heuristic_select_batch(d_q: np.ndarray, D: np.ndarray, cap: int) -> np.ndar
     return taken
 
 
+#: state inherited by build-candidate fork workers (set immediately
+#: before the per-chunk pool forks; the frozen graph snapshot children
+#: need IS the fork's copy-on-write memory image, so re-forking per
+#: chunk gives snapshot isolation for free — the rayon par_iter
+#: analogue of the reference's chunked build, hnsw_index.rs:413-442)
+_BUILD_FORK_STATE: dict = {}
+
+
+def _fork_candidates(bounds):
+    lo, hi = bounds
+    st = _BUILD_FORK_STATE
+    sub = st["chunk"][lo:hi]
+    out = _chunk_candidates(
+        st["links"], st["counts"], st["entry"], st["max_level"], st["pd"],
+        sub, st["levels"][sub], st["ef_c"], st["n"],
+    )
+    return {L: (rows + lo, pid, pdist) for L, (rows, pid, pdist) in out.items()}
+
+
+def _forked_chunk_candidates(
+    g: "_Graph",
+    pd_all,
+    chunk: np.ndarray,
+    ef_c: int,
+    n: int,
+    workers: int,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Run one chunk's candidate phase across a fresh fork pool: the
+    chunk nodes are the parallel axis, each worker beam-searches its
+    slice against the parent's graph snapshot (copy-on-write — no
+    serialization of links or vectors in either direction)."""
+    import multiprocessing as mp
+
+    global _BUILD_FORK_STATE
+    _BUILD_FORK_STATE = {
+        "links": g.links, "counts": g.counts, "entry": g.entry,
+        "max_level": g.max_level, "pd": pd_all, "chunk": chunk,
+        "levels": g.levels, "ef_c": ef_c, "n": n,
+    }
+    w = min(workers, max(1, len(chunk) // 8))
+    bounds = np.linspace(0, len(chunk), w + 1).astype(int)
+    jobs = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+    with mp.get_context("fork").Pool(len(jobs)) as pool:
+        parts = pool.map(_fork_candidates, jobs)
+    _BUILD_FORK_STATE = {}
+    out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    levels = sorted({L for p in parts for L in p})
+    for L in levels:
+        pieces = [p[L] for p in parts if L in p]
+        width = max(pid.shape[1] for _, pid, _ in pieces)
+        sel = np.concatenate([rows for rows, _, _ in pieces])
+        pid = np.full((len(sel), width), -1, dtype=np.int64)
+        pdist = np.full((len(sel), width), np.inf)
+        at = 0
+        for rows, p_id, p_d in pieces:
+            pid[at : at + len(rows), : p_id.shape[1]] = p_id
+            pdist[at : at + len(rows), : p_d.shape[1]] = p_d
+            at += len(rows)
+        order = np.argsort(sel, kind="stable")
+        out[L] = (sel[order], pid[order], pdist[order])
+    return out
+
+
 def _chunk_candidates(
     links: list[np.ndarray],
     counts: list[np.ndarray],
@@ -346,10 +409,13 @@ class HNSWIndex:
             chunk = nodes[i : i + C]
             top_chunk = int(g.levels[chunk].max())
             g.ensure_level(max(top_chunk, g.max_level), n)
+            workers = os.cpu_count() or 1
             if spark is not None:
                 cands = HNSWIndex._spark_candidates(
                     spark, bc_vecs, metric, g, chunk, ef_c, n
                 )
+            elif workers > 1 and C >= 4 * 8:
+                cands = _forked_chunk_candidates(g, pd_all, chunk, ef_c, n, workers)
             else:
                 cands = _chunk_candidates(
                     g.links, g.counts, g.entry, g.max_level, pd_all,
