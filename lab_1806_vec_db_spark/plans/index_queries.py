@@ -59,13 +59,43 @@ def knn_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=16)
 
 
-@register("knn_ivf_probed")
+_IVF_PROBED_ORACLE = f"""{_Q0},
+c AS (SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product({_E},{_E}) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product({_E},c.cv) AS d
+  FROM embeddings e, c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1),
+probes AS (
+  SELECT c.cid,
+         list_dot_product(q.qv,q.qv) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product(q.qv,c.cv) AS pd
+  FROM c, q
+  ORDER BY pd, c.cid LIMIT 4)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e
+JOIN assign a ON e.vec_id = a.vec_id
+JOIN probes p ON a.cid = p.cid, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_ivf_probed", _IVF_PROBED_ORACLE)
 def knn_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True approximate regime: 4 of 16 probes (rows-only check; the
-    recall gate lives in tests/test_indexes.py)."""
+    """True approximate regime: 4 of 16 probes. The coarse quantizer is
+    a FIXED deterministic centroid set (the first 16 vectors) so the
+    whole probed pipeline — assignment argmin, centroid ranking,
+    cluster-pruned scan, top-k (ivf_index.rs:132-155) — is exactly
+    SQL-reproducible; the k-means-trained variant of the same path is
+    knn_ivf_l2, and the recall gate for trained partial probing lives
+    in tests/test_indexes.py."""
     emb = _emb(spark, sf_dir).cache()
-    idx = IVFIndex.build(emb, k=16, metric="l2sqr", vec_col="embedding",
-                         id_col="vec_id", train_size=2000)
+    cents = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    model = KMeansModel(
+        centroids=np.asarray([r[0] for r in cents], dtype=np.float64), metric="l2sqr"
+    )
+    clustered = model.assign_df(emb, vec_col="embedding", out_col="cluster_id")
+    idx = IVFIndex(model, clustered, vec_col="embedding", id_col="vec_id")
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4)
 
 
@@ -79,15 +109,77 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.search(_query_vec(spark, sf_dir), k=10, ef=1_000_000, metric="l2sqr")
 
 
-@register("knn_pq_adc")
+def _pq_adc_oracle() -> str:
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    # 1-based inclusive DuckDB list-slice bounds per PQ group
+    grp_rows = ",".join(
+        f"({g},{start + 1},{start + size})"
+        for g, (start, size) in enumerate(pq_groups(64, 16))
+    )
+    return f"""{_Q0},
+grp AS (SELECT * FROM (VALUES {grp_rows}) t(g, lo, hi)),
+cb AS (
+  SELECT c.vec_id AS cid, grp.g, grp.lo, grp.hi,
+         ({_dd('c.embedding')})[grp.lo:grp.hi] AS cv
+  FROM embeddings c, grp WHERE c.vec_id < 16),
+assign AS (
+  SELECT e.vec_id, cb.g, cb.cid,
+         list_dot_product(({_E})[cb.lo:cb.hi], ({_E})[cb.lo:cb.hi])
+           + list_dot_product(cb.cv, cb.cv)
+           - 2*list_dot_product(({_E})[cb.lo:cb.hi], cb.cv) AS d
+  FROM embeddings e, cb
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, cb.g ORDER BY d, cb.cid) = 1),
+adc AS (
+  SELECT a.vec_id,
+         round(SUM(list_dot_product(q.qv[cb2.lo:cb2.hi], q.qv[cb2.lo:cb2.hi])
+                   + list_dot_product(cb2.cv, cb2.cv)
+                   - 2*list_dot_product(q.qv[cb2.lo:cb2.hi], cb2.cv)), 4) + 0.0 AS adc_r
+  FROM assign a JOIN cb cb2 ON a.g = cb2.g AND a.cid = cb2.cid, q
+  GROUP BY a.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_r, vec_id LIMIT 64)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_pq_adc", _pq_adc_oracle())
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True compressed-domain regime: ef=64 candidates from the 4-bit
-    ADC scan, then exact re-rank (rows-only; p90-error + recall gates
-    in tests)."""
+    ADC scan (A8-A9, pq_table.rs:239-301), then exact re-rank
+    (candidate_pair.rs:102-108). Codebooks are a FIXED deterministic
+    set (per-group subvectors of the first 16 rows, 16 = 2^4 centroids
+    per group) so encoding, the ADC lookup sum, the rounded top-ef
+    gate, and the re-rank are all exactly SQL-reproducible; the
+    k-means-trained variant is knn_pq_rerank, and the p90 ADC-error +
+    recall gates for trained codebooks live in tests."""
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+    from lab_1806_vec_db_spark.functions.distance import dist_expr
+    from lab_1806_vec_db_spark.operators.knn import round_dist
+
     emb = _emb(spark, sf_dir).cache()
-    pq = PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.5,
-                       vec_col="embedding", id_col="vec_id")
-    return pq.search(_query_vec(spark, sf_dir), k=10, ef=64, metric="l2sqr")
+    crows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    pq.codes = pq.encode_df(emb)
+    qv = _query_vec(spark, sf_dir)
+    # rounded ADC gate → deterministic ef cut on both sides
+    cand = (
+        pq.adc_scan(qv, metric="l2sqr")
+        .select("vec_id", round_dist(F.col("dist")).alias("adc_r"))
+        .orderBy("adc_r", "vec_id")
+        .limit(64)
+    )
+    qlit = F.lit([float(x) for x in qv]).cast("array<double>")
+    return (
+        emb.join(cand, "vec_id")
+        .select("vec_id", round_dist(dist_expr(F.col("embedding"), qlit, "l2sqr")).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
 
 
 @register("knn_hnsw", _FLAT_L2_ORACLE)
