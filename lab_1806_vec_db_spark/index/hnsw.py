@@ -172,6 +172,42 @@ def _heuristic_select_batch(d_q: np.ndarray, D: np.ndarray, cap: int) -> np.ndar
     return taken
 
 
+def _forward_select(
+    cat_d: np.ndarray,
+    cat_id: np.ndarray,
+    vecs: np.ndarray,
+    metric: str,
+    trim: int,
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared forward-link selection (connect_new_links,
+    hnsw_index.rs:443-447): trim merged candidates to top-``trim`` with
+    a linear cut, order by (dist, id), run the diversity heuristic,
+    and pack the per-row selections to (R, cap) id/dist arrays padded
+    with -1/inf."""
+    R = cat_d.shape[0]
+    T = min(cat_d.shape[1], trim)
+    if cat_d.shape[1] > T:
+        part = np.argpartition(cat_d, T - 1, axis=1)[:, :T]
+        cat_d = np.take_along_axis(cat_d, part, axis=1)
+        cat_id = np.take_along_axis(cat_id, part, axis=1)
+    big = np.iinfo(np.int64).max
+    order = np.lexsort((np.where(cat_id < 0, big, cat_id), cat_d), axis=1)
+    cd = np.take_along_axis(cat_d, order, axis=1)
+    cid = np.take_along_axis(cat_id, order, axis=1)
+    # candidate↔candidate distances for the heuristic
+    X = vecs[np.clip(cid, 0, None)]
+    D = _pairwise_block(X, metric)
+    taken = _heuristic_select_batch(cd, D, cap)
+    sel_id = np.full((R, cap), -1, dtype=np.int64)
+    sel_d = np.full((R, cap), np.inf)
+    for r in range(R):
+        t = np.nonzero(taken[r])[0]
+        sel_id[r, : t.size] = cid[r, t]
+        sel_d[r, : t.size] = cd[r, t]
+    return sel_id, sel_d
+
+
 #: state inherited by build-candidate fork workers (set immediately
 #: before the per-chunk pool forks; the frozen graph snapshot children
 #: need IS the fork's copy-on-write memory image, so re-forking per
@@ -181,28 +217,57 @@ _BUILD_FORK_STATE: dict = {}
 
 
 def _fork_candidates(bounds):
+    """Worker: beam-search candidates for a chunk slice against the
+    copy-on-write graph snapshot, then run the full forward-link
+    selection (peer merge + trim + diversity heuristic) in-process —
+    the driver only applies the returned (node, links) pairs."""
     lo, hi = bounds
     st = _BUILD_FORK_STATE
-    sub = st["chunk"][lo:hi]
+    chunk, levels, pd_ = st["chunk"], st["levels"], st["pd"]
+    sub = chunk[lo:hi]
     out = _chunk_candidates(
-        st["links"], st["counts"], st["entry"], st["max_level"], st["pd"],
-        sub, st["levels"][sub], st["ef_c"], st["n"],
+        st["links"], st["counts"], st["entry"], st["max_level"], pd_,
+        sub, levels[sub], st["ef_c"], st["n"],
     )
-    return {L: (rows + lo, pid, pdist) for L, (rows, pid, pdist) in out.items()}
+    m = st["m"]
+    trim = max(3 * m, 48)
+    chunk_levels = levels[chunk]
+    res: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for L, (rows, pid, pdist) in out.items():
+        # chunk peers at this level, masked to strictly-earlier chunk
+        # position (the serial insert order, hnsw_index.rs:431-438)
+        peers_pos = np.nonzero(chunk_levels >= L)[0]
+        own_pos = lo + rows
+        pD = pd_.block(chunk[own_pos], chunk[peers_pos])
+        pD[peers_pos[None, :] >= own_pos[:, None]] = np.inf
+        peer_ids = np.broadcast_to(
+            chunk[peers_pos][None, :], pD.shape
+        )
+        cat_d = np.concatenate([pdist, pD], axis=1)
+        cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
+        cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
+        sel_id, sel_d = _forward_select(
+            cat_d, cat_id, pd_.vecs, st["metric"], trim, m
+        )
+        res[L] = (own_pos, sel_id, sel_d)
+    return res
 
 
-def _forked_chunk_candidates(
+def _forked_chunk_links(
     g: "_Graph",
     pd_all,
     chunk: np.ndarray,
     ef_c: int,
     n: int,
     workers: int,
+    metric: str,
 ) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Run one chunk's candidate phase across a fresh fork pool: the
-    chunk nodes are the parallel axis, each worker beam-searches its
-    slice against the parent's graph snapshot (copy-on-write — no
-    serialization of links or vectors in either direction)."""
+    """Run one chunk's candidate + forward-selection phases across a
+    fresh fork pool: chunk nodes are the parallel axis, each worker
+    beam-searches and link-selects its slice against the parent's
+    frozen graph (copy-on-write — no serialization of graph or vectors
+    in either direction). Returns {level: (chunk_pos, sel_id, sel_d)}
+    with rows ascending in chunk position."""
     import multiprocessing as mp
 
     global _BUILD_FORK_STATE
@@ -210,6 +275,7 @@ def _forked_chunk_candidates(
         "links": g.links, "counts": g.counts, "entry": g.entry,
         "max_level": g.max_level, "pd": pd_all, "chunk": chunk,
         "levels": g.levels, "ef_c": ef_c, "n": n,
+        "m": g.M, "metric": metric,
     }
     w = min(workers, max(1, len(chunk) // 8))
     bounds = np.linspace(0, len(chunk), w + 1).astype(int)
@@ -218,20 +284,13 @@ def _forked_chunk_candidates(
         parts = pool.map(_fork_candidates, jobs)
     _BUILD_FORK_STATE = {}
     out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    levels = sorted({L for p in parts for L in p})
-    for L in levels:
+    for L in sorted({L for p in parts for L in p}):
         pieces = [p[L] for p in parts if L in p]
-        width = max(pid.shape[1] for _, pid, _ in pieces)
-        sel = np.concatenate([rows for rows, _, _ in pieces])
-        pid = np.full((len(sel), width), -1, dtype=np.int64)
-        pdist = np.full((len(sel), width), np.inf)
-        at = 0
-        for rows, p_id, p_d in pieces:
-            pid[at : at + len(rows), : p_id.shape[1]] = p_id
-            pdist[at : at + len(rows), : p_d.shape[1]] = p_d
-            at += len(rows)
-        order = np.argsort(sel, kind="stable")
-        out[L] = (sel[order], pid[order], pdist[order])
+        pos = np.concatenate([pc[0] for pc in pieces])
+        sel_id = np.concatenate([pc[1] for pc in pieces], axis=0)
+        sel_d = np.concatenate([pc[2] for pc in pieces], axis=0)
+        order = np.argsort(pos, kind="stable")
+        out[L] = (pos[order], sel_id[order], sel_d[order])
     return out
 
 
@@ -414,14 +473,18 @@ class HNSWIndex:
                 cands = HNSWIndex._spark_candidates(
                     spark, bc_vecs, metric, g, chunk, ef_c, n
                 )
+                HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             elif workers > 1 and C >= 4 * 8:
-                cands = _forked_chunk_candidates(g, pd_all, chunk, ef_c, n, workers)
+                sels = _forked_chunk_links(
+                    g, pd_all, chunk, ef_c, n, workers, metric
+                )
+                HNSWIndex._apply_selected(g, metric, chunk, sels, pd_all)
             else:
                 cands = _chunk_candidates(
                     g.links, g.counts, g.entry, g.max_level, pd_all,
                     chunk, g.levels[chunk], ef_c, n,
                 )
-            HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
+                HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             # entry-point update (hnsw_index.rs:449-456)
             for idx in chunk:
                 if int(g.levels[idx]) > g.max_level:
@@ -526,38 +589,40 @@ class HNSWIndex:
         chunk = np.asarray(chunk, dtype=np.int64)
         Xc = vecs[chunk]
         peer_D = _pairwise_block(Xc[None, :, :], metric)[0]  # (C, C)
-        cpos = {int(nid): k for k, nid in enumerate(chunk)}
-        for L in sorted(cands.keys(), reverse=True):
-            rows, pid, pdist = cands[L]
+        sels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for L, (rows, pid, pdist) in cands.items():
             R = len(rows)
             # peer block: node rows[k] sees peers rows[j], j < k
             pD = peer_D[np.ix_(rows, rows)].copy()
-            iu = np.triu_indices(R)
-            pD[iu] = np.inf  # self + later peers masked
+            pD[np.triu_indices(R)] = np.inf  # self + later peers masked
             peer_ids = np.broadcast_to(chunk[rows][None, :], (R, R))
             cat_d = np.concatenate([pdist, pD], axis=1)
             cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
             cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
-            T = min(cat_d.shape[1], trim)
-            if cat_d.shape[1] > T:
-                # linear top-T cut before the (id, dist) ordering sort:
-                # the full-width lexsort was the link phase's hot spot
-                part = np.argpartition(cat_d, T - 1, axis=1)[:, :T]
-                cat_d = np.take_along_axis(cat_d, part, axis=1)
-                cat_id = np.take_along_axis(cat_id, part, axis=1)
-            order = np.lexsort((np.where(cat_id < 0, np.iinfo(np.int64).max, cat_id), cat_d), axis=1)
-            cd = np.take_along_axis(cat_d, order, axis=1)
-            cid = np.take_along_axis(cat_id, order, axis=1)
-            # candidate↔candidate distances for the heuristic
-            X = vecs[np.clip(cid, 0, None)]
-            D = _pairwise_block(X, metric)
-            taken = _heuristic_select_batch(cd, D, m)  # cap M even at L0
+            sel_id, sel_d = _forward_select(cat_d, cat_id, vecs, metric, trim, m)
+            sels[L] = (np.asarray(rows, dtype=np.int64), sel_id, sel_d)
+        HNSWIndex._apply_selected(g, metric, chunk, sels, pd_all)
+
+    @staticmethod
+    def _apply_selected(
+        g: _Graph,
+        metric: str,
+        chunk: np.ndarray,
+        sels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]],
+        pd_all: ExactPairDist,
+    ) -> None:
+        """Serial mutation phase: set forward links in insert order
+        (rows ascend in chunk position), then the batched reverse-link
+        shrink per level (arrange_links). The selection work feeding
+        this is pure and runs parallel; only this apply touches the
+        graph."""
+        for L in sorted(sels.keys(), reverse=True):
+            rows, sel_id, _sel_d = sels[L]
             limit = g.max0 if L == 0 else g.M
-            # forward links + reverse additions
             rev: dict[int, list[int]] = {}
-            for k in range(R):
+            for k in range(len(rows)):
                 node = int(chunk[rows[k]])
-                sel = cid[k][taken[k]]
+                sel = sel_id[k][sel_id[k] >= 0]
                 g.set_neighbors(L, node, sel.tolist())
                 for p in sel.tolist():
                     rev.setdefault(int(p), []).append(node)
