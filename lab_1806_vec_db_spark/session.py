@@ -27,6 +27,16 @@ def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) 
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # make this package importable on executor Python workers no matter
+    # what cwd the driver runs from (cluster deploys ship the package as
+    # a wheel/zip instead; for local[N] the parent dir on PYTHONPATH is
+    # the equivalent)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder
     # honor an externally-chosen master (spark-submit --master / cluster
     # deploy sets MASTER or SPARK_GRAFT_MASTER); default to local[N] only
