@@ -65,6 +65,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 MATCHED = os.environ.get("BENCH_MATCHED", "1") != "0"
+SF_SUITE = os.environ.get("BENCH_SF", "1") != "0"
 GT_DIR = os.environ.get("BENCH_GT_DIR", "/tmp/spark_graft_gt")
 GIST_BASE = "/root/reference/data/gist_1000.bin"
 GIST_TEST = "/root/reference/data/gist_test.bin"
@@ -319,16 +320,25 @@ def run_matched(spark) -> dict:
         grid.append(row)
 
     # base table as a DataFrame: the indexes are built through the same
-    # public API the sf-suite uses (build collects + trains distributedly)
-    bdf = spark.createDataFrame(
-        [(int(i), base[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
-    ).coalesce(32).cache()
+    # public API the sf-suite uses (build collects + trains distributedly).
+    # Arrow path: a pandas frame of ndarray rows ships zero boxed floats
+    # and leaves the driver heap fork-friendly (see hnsw._cow_friendly_fork)
+    import pandas as _pd
+
+    bpdf = _pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                          "embedding": list(base)})
+    bdf = spark.createDataFrame(bpdf, schema="vec_id long, embedding array<double>")
+    del bpdf
+    bdf = bdf.coalesce(32).cache()
     bdf.count()
 
-    # ---- HNSW: M=16, ef_construction=200 (config/bench_hnsw.toml) --------
+    # ---- HNSW: M=16, ef_construction=200 (config/bench_hnsw.toml);
+    # f32 vectors — the reference's own serving precision (vec_set.rs
+    # stores f32), half the memory traffic of the oracle-stable f64 ----
     t0 = time.time()
     hnsw = HNSWIndex.build(bdf, metric="l2sqr", vec_col="embedding",
-                           id_col="vec_id", m=16, ef_construction=200)
+                           id_col="vec_id", m=16, ef_construction=200,
+                           dtype=np.float32)
     build_sec["hnsw"] = round(time.time() - t0, 1)
 
     for ef in (120, 160, 200, 240, 280, 320, 360):
@@ -357,18 +367,25 @@ def run_matched(spark) -> dict:
     lut_all, _, _ = build_lookup_batch(queries, pq.codebooks, pq.groups,
                                        pq.n_bits, "l2sqr")
     _FLAT_PQ_STATE.update(
-        base=base, queries=queries, codes_t=np.ascontiguousarray(codes.T),
+        base=base.astype(np.float32), queries=queries.astype(np.float32),
+        codes_t=np.ascontiguousarray(codes.T),
         lut=lut_all.astype(np.float32), k=K,
     )
 
     def run_flat_pq(ef: int):
         import multiprocessing as mp
 
+        from lab_1806_vec_db_spark.index.hnsw import _cow_friendly_fork
+
         w = min(32, os.cpu_count() or 1)
         bounds = np.linspace(0, n_q, 4 * w + 1).astype(int)
         jobs = [(int(s), int(e), ef) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
-        with mp.get_context("fork").Pool(w) as pool:
+        with _cow_friendly_fork():
+            pool = mp.get_context("fork").Pool(w)
+        try:
             parts = pool.map(_flat_pq_slice, jobs, chunksize=1)
+        finally:
+            pool.terminate()
         return np.concatenate(parts, axis=0)
 
     for ef in (100, 200):
@@ -378,10 +395,11 @@ def run_matched(spark) -> dict:
 
     # ---- IVF k=128 (config/bench_10000_ivf.toml — no committed reference
     # rows; published here as the partition-pruning curve) ---------------
-    qdf = spark.createDataFrame(
-        [(int(i), queries[i].tolist()) for i in range(n_q)],
-        "query_id long, embedding array<double>",
-    ).coalesce(32).cache()
+    qpdf = _pd.DataFrame({"query_id": np.arange(n_q, dtype=np.int64),
+                          "embedding": list(queries)})
+    qdf = spark.createDataFrame(qpdf, schema="query_id long, embedding array<double>")
+    del qpdf
+    qdf = qdf.coalesce(32).cache()
     qdf.count()
     t0 = time.time()
     ivf = IVFIndex.build(bdf, k=128, metric="l2sqr", vec_col="embedding",
@@ -418,7 +436,11 @@ def run_matched(spark) -> dict:
 
 def main() -> None:
     spark = get_spark("bench")
-    out = run_sf_suite(spark)
+    if SF_SUITE:
+        out = run_sf_suite(spark)
+    else:
+        out = {"metric": "ann_suite_sec", "value": 0.0, "unit": "sec",
+               "queries": {}, "sf": -1.0}
     if MATCHED:
         out["matched"] = run_matched(spark)
     print(json.dumps(out))

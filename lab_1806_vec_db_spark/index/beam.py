@@ -113,7 +113,9 @@ class ADCPairDist:
         c = self.codes[nidx].astype(np.int64, copy=False)  # (G, m)
         gaddr = self.goff + c
         addr = (qidx.astype(np.int64)[:, None] * self.qstride) + gaddr
-        summed = np.take(self.lut_flat, addr).sum(axis=1, dtype=np.float64)
+        # accumulate in the lut's own dtype: f64 for the oracle-stable
+        # path, f32 for the serving regime (the reference's SIMD sums f32)
+        summed = np.take(self.lut_flat, addr).sum(axis=1, dtype=self.lut_flat.dtype)
         if self.sq_flat is None:
             return summed
         v2 = np.take(self.sq_flat, gaddr).sum(axis=1, dtype=np.float64)

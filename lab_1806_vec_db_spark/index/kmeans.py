@@ -176,10 +176,12 @@ def sample_rows(
     """Deterministic training sample (A1, vec_set.rs:154-163): order by a
     seeded pseudo-random key, take n. ``orderBy(rand(seed)).limit(n)`` is
     a TakeOrderedAndProject — k-bounded, no full sort, no full shuffle."""
-    rows = (
+    pdf = (
         df.select(vec_col)
         .orderBy(F.rand(seed), F.col(vec_col).getItem(0))
         .limit(int(n))
-        .collect()
+        .toPandas()  # Arrow: ndarray rows, no boxed floats on the driver
     )
-    return np.asarray([r[0] for r in rows], dtype=np.float64)
+    out = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+    del pdf
+    return out

@@ -98,19 +98,39 @@ def build_lookup_batch(
     groups: list[tuple[int, int]],
     n_bits: int,
     metric: str,
+    dtype=np.float64,
 ) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
     """Batched per-query ADC lookup tensors (pq_table.rs:195-224 applied
     to a query block): returns ``(lut (Q × m × 2^b), sq (m × 2^b)|None,
     qnorms (Q,))``. For L2² the entries are sub-distances and ``sq`` is
     None; for cosine they are sub-dots plus the shared centroid
-    self-dot table (pq_table.rs:131-136)."""
+    self-dot table (pq_table.rs:131-136). ``dtype=float32`` gives the
+    f32 serving regime (half the lookup-table traffic); float64 is the
+    oracle-stable default."""
     qmat = np.asarray(qmat, dtype=np.float64)
     nq = qmat.shape[0]
     m = len(groups)
     ksub = 1 << n_bits
-    lut = np.zeros((nq, m, ksub), dtype=np.float64)
+    lut = np.zeros((nq, m, ksub), dtype=dtype)
     qnorms = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    uniform = len({size for _, size in groups}) == 1 and m * groups[0][1] == qmat.shape[1]
     if metric == "l2sqr":
+        if uniform and all(cb.shape[0] == ksub for cb in codebooks):
+            # uniform groups (e.g. 960/320 = 3): the whole per-group loop
+            # collapses to one batched norm expansion — (Q,m,1,s) vs
+            # (m,k,s). This is the per-query-block serving hot path of
+            # knn_pq; 320 small numpy calls per block measured slower
+            # than the traversal itself.
+            s = groups[0][1]
+            qg = qmat.reshape(nq, m, s)
+            cbs = np.stack(codebooks, axis=0)  # (m, ksub, s)
+            q2 = np.einsum("qms,qms->qm", qg, qg)
+            c2 = np.einsum("mks,mks->mk", cbs, cbs)
+            ip = np.einsum("qms,mks->qmk", qg, cbs)
+            lut_full = q2[:, :, None] + c2[None, :, :] - 2.0 * ip
+            np.maximum(lut_full, 0.0, out=lut_full)
+            lut[:] = lut_full
+            return lut, None, qnorms
         for gi, (start, size) in enumerate(groups):
             cb = codebooks[gi]
             lut[:, gi, : cb.shape[0]] = _pairwise_dist(
@@ -123,6 +143,69 @@ def build_lookup_batch(
         lut[:, gi, : cb.shape[0]] = qmat[:, start : start + size] @ cb.T
         sq[gi, : cb.shape[0]] = np.einsum("ij,ij->i", cb, cb)
     return lut, sq, qnorms
+
+
+#: COW state for codebook-fit fork workers
+_FIT_STATE: dict = {}
+
+
+def _fit_group_slice(args):
+    lo, hi = args
+    sample, groups, ksub, seed = (
+        _FIT_STATE["sample"], _FIT_STATE["groups"],
+        _FIT_STATE["ksub"], _FIT_STATE["seed"],
+    )
+    out = []
+    for gi in range(lo, hi):
+        start, size = groups[gi]
+        model = fit_kmeans(sample[:, start : start + size], k=ksub,
+                           metric="l2sqr", seed=seed + gi)
+        cb = model.centroids
+        if cb.shape[0] < ksub:  # exactness regime: pad with copies so
+            # code values stay in range (unused slots never win argmin)
+            pad = np.repeat(cb[-1:], ksub - cb.shape[0], axis=0)
+            cb = np.concatenate([cb, pad], axis=0)
+        out.append(cb)
+    return out
+
+
+def _fit_codebooks(
+    sample: np.ndarray, groups: list[tuple[int, int]], ksub: int, seed: int
+) -> list[np.ndarray]:
+    """Per-group k-means fits, fork-parallel over groups (the rayon
+    par_iter of pq_table.rs:141-191). Each group's fit keeps its own
+    ``seed + gi`` stream, so results are bit-identical to the
+    sequential loop — only wall time changes (m=320 fits dominated
+    PQ train before this)."""
+    import multiprocessing as mp
+
+    n_groups = len(groups)
+    workers = min(os.cpu_count() or 1, n_groups)
+    if workers <= 1 or n_groups < 8:
+        return _fit_group_slice_seq(sample, groups, ksub, seed)
+    global _FIT_STATE
+    _FIT_STATE = {"sample": sample, "groups": groups, "ksub": ksub, "seed": seed}
+    bounds = np.linspace(0, n_groups, workers + 1).astype(int)
+    jobs = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+    from lab_1806_vec_db_spark.index.hnsw import _cow_friendly_fork
+
+    with _cow_friendly_fork():
+        pool = mp.get_context("fork").Pool(len(jobs))
+    try:
+        parts = pool.map(_fit_group_slice, jobs)
+    finally:
+        pool.terminate()
+        _FIT_STATE = {}
+    return [cb for part in parts for cb in part]
+
+
+def _fit_group_slice_seq(sample, groups, ksub, seed):
+    global _FIT_STATE
+    _FIT_STATE = {"sample": sample, "groups": groups, "ksub": ksub, "seed": seed}
+    try:
+        return _fit_group_slice((0, len(groups)))
+    finally:
+        _FIT_STATE = {}
 
 
 def aligned_codes(pq: "PQTable", ids: np.ndarray) -> np.ndarray:
@@ -213,16 +296,7 @@ class PQTable:
         train_n = min(max(int(n_rows * train_proportion), 1), train_size_cap)
         sample = sample_rows(df, train_n, vec_col=vec_col, id_col=id_col, seed=seed)
         ksub = 1 << n_bits
-        codebooks = []
-        for gi, (start, size) in enumerate(groups):
-            sub = sample[:, start : start + size]
-            model = fit_kmeans(sub, k=ksub, metric="l2sqr", seed=seed + gi)
-            cb = model.centroids
-            if cb.shape[0] < ksub:  # exactness regime: pad with copies so
-                # code values stay in range (unused slots never win argmin)
-                pad = np.repeat(cb[-1:], ksub - cb.shape[0], axis=0)
-                cb = np.concatenate([cb, pad], axis=0)
-            codebooks.append(cb)
+        codebooks = _fit_codebooks(sample, groups, ksub, seed)
         obj = cls(codebooks, groups, n_bits, codes=None, base=df,  # type: ignore[arg-type]
                   vec_col=vec_col, id_col=id_col, path=path)
         codes = obj.encode_df(df)
