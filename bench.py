@@ -246,24 +246,20 @@ _FLAT_PQ_STATE: dict = {}
 
 
 def _flat_pq_slice(args):
-    """One worker's query slice: per query, gather-sum the 4-bit ADC
-    scores group-by-group over an L2-resident (n,) vector, cut top-ef,
-    exact-re-rank to top-k (pq_table.rs:239-301 + candidate_pair.rs
-    pq_resort semantics)."""
+    """One worker's query slice: per query, one flat gather over the
+    precomputed (n × m) int32 code-address table + one row-sum gives
+    every ADC score (pq_table.rs:239-301), then top-ef cut and exact
+    re-rank to top-k (candidate_pair.rs pq_resort semantics). The
+    address table is query-independent and COW-shared; a per-group
+    python loop here measured ~10× slower."""
     s, e, ef = args
     st = _FLAT_PQ_STATE
-    base, queries, codes_t, lut = st["base"], st["queries"], st["codes_t"], st["lut"]
+    base, queries, addr, lut = st["base"], st["queries"], st["addr"], st["lut"]
     k = st["k"]
-    m = codes_t.shape[0]
     out = np.empty((e - s, k), dtype=np.int64)
-    scores = np.empty(codes_t.shape[1], dtype=np.float32)
-    buf = np.empty_like(scores)
     for qi in range(s, e):
-        lq = lut[qi]
-        np.take(lq[0], codes_t[0], out=scores)
-        for g in range(1, m):
-            np.take(lq[g], codes_t[g], out=buf)
-            scores += buf
+        lq = np.ascontiguousarray(lut[qi]).reshape(-1)
+        scores = np.take(lq, addr).sum(axis=1)
         cand = np.argpartition(scores, ef)[:ef]
         d = ((base[cand] - queries[qi]) ** 2).sum(1)
         out[qi - s] = cand[np.argpartition(d, k - 1)[:k]]
@@ -342,8 +338,9 @@ def run_matched(spark) -> dict:
     build_sec["hnsw"] = round(time.time() - t0, 1)
 
     for ef in (120, 160, 200, 240, 280, 320, 360):
-        best, (ids, _) = _timed(lambda ef=ef: hnsw.search_many_parallel(
-            queries, K, ef, workers=32, beam_width=2))
+        bw = 4 if ef < 280 else 6  # measured sweet spots (bw=8 over-expands)
+        best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
+            queries, K, ef, workers=32, beam_width=bw))
         point("hnsw", ef, best, _grid_recall(ids, gt))
 
     # ---- PQ m=320 4-bit (config/bench_pq_hnsw.toml:18-24) ----------------
@@ -355,8 +352,9 @@ def run_matched(spark) -> dict:
 
     # ---- HNSW+PQ combined knn_pq (hnsw_index.rs:672-696) -----------------
     for ef in (160, 360):
-        best, (ids, _) = _timed(lambda ef=ef: hnsw.search_many_parallel(
-            queries, K, ef, pq=pq, workers=32, beam_width=2))
+        bw = 4 if ef < 280 else 6
+        best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
+            queries, K, ef, pq=pq, workers=32, beam_width=bw))
         point("hnsw_pq", ef, best, _grid_recall(ids, gt))
     hnsw.close_pool()
 
@@ -365,11 +363,13 @@ def run_matched(spark) -> dict:
     # the (n,) score vector stays cache-resident --------------------------
     codes = aligned_codes(pq, np.arange(n, dtype=np.int64))
     lut_all, _, _ = build_lookup_batch(queries, pq.codebooks, pq.groups,
-                                       pq.n_bits, "l2sqr")
+                                       pq.n_bits, "l2sqr", dtype=np.float32)
+    ksub = 1 << pq.n_bits
+    addr = codes.astype(np.int32) + (np.arange(pq.m, dtype=np.int32) * ksub)[None, :]
     _FLAT_PQ_STATE.update(
         base=base.astype(np.float32), queries=queries.astype(np.float32),
-        codes_t=np.ascontiguousarray(codes.T),
-        lut=lut_all.astype(np.float32), k=K,
+        addr=np.ascontiguousarray(addr),
+        lut=lut_all, k=K,
     )
 
     def run_flat_pq(ef: int):

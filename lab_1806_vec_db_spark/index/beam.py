@@ -106,13 +106,17 @@ class ADCPairDist:
         self.lut_flat = np.ascontiguousarray(lut).reshape(-1)
         self.sq_flat = np.ascontiguousarray(sq).reshape(-1) if sq is not None else None
         self.qnorms = qnorms
-        self.goff = (np.arange(m, dtype=np.int64) * ksub)[None, :]
-        self.qstride = m * ksub
+        # int32 addresses: Q·m·ksub stays far below 2^31 for any block
+        # this serves, and the (G × m) address temporaries are the pair
+        # call's dominant memory traffic — int64 doubled it
+        self.goff = (np.arange(m, dtype=np.int32) * ksub)[None, :]
+        self.qstride = np.int32(m * ksub)
 
     def __call__(self, qidx: np.ndarray, nidx: np.ndarray) -> np.ndarray:
-        c = self.codes[nidx].astype(np.int64, copy=False)  # (G, m)
-        gaddr = self.goff + c
-        addr = (qidx.astype(np.int64)[:, None] * self.qstride) + gaddr
+        c = self.codes[nidx].astype(np.int32, copy=False)  # (G, m)
+        gaddr = c
+        gaddr += self.goff
+        addr = gaddr + (qidx.astype(np.int32) * self.qstride)[:, None]
         # accumulate in the lut's own dtype: f64 for the oracle-stable
         # path, f32 for the serving regime (the reference's SIMD sums f32)
         summed = np.take(self.lut_flat, addr).sum(axis=1, dtype=self.lut_flat.dtype)
@@ -223,18 +227,23 @@ def beam_search_batch(
     # per-query pool worst (inf while the pool has padding slots)
     worst = np.full(nq, np.inf, dtype=np.float64)
     alive = np.arange(nq, dtype=np.int64)
-    B = max(1, min(int(beam_width), ef))
+    B0 = max(1, min(int(beam_width), ef))
     while alive.size:
+        # adaptive width: as queries finish, widen the beam so the last
+        # stragglers don't pay one full wave of fixed numpy overhead per
+        # single expansion (wave count is the serving cost driver; extra
+        # expansions stay ≤ pool worst, so recall only goes up)
+        B = max(1, min(int(B0 * nq / alive.size), ef, 16))
         pd_a = pool_d[alive]
         cand = np.where(expanded[alive] | (pool_id[alive] < 0), np.inf, pd_a)
+        ar_a = np.arange(alive.size)[:, None]
         if B == 1:
             jB = np.argmin(cand, axis=1)[:, None]
         else:
             jB = np.argpartition(cand, B - 1, axis=1)[:, :B]
-            cB = np.take_along_axis(cand, jB, axis=1)
-            ordB = np.argsort(cB, axis=1)  # ascending within the B picks
-            jB = np.take_along_axis(jB, ordB, axis=1)
-        cB = np.take_along_axis(cand, jB, axis=1)
+            ordB = np.argsort(cand[ar_a, jB], axis=1)  # ascending picks
+            jB = jB[ar_a, ordB]
+        cB = cand[ar_a, jB]
         best = cB[:, 0]
         keep = ~((best == np.inf) | (best > worst[alive]))
         alive = alive[keep]
@@ -281,10 +290,12 @@ def beam_search_batch(
         mex = np.concatenate([expanded[act], np.zeros(nd.shape, dtype=bool)], axis=1)
         # keep the ef smallest, unordered (argpartition, not sort)
         part = np.argpartition(md, ef - 1, axis=1)[:, :ef]
-        pool_d[act] = np.take_along_axis(md, part, axis=1)
-        pool_id[act] = np.take_along_axis(mid, part, axis=1)
-        expanded[act] = np.take_along_axis(mex, part, axis=1)
-        worst[act] = pool_d[act].max(axis=1)
+        arp = np.arange(A)[:, None]
+        new_pd = md[arp, part]
+        pool_d[act] = new_pd
+        pool_id[act] = mid[arp, part]
+        expanded[act] = mex[arp, part]
+        worst[act] = new_pd.max(axis=1)
     # final deterministic ascending order: (dist, id), padding at the tail
     big = np.iinfo(np.int64).max
     order = np.lexsort((np.where(pool_id < 0, big, pool_id), pool_d), axis=1)

@@ -784,6 +784,7 @@ class HNSWIndex:
         lut, sq, qn = build_lookup_batch(
             np.asarray(qmat, dtype=np.float64), pq.codebooks, pq.groups,
             pq.n_bits, self.metric,
+            dtype=self.vecs.dtype,  # f32 index → f32 serving LUT
         )
         return ADCPairDist(self._pq_cache[1], lut, sq, qn)
 
@@ -863,17 +864,25 @@ class HNSWIndex:
         if w <= 1 or qmat.shape[0] < 4 * w:
             return self.search_many(qmat, k, ef, pq=pq, beam_width=beam_width)
         pool = self._ensure_pool(pq, w)
-        bounds = np.linspace(0, qmat.shape[0], w + 1).astype(int)
+        # one big slice per worker (small slices lose the lockstep-wave
+        # amortization), but deal queries round-robin: traversal cost
+        # correlates between neighboring queries, and with one job per
+        # worker the wall time is the slowest slice — interleaving evens
+        # the deal so slice costs concentrate around the mean
+        Q = qmat.shape[0]
+        order = np.argsort(np.arange(Q) % w, kind="stable")
+        bounds = np.linspace(0, Q, w + 1).astype(int)
         jobs = [
-            (qmat[s:e], k, ef, pq is not None, beam_width)
+            (qmat[order[s:e]], k, ef, pq is not None, beam_width)
             for s, e in zip(bounds[:-1], bounds[1:])
             if e > s
         ]
-        parts = pool.map(_fork_search, jobs)
-        return (
-            np.concatenate([p[0] for p in parts], axis=0),
-            np.concatenate([p[1] for p in parts], axis=0),
-        )
+        parts = pool.map(_fork_search, jobs, chunksize=1)
+        inv = np.empty(Q, dtype=np.int64)
+        inv[order] = np.arange(Q)
+        out_id = np.concatenate([p[0] for p in parts], axis=0)[inv]
+        out_d = np.concatenate([p[1] for p in parts], axis=0)[inv]
+        return out_id, out_d
 
     def search(
         self,
