@@ -1,0 +1,371 @@
+"""Optional compiled HNSW traversal kernel (gcc + ctypes).
+
+Why this exists: the reference serves a query as a tight compiled
+best-first loop over an in-memory graph (hnsw_index.rs:258-330); its
+published numbers (BASELINE.md) are ~0.04 ms/query. The lockstep numpy
+kernel in ``beam.py`` amortizes interpreter overhead across a query
+*batch*, but a single query still pays ~100 python-level waves — fine
+for the Spark `mapInPandas` path, hopeless for point-serve latency.
+This module compiles a ~200-line standard HNSW beam search (greedy
+upper-level descent + bounded-pool layer-0 beam, plus the knn_pq
+ADC-steered variant of hnsw_index.rs:672-696) with the system C
+compiler at first use and binds it via ctypes.
+
+Design constraints honored:
+
+- **Optional everywhere.** If no compiler/toolchain is present (or
+  ``SPARK_GRAFT_NO_CKERNEL=1``), ``available()`` is False and every
+  caller falls back to the numpy kernels — same semantics, slower.
+  Executors on a foreign cluster without the cached .so simply compile
+  their own copy (it's one gcc invocation) or fall back.
+- **No external deps.** Only the system compiler and libc; the .so is
+  cached under the user's tmp dir keyed by a hash of the source, so
+  compilation happens once per machine, not per process.
+- **Same contract as the numpy kernel.** Distances use the identical
+  formulas (l2sqr: ``max(x2 + q2 - 2·ip, 0)``; cosine:
+  ``1 - ip / max(|x||q|, 1e-10)``, flat_index.rs:48-57), accumulation
+  is double, ties order by (dist, local id) exactly like
+  ``beam_search_batch``'s final lexsort, and outputs are -1 / inf
+  padded. The ctypes call releases the GIL, so driver-side serving
+  parallelizes with plain threads — no fork pools, no COW traffic.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_C_COMMON = r"""
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+typedef struct { double d; long id; } pair_t;
+
+static int pair_cmp(const void *a, const void *b) {
+    const pair_t *x = (const pair_t *)a, *y = (const pair_t *)b;
+    if (x->d < y->d) return -1;
+    if (x->d > y->d) return 1;
+    if (x->id < y->id) return -1;
+    if (x->id > y->id) return 1;
+    return 0;
+}
+
+/* bounded max-heap (results, worst at root) and min-heap (candidates) */
+static void heap_push(pair_t *h, long *sz, pair_t v, int is_max) {
+    long i = (*sz)++;
+    h[i] = v;
+    while (i > 0) {
+        long p = (i - 1) >> 1;
+        int swap = is_max ? (h[i].d > h[p].d) : (h[i].d < h[p].d);
+        if (!swap) break;
+        pair_t t = h[p]; h[p] = h[i]; h[i] = t;
+        i = p;
+    }
+}
+
+static pair_t heap_pop(pair_t *h, long *sz, int is_max) {
+    pair_t top = h[0];
+    h[0] = h[--(*sz)];
+    long i = 0;
+    for (;;) {
+        long l = 2 * i + 1, r = l + 1, m = i;
+        if (l < *sz && (is_max ? (h[l].d > h[m].d) : (h[l].d < h[m].d))) m = l;
+        if (r < *sz && (is_max ? (h[r].d > h[m].d) : (h[r].d < h[m].d))) m = r;
+        if (m == i) break;
+        pair_t t = h[m]; h[m] = h[i]; h[i] = t;
+        i = m;
+    }
+    return top;
+}
+"""
+
+# Per-dtype implementation; instantiated for float32 and float64 by
+# textual substitution of VT/SUF (a single translation unit holds both).
+_C_IMPL = r"""
+static inline double dot_SUF(const VT *a, const VT *b, int d) {
+    double acc = 0.0;
+    for (int i = 0; i < d; i++) acc += (double)a[i] * (double)b[i];
+    return acc;
+}
+
+/* exact pair distance: same formula family as beam.ExactPairDist */
+static inline double dist_SUF(
+    const VT *vecs, const VT *x2, const VT *xn, int d, int metric,
+    const VT *q, double q2, double qn, long u)
+{
+    double ip = dot_SUF(vecs + (size_t)u * d, q, d);
+    if (metric == 0) {
+        double dd = (double)x2[u] + q2 - 2.0 * ip;
+        return dd > 0.0 ? dd : 0.0;
+    }
+    double denom = (double)xn[u] * qn;
+    if (denom < 1e-10) denom = 1e-10;
+    return 1.0 - ip / denom;
+}
+
+/* ADC pair distance: m lookups summed (pq_table.rs:195-224; l2sqr) */
+static inline double adc_SUF(
+    const unsigned char *codes, const VT *lut_q, int m, int ksub, long u)
+{
+    const unsigned char *cu = codes + (size_t)u * m;
+    double acc = 0.0;
+    for (int g = 0; g < m; g++) acc += (double)lut_q[g * ksub + cu[g]];
+    return acc;
+}
+
+/*
+ * Batched HNSW search, one query at a time inside C.
+ *   metric: 0 = l2sqr, 1 = cosine (xn/qn must be non-NULL for cosine)
+ *   codes/lut: non-NULL => ADC-steered traversal + exact re-rank of the
+ *   ef pool (knn_pq, hnsw_index.rs:672-696 + candidate_pair pq_resort).
+ * Outputs: out_ids (nq x k) local node indices, -1 padded;
+ *          out_d   (nq x k) exact distances, HUGE_VAL padded.
+ * Returns 0 on success, -1 on allocation failure.
+ */
+int hnsw_search_SUF(
+    const VT *vecs, const VT *x2, const VT *xn,
+    long n, int d, int metric,
+    const int *links0, const int *counts0, int cap0,
+    const int *uplinks, const int *upcounts,
+    const long *upoff, const int *upcaps, int nup,
+    long entry, int max_level,
+    const VT *qs, const VT *q2s, const VT *qns, long nq,
+    int k, int ef,
+    const unsigned char *codes, const VT *lut, int m, int ksub,
+    long *out_ids, double *out_d)
+{
+    if (n <= 0 || entry < 0) {
+        for (long i = 0; i < nq * (long)k; i++) { out_ids[i] = -1; out_d[i] = HUGE_VAL; }
+        return 0;
+    }
+    int *visit = (int *)calloc((size_t)n, sizeof(int));
+    pair_t *cand = (pair_t *)malloc(((size_t)n + 1) * sizeof(pair_t));
+    pair_t *res = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    pair_t *fin = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    if (!visit || !cand || !res || !fin) {
+        free(visit); free(cand); free(res); free(fin);
+        return -1;
+    }
+    int epoch = 0;
+    for (long qi = 0; qi < nq; qi++) {
+        const VT *q = qs + (size_t)qi * d;
+        double q2 = (double)q2s[qi];
+        double qn = qns ? (double)qns[qi] : 0.0;
+        const VT *lut_q = lut ? lut + (size_t)qi * m * ksub : 0;
+        if (++epoch == 0x7fffffff) { memset(visit, 0, (size_t)n * sizeof(int)); epoch = 1; }
+
+        /* ---- greedy descent, levels max_level..1 ---- */
+        long cur = entry;
+        double cur_d = lut_q ? adc_SUF(codes, lut_q, m, ksub, cur)
+                             : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, cur);
+        for (int lv = max_level; lv >= 1; lv--) {
+            const int *L = uplinks + upoff[lv - 1];
+            const int *C = upcounts + (size_t)(lv - 1) * n;
+            int cap = upcaps[lv - 1];
+            int improved = 1;
+            while (improved) {
+                improved = 0;
+                int cnt = C[cur];
+                const int *row = L + (size_t)cur * cap;
+                for (int j = 0; j < cnt; j++) {
+                    long v = row[j];
+                    if (v < 0) break;
+                    double dv = lut_q ? adc_SUF(codes, lut_q, m, ksub, v)
+                                      : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, v);
+                    if (dv < cur_d) { cur_d = dv; cur = v; improved = 1; }
+                }
+            }
+        }
+
+        /* ---- layer-0 beam with bounded ef pool ---- */
+        long ncand = 0, nres = 0;
+        visit[cur] = epoch;
+        pair_t seed = { cur_d, cur };
+        heap_push(cand, &ncand, seed, 0);
+        heap_push(res, &nres, seed, 1);
+        while (ncand > 0) {
+            pair_t c = heap_pop(cand, &ncand, 0);
+            if (nres >= ef && c.d > res[0].d) break;
+            int cnt = counts0[c.id];
+            const int *row = links0 + (size_t)c.id * cap0;
+            for (int j = 0; j < cnt; j++) {
+                long v = row[j];
+                if (v < 0) break;
+                if (visit[v] == epoch) continue;
+                visit[v] = epoch;
+                double dv = lut_q ? adc_SUF(codes, lut_q, m, ksub, v)
+                                  : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, v);
+                if (nres < ef || dv < res[0].d) {
+                    pair_t p = { dv, v };
+                    heap_push(cand, &ncand, p, 0);
+                    heap_push(res, &nres, p, 1);
+                    if (nres > ef) heap_pop(res, &nres, 1);
+                }
+            }
+        }
+
+        /* ---- finalize: exact re-rank (ADC) + (dist, id) order ---- */
+        long nf = nres;
+        for (long i = 0; i < nf; i++) {
+            fin[i] = res[i];
+            if (lut_q)
+                fin[i].d = dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, fin[i].id);
+        }
+        nres = 0;
+        qsort(fin, (size_t)nf, sizeof(pair_t), pair_cmp);
+        long *oi = out_ids + (size_t)qi * k;
+        double *od = out_d + (size_t)qi * k;
+        for (int i = 0; i < k; i++) {
+            if (i < nf) { oi[i] = fin[i].id; od[i] = fin[i].d; }
+            else { oi[i] = -1; od[i] = HUGE_VAL; }
+        }
+    }
+    free(visit); free(cand); free(res); free(fin);
+    return 0;
+}
+"""
+
+
+def _source() -> str:
+    return (
+        _C_COMMON
+        + _C_IMPL.replace("VT", "float").replace("SUF", "f32")
+        + _C_IMPL.replace("VT", "double").replace("SUF", "f64")
+    )
+
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _compile() -> ctypes.CDLL | None:
+    src = _source()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}.so")
+    if not os.path.exists(so_path):
+        cfile = so_path[:-3] + ".c"
+        with open(cfile, "w") as f:
+            f.write(src)
+        tmp_so = so_path + f".{os.getpid()}"
+        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", tmp_so, cfile, "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, so_path)  # atomic vs concurrent compilers
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        return ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    for suf, vt in (("f32", ctypes.c_float), ("f64", ctypes.c_double)):
+        fn = getattr(lib, f"hnsw_search_{suf}")
+        vp = ctypes.POINTER(vt)
+        fn.argtypes = [
+            vp, vp, vp,                                   # vecs, x2, xn
+            ctypes.c_long, ctypes.c_int, ctypes.c_int,    # n, d, metric
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_long, ctypes.c_int,                  # entry, max_level
+            vp, vp, vp, ctypes.c_long,                    # qs, q2s, qns, nq
+            ctypes.c_int, ctypes.c_int,                   # k, ef
+            ctypes.c_char_p, vp, ctypes.c_int, ctypes.c_int,  # codes, lut, m, ksub
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+        ]
+        fn.restype = ctypes.c_int
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried or os.environ.get("SPARK_GRAFT_NO_CKERNEL") == "1":
+        return _lib
+    with _lock:
+        if _lib is None and not _tried:
+            lib = _compile()
+            if lib is not None:
+                _bind(lib)
+            _lib = lib
+            _tried = True
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray | None, ctype):
+    if a is None:
+        return None
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def search(
+    vecs: np.ndarray,      # (n, d) contiguous f32/f64
+    x2: np.ndarray,        # (n,) self-dots, same dtype
+    xn: np.ndarray | None,  # (n,) norms (cosine) or None
+    links0: np.ndarray,    # (n, cap0) int32 contiguous
+    counts0: np.ndarray,   # (n,) int32
+    uplinks: np.ndarray,   # concat of levels 1..L link rows, int32
+    upcounts: np.ndarray,  # concat of levels 1..L counts, int32
+    upoff: np.ndarray,     # (L,) int64 offsets into uplinks
+    upcaps: np.ndarray,    # (L,) int32 per-level caps
+    entry: int,
+    max_level: int,
+    metric: str,
+    qs: np.ndarray,        # (nq, d) contiguous, same dtype as vecs
+    k: int,
+    ef: int,
+    codes: np.ndarray | None = None,   # (n, m) uint8 — ADC traversal
+    lut: np.ndarray | None = None,     # (nq, m, ksub), same dtype as vecs
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run the compiled kernel over a query block. Returns
+    (local ids (nq × k) int64, dists (nq × k) float64)."""
+    lib = get_lib()
+    assert lib is not None
+    vt = ctypes.c_float if vecs.dtype == np.float32 else ctypes.c_double
+    fn = getattr(lib, "hnsw_search_f32" if vecs.dtype == np.float32 else "hnsw_search_f64")
+    n, d = vecs.shape
+    nq = qs.shape[0]
+    mnum = 0 if metric == "l2sqr" else 1
+    q2s = np.einsum("ij,ij->i", qs, qs)
+    qns = np.sqrt(q2s) if mnum == 1 else None
+    out_ids = np.empty((nq, k), dtype=np.int64)
+    out_d = np.empty((nq, k), dtype=np.float64)
+    m = ksub = 0
+    codes_p = None
+    lut_p = None
+    if codes is not None and lut is not None:
+        m = codes.shape[1]
+        ksub = lut.shape[2]
+        codes_p = codes.ctypes.data_as(ctypes.c_char_p)
+        lut_p = _ptr(lut, vt)
+    rc = fn(
+        _ptr(vecs, vt), _ptr(x2, vt), _ptr(xn, vt),
+        n, d, mnum,
+        _ptr(links0, ctypes.c_int), _ptr(counts0, ctypes.c_int), links0.shape[1],
+        _ptr(uplinks, ctypes.c_int), _ptr(upcounts, ctypes.c_int),
+        _ptr(upoff, ctypes.c_long), _ptr(upcaps, ctypes.c_int), len(upcaps),
+        int(entry), int(max_level),
+        _ptr(qs, vt), _ptr(q2s.astype(vecs.dtype), vt),
+        _ptr(qns.astype(vecs.dtype) if qns is not None else None, vt), nq,
+        int(k), int(ef),
+        codes_p, lut_p, m, ksub,
+        _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
+    )
+    if rc != 0:
+        raise MemoryError("hnsw C kernel allocation failure")
+    return out_ids, out_d

@@ -400,6 +400,9 @@ class HNSWIndex:
         self._pq_cache: tuple[int, np.ndarray] | None = None
         self._pool = None
         self._pool_key = None
+        # flattened C-contiguous graph views for the compiled kernel
+        # (ckernel.py); built lazily, invalidated by add_batch
+        self._c_state: dict | None = None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -718,6 +721,63 @@ class HNSWIndex:
 
     # ---- search (Q3 + the knn_pq combined path) ---------------------------
 
+    def _c_views(self) -> dict:
+        """Flattened contiguous graph views for the compiled kernel —
+        query-independent, cached until the graph changes."""
+        if self._c_state is None:
+            g = self.graph
+            vecs = np.ascontiguousarray(self.vecs)
+            x2 = np.einsum("ij,ij->i", vecs, vecs)
+            nup = len(g.links) - 1
+            self._c_state = {
+                "vecs": vecs,
+                "x2": x2,
+                "xn": np.sqrt(x2) if self.metric == "cosine" else None,
+                "links0": np.ascontiguousarray(g.links[0], dtype=np.int32),
+                "counts0": np.ascontiguousarray(g.counts[0], dtype=np.int32),
+                "uplinks": (
+                    np.concatenate([np.ascontiguousarray(l, dtype=np.int32).reshape(-1)
+                                    for l in g.links[1:]])
+                    if nup else np.empty(0, dtype=np.int32)
+                ),
+                "upcounts": (
+                    np.concatenate([np.ascontiguousarray(c, dtype=np.int32)
+                                    for c in g.counts[1:]])
+                    if nup else np.empty(0, dtype=np.int32)
+                ),
+                "upoff": np.cumsum(
+                    [0] + [l.size for l in g.links[1:-1]], dtype=np.int64
+                ) if nup else np.empty(0, dtype=np.int64),
+                "upcaps": np.asarray([l.shape[1] for l in g.links[1:]], dtype=np.int32),
+            }
+        return self._c_state
+
+    def _c_search(
+        self, qmat: np.ndarray, k: int, ef: int, adc: ADCPairDist | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Compiled-kernel path of :meth:`_kernel_search` (identical
+        contract: global ids, oracle rounding, -1/inf padding)."""
+        from lab_1806_vec_db_spark.index import ckernel
+
+        st = self._c_views()
+        g = self.graph
+        codes = lut = None
+        if adc is not None:
+            codes = np.ascontiguousarray(adc.codes)
+            lut = np.ascontiguousarray(
+                adc.lut_flat.reshape(qmat.shape[0], adc.m, adc.ksub),
+                dtype=st["vecs"].dtype)
+        pid, pd_ = ckernel.search(
+            st["vecs"], st["x2"], st["xn"],
+            st["links0"], st["counts0"],
+            st["uplinks"], st["upcounts"], st["upoff"], st["upcaps"],
+            g.entry, g.max_level, self.metric,
+            np.ascontiguousarray(qmat, dtype=st["vecs"].dtype),
+            int(k), ef, codes=codes, lut=lut,
+        )
+        gids = np.where(pid >= 0, self.ids[np.clip(pid, 0, None)], -1)
+        return gids, np_round_half_up(pd_)
+
     def _kernel_search(
         self,
         qmat: np.ndarray,
@@ -738,6 +798,12 @@ class HNSWIndex:
         Q = qmat.shape[0]
         k = int(k)
         ef_ = max(int(ef) if ef is not None else 2 * k, k)
+        from lab_1806_vec_db_spark.index import ckernel
+
+        if n > 0 and ckernel.available() and (
+            adc is None or (self.metric == "l2sqr" and adc.sq_flat is None)
+        ):
+            return self._c_search(qmat, k, ef_, adc)
         exact = ExactPairDist(self.vecs, qmat, self.metric)
         pairdist = adc if adc is not None else exact
         out_id = np.full((Q, k), -1, dtype=np.int64)
@@ -863,6 +929,43 @@ class HNSWIndex:
         w = int(workers or os.cpu_count() or 1)
         if w <= 1 or qmat.shape[0] < 4 * w:
             return self.search_many(qmat, k, ef, pq=pq, beam_width=beam_width)
+        from lab_1806_vec_db_spark.index import ckernel
+
+        if ckernel.available() and (
+            pq is None or self.metric == "l2sqr"
+        ):
+            # compiled kernel releases the GIL → plain threads saturate
+            # every core with zero fork/COW traffic or serialization
+            from concurrent.futures import ThreadPoolExecutor
+
+            adc = self.adc_for(pq, qmat) if pq is not None else None
+            if adc is not None and adc.sq_flat is not None:
+                pass  # cosine-ADC needs the numpy path below
+            else:
+                self._c_views()  # build the cached views before fan-out
+                Q = qmat.shape[0]
+                k_ = int(k)
+                ef_ = max(int(ef) if ef is not None else 2 * k_, k_)
+                bounds = np.linspace(0, Q, 4 * w + 1).astype(int)
+                spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+
+                def run_span(span):
+                    s, e = span
+                    sub = None
+                    if adc is not None:
+                        sub = ADCPairDist(
+                            adc.codes,
+                            adc.lut_flat.reshape(Q, adc.m, adc.ksub)[s:e],
+                            None, None,
+                        )
+                    return self._c_search(qmat[s:e], k_, ef_, sub)
+
+                with ThreadPoolExecutor(max_workers=w) as tp:
+                    parts = list(tp.map(run_span, spans))
+                return (
+                    np.concatenate([p[0] for p in parts], axis=0),
+                    np.concatenate([p[1] for p in parts], axis=0),
+                )
         pool = self._ensure_pool(pq, w)
         # one big slice per worker (small slices lose the lockstep-wave
         # amortization), but deal queries round-robin: traversal cost
@@ -1048,5 +1151,6 @@ class HNSWIndex:
             g, vecs, self.metric, np.arange(n_old, n, dtype=np.int64), ef_c, pd_all
         )
         self._pq_cache = None  # aligned codes no longer cover every id
+        self._c_state = None  # flattened views hold the pre-add graph
         self.close_pool()  # forked workers hold the pre-add graph
         self.dirty = True
