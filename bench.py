@@ -337,6 +337,7 @@ def run_matched(spark) -> dict:
                            dtype=np.float32)
     build_sec["hnsw"] = round(time.time() - t0, 1)
 
+    hnsw.search_many_parallel(queries[:128], K, 120, workers=32)  # warm-up
     for ef in (120, 160, 200, 240, 280, 320, 360):
         bw = 4 if ef < 280 else 6  # measured sweet spots (bw=8 over-expands)
         best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
@@ -351,6 +352,7 @@ def run_matched(spark) -> dict:
     build_sec["pq_m320"] = round(time.time() - t0, 1)
 
     # ---- HNSW+PQ combined knn_pq (hnsw_index.rs:672-696) -----------------
+    hnsw.search_many_parallel(queries[:128], K, 160, pq=pq, workers=32)  # warm-up
     for ef in (160, 360):
         bw = 4 if ef < 280 else 6
         best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
@@ -372,14 +374,33 @@ def run_matched(spark) -> dict:
         lut=lut_all, k=K,
     )
 
+    from lab_1806_vec_db_spark.index import ckernel
+
+    st = _FLAT_PQ_STATE
+    cx2 = np.einsum("ij,ij->i", st["base"], st["base"])
+    clut = lut_all.reshape(n_q, pq.m, 1 << pq.n_bits)
+
     def run_flat_pq(ef: int):
+        w = min(32, os.cpu_count() or 1)
+        bounds = np.linspace(0, n_q, 4 * w + 1).astype(int)
+        spans = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+        if ckernel.available():
+            # compiled scan releases the GIL — plain threads, no forks
+            from concurrent.futures import ThreadPoolExecutor
+
+            def span(se):
+                s, e = se
+                ids, _ = ckernel.pq_flat(
+                    st["base"], cx2, codes, clut[s:e],
+                    st["queries"][s:e], K, ef)
+                return ids
+            with ThreadPoolExecutor(max_workers=w) as tp:
+                return np.concatenate(list(tp.map(span, spans)), axis=0)
         import multiprocessing as mp
 
         from lab_1806_vec_db_spark.index.hnsw import _cow_friendly_fork
 
-        w = min(32, os.cpu_count() or 1)
-        bounds = np.linspace(0, n_q, 4 * w + 1).astype(int)
-        jobs = [(int(s), int(e), ef) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+        jobs = [(s, e, ef) for s, e in spans]
         with _cow_friendly_fork():
             pool = mp.get_context("fork").Pool(w)
         try:

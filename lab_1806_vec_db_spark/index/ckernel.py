@@ -110,14 +110,27 @@ static inline double dist_SUF(
     return 1.0 - ip / denom;
 }
 
-/* ADC pair distance: m lookups summed (pq_table.rs:195-224; l2sqr) */
+/* ADC pair distance: m lookups summed (pq_table.rs:195-224; l2sqr).
+ * Four independent accumulators in the LUT's own precision (the
+ * reference's SIMD sums f32) + pointer stride instead of g*ksub:
+ * the lookups are L1-resident, so ILP on the adds is what matters. */
 static inline double adc_SUF(
     const unsigned char *codes, const VT *lut_q, int m, int ksub, long u)
 {
     const unsigned char *cu = codes + (size_t)u * m;
-    double acc = 0.0;
-    for (int g = 0; g < m; g++) acc += (double)lut_q[g * ksub + cu[g]];
-    return acc;
+    const VT *p = lut_q;
+    VT a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+    int g = 0;
+    for (; g + 4 <= m; g += 4) {
+        a0 += p[cu[g]];
+        a1 += p[ksub + cu[g + 1]];
+        a2 += p[2 * ksub + cu[g + 2]];
+        a3 += p[3 * ksub + cu[g + 3]];
+        p += 4 * ksub;
+    }
+    VT acc = (a0 + a1) + (a2 + a3);
+    for (; g < m; g++) { acc += p[cu[g]]; p += ksub; }
+    return (double)acc;
 }
 
 /*
@@ -230,6 +243,56 @@ int hnsw_search_SUF(
     free(visit); free(cand); free(res); free(fin);
     return 0;
 }
+
+/*
+ * Flat ADC scan (Flat+PQ rows of BASELINE.md): per query, ADC-score
+ * every code row (pq_table.rs:239-301), keep the ef best in a bounded
+ * max-heap, exact-re-rank those with full-precision l2sqr distances
+ * (candidate_pair.rs pq_resort), emit top-k in (dist, id) order.
+ */
+int pq_flat_SUF(
+    const VT *vecs, const VT *x2,
+    long n, int d,
+    const unsigned char *codes, const VT *lut, int m, int ksub,
+    const VT *qs, const VT *q2s, long nq,
+    int k, int ef,
+    long *out_ids, double *out_d)
+{
+    pair_t *res = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    pair_t *fin = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    if (!res || !fin) { free(res); free(fin); return -1; }
+    for (long qi = 0; qi < nq; qi++) {
+        const VT *q = qs + (size_t)qi * d;
+        double q2 = (double)q2s[qi];
+        const VT *lut_q = lut + (size_t)qi * m * ksub;
+        long nres = 0;
+        for (long u = 0; u < n; u++) {
+            double dv = adc_SUF(codes, lut_q, m, ksub, u);
+            if (nres < ef) {
+                pair_t p = { dv, u };
+                heap_push(res, &nres, p, 1);
+            } else if (dv < res[0].d) {
+                pair_t p = { dv, u };
+                heap_push(res, &nres, p, 1);
+                heap_pop(res, &nres, 1);
+            }
+        }
+        long nf = nres;
+        for (long i = 0; i < nf; i++) {
+            fin[i] = res[i];
+            fin[i].d = dist_SUF(vecs, x2, 0, d, 0, q, q2, 0.0, fin[i].id);
+        }
+        qsort(fin, (size_t)nf, sizeof(pair_t), pair_cmp);
+        long *oi = out_ids + (size_t)qi * k;
+        double *od = out_d + (size_t)qi * k;
+        for (int i = 0; i < k; i++) {
+            if (i < nf) { oi[i] = fin[i].id; od[i] = fin[i].d; }
+            else { oi[i] = -1; od[i] = HUGE_VAL; }
+        }
+    }
+    free(res); free(fin);
+    return 0;
+}
 """
 
 
@@ -285,6 +348,16 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
         ]
         fn.restype = ctypes.c_int
+        pf = getattr(lib, f"pq_flat_{suf}")
+        pf.argtypes = [
+            vp, vp,                                       # vecs, x2
+            ctypes.c_long, ctypes.c_int,                  # n, d
+            ctypes.c_char_p, vp, ctypes.c_int, ctypes.c_int,  # codes, lut, m, ksub
+            vp, vp, ctypes.c_long,                        # qs, q2s, nq
+            ctypes.c_int, ctypes.c_int,                   # k, ef
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+        ]
+        pf.restype = ctypes.c_int
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -368,4 +441,38 @@ def search(
     )
     if rc != 0:
         raise MemoryError("hnsw C kernel allocation failure")
+    return out_ids, out_d
+
+
+def pq_flat(
+    vecs: np.ndarray,   # (n, d) contiguous f32/f64 — exact re-rank base
+    x2: np.ndarray,     # (n,) self-dots, same dtype
+    codes: np.ndarray,  # (n, m) uint8 unpacked codes
+    lut: np.ndarray,    # (nq, m, ksub), same dtype as vecs
+    qs: np.ndarray,     # (nq, d) contiguous, same dtype
+    k: int,
+    ef: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compiled Flat+PQ search (l2sqr): full ADC scan → top-ef →
+    exact re-rank → top-k. Returns (ids (nq × k), dists (nq × k))."""
+    lib = get_lib()
+    assert lib is not None
+    vt = ctypes.c_float if vecs.dtype == np.float32 else ctypes.c_double
+    fn = getattr(lib, "pq_flat_f32" if vecs.dtype == np.float32 else "pq_flat_f64")
+    n, d = vecs.shape
+    nq = qs.shape[0]
+    m = codes.shape[1]
+    ksub = lut.shape[2]
+    q2s = np.einsum("ij,ij->i", qs, qs).astype(vecs.dtype)
+    out_ids = np.empty((nq, k), dtype=np.int64)
+    out_d = np.empty((nq, k), dtype=np.float64)
+    rc = fn(
+        _ptr(vecs, vt), _ptr(x2, vt), n, d,
+        codes.ctypes.data_as(ctypes.c_char_p), _ptr(lut, vt), m, ksub,
+        _ptr(qs, vt), _ptr(q2s, vt), nq,
+        int(k), min(int(ef), int(n)),
+        _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
+    )
+    if rc != 0:
+        raise MemoryError("pq flat C kernel allocation failure")
     return out_ids, out_d

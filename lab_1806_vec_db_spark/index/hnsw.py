@@ -838,21 +838,29 @@ class HNSWIndex:
         gids = np.where(out_id >= 0, self.ids[np.clip(out_id, 0, None)], -1)
         return gids, np_round_half_up(out_d)
 
-    def adc_for(self, pq, qmat: np.ndarray) -> ADCPairDist:
-        """Per-query-block ADC distance backend for the knn_pq combined
-        path: the PQ codes aligned to this graph's id order (cached —
-        they are query-independent) plus the per-query lookup tensors
-        (pq_table.rs:195-224)."""
-        from lab_1806_vec_db_spark.index.pq import aligned_codes, build_lookup_batch
+    def _codes_for(self, pq) -> np.ndarray:
+        """PQ codes aligned to this graph's id order (cached — they are
+        query-independent; materializing them is a Spark action, so
+        callers must do this once before any thread/fork fan-out)."""
+        from lab_1806_vec_db_spark.index.pq import aligned_codes
 
         if self._pq_cache is None or self._pq_cache[0] != id(pq):
             self._pq_cache = (id(pq), aligned_codes(pq, self.ids))
+        return self._pq_cache[1]
+
+    def adc_for(self, pq, qmat: np.ndarray) -> ADCPairDist:
+        """Per-query-block ADC distance backend for the knn_pq combined
+        path: the aligned codes plus the per-query lookup tensors
+        (pq_table.rs:195-224)."""
+        from lab_1806_vec_db_spark.index.pq import build_lookup_batch
+
+        codes = self._codes_for(pq)
         lut, sq, qn = build_lookup_batch(
             np.asarray(qmat, dtype=np.float64), pq.codebooks, pq.groups,
             pq.n_bits, self.metric,
             dtype=self.vecs.dtype,  # f32 index → f32 serving LUT
         )
-        return ADCPairDist(self._pq_cache[1], lut, sq, qn)
+        return ADCPairDist(codes, lut, sq, qn)
 
     def search_np(
         self, q: np.ndarray, k: int, ef: int | None, pq=None
@@ -935,37 +943,54 @@ class HNSWIndex:
             pq is None or self.metric == "l2sqr"
         ):
             # compiled kernel releases the GIL → plain threads saturate
-            # every core with zero fork/COW traffic or serialization
+            # every core with zero fork/COW traffic or serialization.
+            # Spans are coarse (~2 per worker): per-span python setup
+            # holds the GIL, so fine slicing serializes. The ADC lookup
+            # tensor is built ONCE for the whole block (batched GEMM);
+            # spans take zero-copy slices of it — a per-span LUT build
+            # measured 4× slower end-to-end (320 np.stack/GEMM calls
+            # per span serialize on the GIL).
             from concurrent.futures import ThreadPoolExecutor
 
-            adc = self.adc_for(pq, qmat) if pq is not None else None
-            if adc is not None and adc.sq_flat is not None:
-                pass  # cosine-ADC needs the numpy path below
-            else:
-                self._c_views()  # build the cached views before fan-out
-                Q = qmat.shape[0]
-                k_ = int(k)
-                ef_ = max(int(ef) if ef is not None else 2 * k_, k_)
-                bounds = np.linspace(0, Q, 4 * w + 1).astype(int)
-                spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+            from lab_1806_vec_db_spark.index.pq import lut_span_builder
 
-                def run_span(span):
-                    s, e = span
-                    sub = None
-                    if adc is not None:
-                        sub = ADCPairDist(
-                            adc.codes,
-                            adc.lut_flat.reshape(Q, adc.m, adc.ksub)[s:e],
-                            None, None,
-                        )
-                    return self._c_search(qmat[s:e], k_, ef_, sub)
-
-                with ThreadPoolExecutor(max_workers=w) as tp:
-                    parts = list(tp.map(run_span, spans))
-                return (
-                    np.concatenate([p[0] for p in parts], axis=0),
-                    np.concatenate([p[1] for p in parts], axis=0),
+            adc = None
+            lut_build = None
+            if pq is not None:
+                codes = self._codes_for(pq)
+                lut_build = lut_span_builder(
+                    pq.codebooks, pq.groups, pq.n_bits, self.metric,
+                    dtype=self.vecs.dtype,
                 )
+                if lut_build is None:
+                    # non-uniform regime: one serial batched LUT build
+                    adc = self.adc_for(pq, qmat)
+            self._c_views()  # build the cached views before fan-out
+            Q = qmat.shape[0]
+            k_ = int(k)
+            ef_ = max(int(ef) if ef is not None else 2 * k_, k_)
+            bounds = np.linspace(0, Q, 2 * w + 1).astype(int)
+            spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+            lut3 = (adc.lut_flat.reshape(Q, adc.m, adc.ksub)
+                    if adc is not None else None)
+
+            def run_span(span):
+                s, e = span
+                sub = None
+                if lut_build is not None:
+                    # GEMM + layout copy run here, GIL-released, so the
+                    # LUT cost spreads across the pool
+                    sub = ADCPairDist(codes, lut_build(qmat[s:e]), None, None)
+                elif adc is not None:
+                    sub = ADCPairDist(adc.codes, lut3[s:e], None, None)
+                return self._c_search(qmat[s:e], k_, ef_, sub)
+
+            with ThreadPoolExecutor(max_workers=w) as tp:
+                parts = list(tp.map(run_span, spans))
+            return (
+                np.concatenate([p[0] for p in parts], axis=0),
+                np.concatenate([p[1] for p in parts], axis=0),
+            )
         pool = self._ensure_pool(pq, w)
         # one big slice per worker (small slices lose the lockstep-wave
         # amortization), but deal queries round-robin: traversal cost

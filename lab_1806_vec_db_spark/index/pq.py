@@ -107,30 +107,35 @@ def build_lookup_batch(
     self-dot table (pq_table.rs:131-136). ``dtype=float32`` gives the
     f32 serving regime (half the lookup-table traffic); float64 is the
     oracle-stable default."""
-    qmat = np.asarray(qmat, dtype=np.float64)
-    nq = qmat.shape[0]
+    orig = qmat
+    nq = orig.shape[0]
     m = len(groups)
     ksub = 1 << n_bits
+    uniform = len({size for _, size in groups}) == 1 and m * groups[0][1] == orig.shape[1]
+    if metric == "l2sqr" and uniform and all(cb.shape[0] == ksub for cb in codebooks):
+        # uniform groups (e.g. 960/320 = 3): the whole per-group loop
+        # collapses to one batched norm expansion — (Q,m,1,s) vs
+        # (m,k,s). This is the per-query-block serving hot path of
+        # knn_pq; 320 small numpy calls per block measured slower
+        # than the traversal itself. Everything runs in the requested
+        # serving precision end-to-end (f32 halves the GEMM and copy
+        # traffic; f64 stays the oracle-stable path), and the only
+        # full-size copy is the final (q,m,k) layout materialization.
+        s = groups[0][1]
+        comp = np.float32 if dtype == np.float32 else np.float64
+        qg = np.ascontiguousarray(np.asarray(orig, dtype=comp).reshape(nq, m, s))
+        cbs = np.stack(codebooks, axis=0).astype(comp)  # (m, ksub, s)
+        q2 = np.einsum("qms,qms->qm", qg, qg)
+        c2 = np.einsum("mks,mks->mk", cbs, cbs)
+        ip = np.matmul(qg.transpose(1, 0, 2), cbs.transpose(0, 2, 1))
+        lut_full = q2.T[:, :, None] + c2[:, None, :] - 2.0 * ip  # (m,q,k)
+        np.maximum(lut_full, 0.0, out=lut_full)
+        qnorms = np.sqrt(np.einsum("qm->q", q2, dtype=np.float64))
+        return np.ascontiguousarray(lut_full.transpose(1, 0, 2)), None, qnorms
+    qmat = np.asarray(qmat, dtype=np.float64)
     lut = np.zeros((nq, m, ksub), dtype=dtype)
     qnorms = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
-    uniform = len({size for _, size in groups}) == 1 and m * groups[0][1] == qmat.shape[1]
     if metric == "l2sqr":
-        if uniform and all(cb.shape[0] == ksub for cb in codebooks):
-            # uniform groups (e.g. 960/320 = 3): the whole per-group loop
-            # collapses to one batched norm expansion — (Q,m,1,s) vs
-            # (m,k,s). This is the per-query-block serving hot path of
-            # knn_pq; 320 small numpy calls per block measured slower
-            # than the traversal itself.
-            s = groups[0][1]
-            qg = qmat.reshape(nq, m, s)
-            cbs = np.stack(codebooks, axis=0)  # (m, ksub, s)
-            q2 = np.einsum("qms,qms->qm", qg, qg)
-            c2 = np.einsum("mks,mks->mk", cbs, cbs)
-            ip = np.einsum("qms,mks->qmk", qg, cbs)
-            lut_full = q2[:, :, None] + c2[None, :, :] - 2.0 * ip
-            np.maximum(lut_full, 0.0, out=lut_full)
-            lut[:] = lut_full
-            return lut, None, qnorms
         for gi, (start, size) in enumerate(groups):
             cb = codebooks[gi]
             lut[:, gi, : cb.shape[0]] = _pairwise_dist(
@@ -143,6 +148,47 @@ def build_lookup_batch(
         lut[:, gi, : cb.shape[0]] = qmat[:, start : start + size] @ cb.T
         sq[gi, : cb.shape[0]] = np.einsum("ij,ij->i", cb, cb)
     return lut, sq, qnorms
+
+
+def lut_span_builder(
+    codebooks: list[np.ndarray],
+    groups: list[tuple[int, int]],
+    n_bits: int,
+    metric: str,
+    dtype=np.float64,
+):
+    """Thread-friendly ADC-LUT factory for the uniform-group l2sqr
+    serving regime: hoists the codebook tensor/self-dot prep once, then
+    returns a closure that builds a query-span's (q' × m × 2^b) lookup
+    block with two GIL-releasing numpy calls — so a thread pool can
+    amortize the LUT GEMM across cores instead of paying it serially on
+    the dispatch thread. Returns None when the regime doesn't apply
+    (non-uniform groups, cosine, padded codebooks); callers fall back
+    to :func:`build_lookup_batch`."""
+    m = len(groups)
+    ksub = 1 << n_bits
+    dim = sum(size for _, size in groups)
+    uniform = len({size for _, size in groups}) == 1 and m * groups[0][1] == dim
+    if metric != "l2sqr" or not uniform or not all(
+        cb.shape[0] == ksub for cb in codebooks
+    ):
+        return None
+    s = groups[0][1]
+    comp = np.float32 if dtype == np.float32 else np.float64
+    cbs = np.stack(codebooks, axis=0).astype(comp)  # (m, ksub, s)
+    cbt = np.ascontiguousarray(cbs.transpose(0, 2, 1))  # (m, s, ksub)
+    c2 = np.einsum("mks,mks->mk", cbs, cbs)
+
+    def build(qspan: np.ndarray) -> np.ndarray:
+        nq = qspan.shape[0]
+        qg = np.ascontiguousarray(np.asarray(qspan, dtype=comp).reshape(nq, m, s))
+        q2 = np.einsum("qms,qms->qm", qg, qg)
+        ip = np.matmul(qg.transpose(1, 0, 2), cbt)  # (m, q', ksub)
+        lut_full = q2.T[:, :, None] + c2[:, None, :] - 2.0 * ip
+        np.maximum(lut_full, 0.0, out=lut_full)
+        return np.ascontiguousarray(lut_full.transpose(1, 0, 2))
+
+    return build
 
 
 #: COW state for codebook-fit fork workers
