@@ -6,10 +6,11 @@ published numbers (BASELINE.md) are ~0.04 ms/query. The lockstep numpy
 kernel in ``beam.py`` amortizes interpreter overhead across a query
 *batch*, but a single query still pays ~100 python-level waves — fine
 for the Spark `mapInPandas` path, hopeless for point-serve latency.
-This module compiles a ~200-line standard HNSW beam search (greedy
-upper-level descent + bounded-pool layer-0 beam, plus the knn_pq
-ADC-steered variant of hnsw_index.rs:672-696) with the system C
-compiler at first use and binds it via ctypes.
+This module compiles a ~300-line standard HNSW kernel set (greedy
+upper-level descent + bounded-pool beam, the knn_pq ADC-steered
+variant of hnsw_index.rs:672-696, a flat ADC scan, and the build-time
+multi-level candidate-pool search of hnsw_index.rs:398-442) with the
+system C compiler at first use and binds it via ctypes.
 
 Design constraints honored:
 
@@ -21,13 +22,18 @@ Design constraints honored:
 - **No external deps.** Only the system compiler and libc; the .so is
   cached under the user's tmp dir keyed by a hash of the source, so
   compilation happens once per machine, not per process.
+- **Zero-copy graph access.** Level link/count arrays are passed as
+  per-level pointers, not concatenated copies — the build path calls
+  the kernel on the LIVE graph between chunk applies, and at N=1M a
+  per-chunk concat would copy hundreds of MB.
 - **Same contract as the numpy kernel.** Distances use the identical
   formulas (l2sqr: ``max(x2 + q2 - 2·ip, 0)``; cosine:
   ``1 - ip / max(|x||q|, 1e-10)``, flat_index.rs:48-57), accumulation
-  is double, ties order by (dist, local id) exactly like
-  ``beam_search_batch``'s final lexsort, and outputs are -1 / inf
-  padded. The ctypes call releases the GIL, so driver-side serving
-  parallelizes with plain threads — no fork pools, no COW traffic.
+  is double for exact / LUT-precision for ADC, ties order by
+  (dist, local id) exactly like ``beam_search_batch``'s final lexsort,
+  and outputs are -1 / inf padded. The ctypes calls release the GIL,
+  so driver-side serving and the build candidate phase parallelize
+  with plain threads — no fork pools, no COW traffic.
 """
 
 from __future__ import annotations
@@ -133,21 +139,86 @@ static inline double adc_SUF(
     return (double)acc;
 }
 
+/* query context: exact (vecs/x2/xn/q) or ADC (codes/lut_q) */
+typedef struct {
+    const VT *vecs; const VT *x2; const VT *xn; int d; int metric;
+    const VT *q; double q2; double qn;
+    const unsigned char *codes; const VT *lut_q; int m; int ksub;
+} qctx_SUF;
+
+static inline double qdist_SUF(const qctx_SUF *c, long u) {
+    if (c->lut_q)
+        return adc_SUF(c->codes, c->lut_q, c->m, c->ksub, u);
+    return dist_SUF(c->vecs, c->x2, c->xn, c->d, c->metric,
+                    c->q, c->q2, c->qn, u);
+}
+
+/* greedy hill-climb at one level (hnsw_index.rs:244-256) */
+static void greedy_SUF(
+    const qctx_SUF *qc, const int *L, const int *C, int cap,
+    long *cur, double *cur_d)
+{
+    int improved = 1;
+    while (improved) {
+        improved = 0;
+        int cnt = C[*cur];
+        const int *row = L + (size_t)(*cur) * cap;
+        for (int j = 0; j < cnt; j++) {
+            long v = row[j];
+            if (v < 0) break;
+            double dv = qdist_SUF(qc, v);
+            if (dv < *cur_d) { *cur_d = dv; *cur = v; improved = 1; }
+        }
+    }
+}
+
+/* bounded-ef best-first beam at one level (hnsw_index.rs:258-330);
+ * returns the pool size, pool content unordered in res[] */
+static long beam_SUF(
+    const qctx_SUF *qc, const int *L, const int *C, int cap,
+    long start, double start_d, int ef,
+    int *visit, int epoch, pair_t *cand, pair_t *res)
+{
+    long ncand = 0, nres = 0;
+    visit[start] = epoch;
+    pair_t seed = { start_d, start };
+    heap_push(cand, &ncand, seed, 0);
+    heap_push(res, &nres, seed, 1);
+    while (ncand > 0) {
+        pair_t c = heap_pop(cand, &ncand, 0);
+        if (nres >= ef && c.d > res[0].d) break;
+        int cnt = C[c.id];
+        const int *row = L + (size_t)c.id * cap;
+        for (int j = 0; j < cnt; j++) {
+            long v = row[j];
+            if (v < 0) break;
+            if (visit[v] == epoch) continue;
+            visit[v] = epoch;
+            double dv = qdist_SUF(qc, v);
+            if (nres < ef || dv < res[0].d) {
+                pair_t p = { dv, v };
+                heap_push(cand, &ncand, p, 0);
+                heap_push(res, &nres, p, 1);
+                if (nres > ef) heap_pop(res, &nres, 1);
+            }
+        }
+    }
+    return nres;
+}
+
 /*
  * Batched HNSW search, one query at a time inside C.
- *   metric: 0 = l2sqr, 1 = cosine (xn/qn must be non-NULL for cosine)
+ *   metric: 0 = l2sqr, 1 = cosine (xn/qns must be non-NULL for cosine)
+ *   links/counts: per-level pointers, caps[lv] row width, nlv levels
  *   codes/lut: non-NULL => ADC-steered traversal + exact re-rank of the
  *   ef pool (knn_pq, hnsw_index.rs:672-696 + candidate_pair pq_resort).
  * Outputs: out_ids (nq x k) local node indices, -1 padded;
- *          out_d   (nq x k) exact distances, HUGE_VAL padded.
- * Returns 0 on success, -1 on allocation failure.
+ *          out_d   (nq x k) distances, HUGE_VAL padded.
  */
 int hnsw_search_SUF(
     const VT *vecs, const VT *x2, const VT *xn,
     long n, int d, int metric,
-    const int *links0, const int *counts0, int cap0,
-    const int *uplinks, const int *upcounts,
-    const long *upoff, const int *upcaps, int nup,
+    const int **links, const int **counts, const int *caps, int nlv,
     long entry, int max_level,
     const VT *qs, const VT *q2s, const VT *qns, long nq,
     int k, int ef,
@@ -168,70 +239,24 @@ int hnsw_search_SUF(
     }
     int epoch = 0;
     for (long qi = 0; qi < nq; qi++) {
-        const VT *q = qs + (size_t)qi * d;
-        double q2 = (double)q2s[qi];
-        double qn = qns ? (double)qns[qi] : 0.0;
-        const VT *lut_q = lut ? lut + (size_t)qi * m * ksub : 0;
+        qctx_SUF qc = { vecs, x2, xn, d, metric,
+                        qs + (size_t)qi * d, (double)q2s[qi],
+                        qns ? (double)qns[qi] : 0.0,
+                        codes, lut ? lut + (size_t)qi * m * ksub : 0, m, ksub };
         if (++epoch == 0x7fffffff) { memset(visit, 0, (size_t)n * sizeof(int)); epoch = 1; }
-
-        /* ---- greedy descent, levels max_level..1 ---- */
         long cur = entry;
-        double cur_d = lut_q ? adc_SUF(codes, lut_q, m, ksub, cur)
-                             : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, cur);
-        for (int lv = max_level; lv >= 1; lv--) {
-            const int *L = uplinks + upoff[lv - 1];
-            const int *C = upcounts + (size_t)(lv - 1) * n;
-            int cap = upcaps[lv - 1];
-            int improved = 1;
-            while (improved) {
-                improved = 0;
-                int cnt = C[cur];
-                const int *row = L + (size_t)cur * cap;
-                for (int j = 0; j < cnt; j++) {
-                    long v = row[j];
-                    if (v < 0) break;
-                    double dv = lut_q ? adc_SUF(codes, lut_q, m, ksub, v)
-                                      : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, v);
-                    if (dv < cur_d) { cur_d = dv; cur = v; improved = 1; }
-                }
-            }
-        }
-
-        /* ---- layer-0 beam with bounded ef pool ---- */
-        long ncand = 0, nres = 0;
-        visit[cur] = epoch;
-        pair_t seed = { cur_d, cur };
-        heap_push(cand, &ncand, seed, 0);
-        heap_push(res, &nres, seed, 1);
-        while (ncand > 0) {
-            pair_t c = heap_pop(cand, &ncand, 0);
-            if (nres >= ef && c.d > res[0].d) break;
-            int cnt = counts0[c.id];
-            const int *row = links0 + (size_t)c.id * cap0;
-            for (int j = 0; j < cnt; j++) {
-                long v = row[j];
-                if (v < 0) break;
-                if (visit[v] == epoch) continue;
-                visit[v] = epoch;
-                double dv = lut_q ? adc_SUF(codes, lut_q, m, ksub, v)
-                                  : dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, v);
-                if (nres < ef || dv < res[0].d) {
-                    pair_t p = { dv, v };
-                    heap_push(cand, &ncand, p, 0);
-                    heap_push(res, &nres, p, 1);
-                    if (nres > ef) heap_pop(res, &nres, 1);
-                }
-            }
-        }
-
-        /* ---- finalize: exact re-rank (ADC) + (dist, id) order ---- */
+        double cur_d = qdist_SUF(&qc, cur);
+        for (int lv = max_level; lv >= 1; lv--)
+            greedy_SUF(&qc, links[lv], counts[lv], caps[lv], &cur, &cur_d);
+        long nres = beam_SUF(&qc, links[0], counts[0], caps[0],
+                             cur, cur_d, ef, visit, epoch, cand, res);
         long nf = nres;
         for (long i = 0; i < nf; i++) {
             fin[i] = res[i];
-            if (lut_q)
-                fin[i].d = dist_SUF(vecs, x2, xn, d, metric, q, q2, qn, fin[i].id);
+            if (qc.lut_q)  /* exact re-rank (candidate_pair.rs:102-108) */
+                fin[i].d = dist_SUF(vecs, x2, xn, d, metric,
+                                    qc.q, qc.q2, qc.qn, fin[i].id);
         }
-        nres = 0;
         qsort(fin, (size_t)nf, sizeof(pair_t), pair_cmp);
         long *oi = out_ids + (size_t)qi * k;
         double *od = out_d + (size_t)qi * k;
@@ -241,6 +266,61 @@ int hnsw_search_SUF(
         }
     }
     free(visit); free(cand); free(res); free(fin);
+    return 0;
+}
+
+/*
+ * Build-time candidate pools (hnsw_index.rs:398-442): for each chunk
+ * node (a row of vecs), greedy-descend the levels above its own level,
+ * then run an ef_construction beam at every level at-or-below it,
+ * seeding each level with the previous level's best. Pools land in
+ * (B x nlv x ef) out arrays in (dist, id) ascending order, -1/inf
+ * padded; levels above a node's level stay untouched rows of -1.
+ */
+int hnsw_build_pools_SUF(
+    const VT *vecs, const VT *x2, const VT *xn,
+    long n, int d, int metric,
+    const int **links, const int **counts, const int *caps, int nlv,
+    long entry, int max_level,
+    const long *node_ids, const int *node_levels, long B,
+    int ef,
+    long *out_ids, double *out_d)
+{
+    if (n <= 0 || entry < 0) return 0;
+    int *visit = (int *)calloc((size_t)n, sizeof(int));
+    pair_t *cand = (pair_t *)malloc(((size_t)n + 1) * sizeof(pair_t));
+    pair_t *res = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    if (!visit || !cand || !res) {
+        free(visit); free(cand); free(res);
+        return -1;
+    }
+    int epoch = 0;
+    for (long b = 0; b < B; b++) {
+        long u = node_ids[b];
+        qctx_SUF qc = { vecs, x2, xn, d, metric,
+                        vecs + (size_t)u * d, (double)x2[u],
+                        xn ? (double)xn[u] : 0.0, 0, 0, 0, 0 };
+        long cur = entry;
+        double cur_d = qdist_SUF(&qc, cur);
+        int lv = node_levels[b];
+        for (int L = max_level; L > lv; L--)
+            greedy_SUF(&qc, links[L], counts[L], caps[L], &cur, &cur_d);
+        int top = lv < max_level ? lv : max_level;
+        for (int L = top; L >= 0; L--) {
+            if (++epoch == 0x7fffffff) { memset(visit, 0, (size_t)n * sizeof(int)); epoch = 1; }
+            long nres = beam_SUF(&qc, links[L], counts[L], caps[L],
+                                 cur, cur_d, ef, visit, epoch, cand, res);
+            qsort(res, (size_t)nres, sizeof(pair_t), pair_cmp);
+            long *oi = out_ids + ((size_t)b * nlv + L) * ef;
+            double *od = out_d + ((size_t)b * nlv + L) * ef;
+            for (int i = 0; i < ef; i++) {
+                if (i < nres) { oi[i] = res[i].id; od[i] = res[i].d; }
+                else { oi[i] = -1; od[i] = HUGE_VAL; }
+            }
+            if (nres > 0) { cur = res[0].id; cur_d = res[0].d; }
+        }
+    }
+    free(visit); free(cand); free(res);
     return 0;
 }
 
@@ -331,23 +411,38 @@ def _compile() -> ctypes.CDLL | None:
         return None
 
 
+_PP = ctypes.POINTER(ctypes.POINTER(ctypes.c_int))
+
+
 def _bind(lib: ctypes.CDLL) -> None:
     for suf, vt in (("f32", ctypes.c_float), ("f64", ctypes.c_double)):
-        fn = getattr(lib, f"hnsw_search_{suf}")
         vp = ctypes.POINTER(vt)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lp = ctypes.POINTER(ctypes.c_long)
+        dp = ctypes.POINTER(ctypes.c_double)
+        fn = getattr(lib, f"hnsw_search_{suf}")
         fn.argtypes = [
             vp, vp, vp,                                   # vecs, x2, xn
             ctypes.c_long, ctypes.c_int, ctypes.c_int,    # n, d, metric
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            _PP, _PP, ip, ctypes.c_int,                   # links, counts, caps, nlv
             ctypes.c_long, ctypes.c_int,                  # entry, max_level
             vp, vp, vp, ctypes.c_long,                    # qs, q2s, qns, nq
             ctypes.c_int, ctypes.c_int,                   # k, ef
             ctypes.c_char_p, vp, ctypes.c_int, ctypes.c_int,  # codes, lut, m, ksub
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+            lp, dp,
         ]
         fn.restype = ctypes.c_int
+        bp = getattr(lib, f"hnsw_build_pools_{suf}")
+        bp.argtypes = [
+            vp, vp, vp,
+            ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            _PP, _PP, ip, ctypes.c_int,
+            ctypes.c_long, ctypes.c_int,
+            lp, ip, ctypes.c_long,                        # node_ids, node_levels, B
+            ctypes.c_int,                                 # ef
+            lp, dp,
+        ]
+        bp.restype = ctypes.c_int
         pf = getattr(lib, f"pq_flat_{suf}")
         pf.argtypes = [
             vp, vp,                                       # vecs, x2
@@ -355,7 +450,7 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.c_char_p, vp, ctypes.c_int, ctypes.c_int,  # codes, lut, m, ksub
             vp, vp, ctypes.c_long,                        # qs, q2s, nq
             ctypes.c_int, ctypes.c_int,                   # k, ef
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+            lp, dp,
         ]
         pf.restype = ctypes.c_int
 
@@ -386,16 +481,24 @@ def _ptr(a: np.ndarray | None, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def level_ptrs(arrays: list[np.ndarray]):
+    """Per-level int32 array pointers for the zero-copy graph access.
+    Arrays must be C-contiguous (they are by construction; asserted) —
+    the kernel reads them live, so no copies may be introduced here."""
+    for a in arrays:
+        assert a.dtype == np.int32 and a.flags["C_CONTIGUOUS"]
+    ptrs = (ctypes.POINTER(ctypes.c_int) * len(arrays))(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)) for a in arrays]
+    )
+    return ptrs
+
+
 def search(
     vecs: np.ndarray,      # (n, d) contiguous f32/f64
     x2: np.ndarray,        # (n,) self-dots, same dtype
     xn: np.ndarray | None,  # (n,) norms (cosine) or None
-    links0: np.ndarray,    # (n, cap0) int32 contiguous
-    counts0: np.ndarray,   # (n,) int32
-    uplinks: np.ndarray,   # concat of levels 1..L link rows, int32
-    upcounts: np.ndarray,  # concat of levels 1..L counts, int32
-    upoff: np.ndarray,     # (L,) int64 offsets into uplinks
-    upcaps: np.ndarray,    # (L,) int32 per-level caps
+    links: list[np.ndarray],   # per-level (n, cap) int32
+    counts: list[np.ndarray],  # per-level (n,) int32
     entry: int,
     max_level: int,
     metric: str,
@@ -405,7 +508,7 @@ def search(
     codes: np.ndarray | None = None,   # (n, m) uint8 — ADC traversal
     lut: np.ndarray | None = None,     # (nq, m, ksub), same dtype as vecs
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Run the compiled kernel over a query block. Returns
+    """Run the compiled search over a query block. Returns
     (local ids (nq × k) int64, dists (nq × k) float64)."""
     lib = get_lib()
     assert lib is not None
@@ -414,8 +517,9 @@ def search(
     n, d = vecs.shape
     nq = qs.shape[0]
     mnum = 0 if metric == "l2sqr" else 1
-    q2s = np.einsum("ij,ij->i", qs, qs)
+    q2s = np.einsum("ij,ij->i", qs, qs).astype(vecs.dtype)
     qns = np.sqrt(q2s) if mnum == 1 else None
+    caps = np.asarray([a.shape[1] for a in links], dtype=np.int32)
     out_ids = np.empty((nq, k), dtype=np.int64)
     out_d = np.empty((nq, k), dtype=np.float64)
     m = ksub = 0
@@ -429,18 +533,59 @@ def search(
     rc = fn(
         _ptr(vecs, vt), _ptr(x2, vt), _ptr(xn, vt),
         n, d, mnum,
-        _ptr(links0, ctypes.c_int), _ptr(counts0, ctypes.c_int), links0.shape[1],
-        _ptr(uplinks, ctypes.c_int), _ptr(upcounts, ctypes.c_int),
-        _ptr(upoff, ctypes.c_long), _ptr(upcaps, ctypes.c_int), len(upcaps),
+        level_ptrs(links), level_ptrs(counts), _ptr(caps, ctypes.c_int), len(links),
         int(entry), int(max_level),
-        _ptr(qs, vt), _ptr(q2s.astype(vecs.dtype), vt),
-        _ptr(qns.astype(vecs.dtype) if qns is not None else None, vt), nq,
+        _ptr(qs, vt), _ptr(q2s, vt), _ptr(qns, vt), nq,
         int(k), int(ef),
         codes_p, lut_p, m, ksub,
         _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
     )
     if rc != 0:
         raise MemoryError("hnsw C kernel allocation failure")
+    return out_ids, out_d
+
+
+def build_pools(
+    vecs: np.ndarray,
+    x2: np.ndarray,
+    xn: np.ndarray | None,
+    links: list[np.ndarray],
+    counts: list[np.ndarray],
+    entry: int,
+    max_level: int,
+    metric: str,
+    node_ids: np.ndarray,     # (B,) int64 — chunk nodes (rows of vecs)
+    node_levels: np.ndarray,  # (B,) int32
+    ef: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build-phase candidate pools over the LIVE graph: returns
+    (ids (B × nlv × ef) int64, dists (B × nlv × ef) float64), rows
+    for levels above a node's level filled with -1/inf."""
+    lib = get_lib()
+    assert lib is not None
+    vt = ctypes.c_float if vecs.dtype == np.float32 else ctypes.c_double
+    fn = getattr(
+        lib, "hnsw_build_pools_f32" if vecs.dtype == np.float32 else "hnsw_build_pools_f64")
+    n, d = vecs.shape
+    B = node_ids.shape[0]
+    nlv = len(links)
+    mnum = 0 if metric == "l2sqr" else 1
+    caps = np.asarray([a.shape[1] for a in links], dtype=np.int32)
+    out_ids = np.full((B, nlv, ef), -1, dtype=np.int64)
+    out_d = np.full((B, nlv, ef), np.inf, dtype=np.float64)
+    node_ids = np.ascontiguousarray(node_ids, dtype=np.int64)
+    node_levels = np.ascontiguousarray(node_levels, dtype=np.int32)
+    rc = fn(
+        _ptr(vecs, vt), _ptr(x2, vt), _ptr(xn, vt),
+        n, d, mnum,
+        level_ptrs(links), level_ptrs(counts), _ptr(caps, ctypes.c_int), nlv,
+        int(entry), int(max_level),
+        _ptr(node_ids, ctypes.c_long), _ptr(node_levels, ctypes.c_int), B,
+        int(ef),
+        _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
+    )
+    if rc != 0:
+        raise MemoryError("hnsw build-pools C kernel allocation failure")
     return out_ids, out_d
 
 

@@ -284,6 +284,59 @@ def _fork_candidates(bounds):
     return res
 
 
+def _c_chunk_candidates(
+    g: "_Graph",
+    cvecs: np.ndarray,
+    cx2: np.ndarray,
+    cxn: np.ndarray | None,
+    metric: str,
+    chunk: np.ndarray,
+    ef_c: int,
+    workers: int,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Chunk candidate phase on the compiled kernel: the per-level
+    link/count arrays are passed as LIVE zero-copy pointers (the graph
+    is frozen for the duration of a chunk), the chunk fans out over a
+    plain thread pool (the C call releases the GIL), and the result is
+    the same ``{level: (rows, pool_ids, pool_dists)}`` contract
+    ``_chunk_candidates`` produces — no fork pools, no COW traffic,
+    no per-chunk process spawn."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lab_1806_vec_db_spark.index import ckernel
+
+    nlv = min(len(g.links), g.max_level + 1)
+    links = [np.ascontiguousarray(l, dtype=np.int32) for l in g.links[:nlv]]
+    counts = [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts[:nlv]]
+    chunk = np.ascontiguousarray(chunk, dtype=np.int64)
+    levels = np.ascontiguousarray(g.levels[chunk], dtype=np.int32)
+    B = len(chunk)
+    w = max(1, min(workers, B // 8))
+    bounds = np.linspace(0, B, w + 1).astype(int)
+    spans = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+
+    def run(span):
+        s, e = span
+        return ckernel.build_pools(
+            cvecs, cx2, cxn, links, counts, g.entry, g.max_level, metric,
+            chunk[s:e], levels[s:e], int(ef_c),
+        )
+
+    if len(spans) == 1:
+        parts = [run(spans[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=w) as tp:
+            parts = list(tp.map(run, spans))
+    ids3 = np.concatenate([p[0] for p in parts], axis=0)
+    d3 = np.concatenate([p[1] for p in parts], axis=0)
+    out: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for L in range(nlv):
+        rows = np.nonzero(levels >= L)[0]
+        if rows.size:
+            out[L] = (rows, ids3[rows, L], d3[rows, L])
+    return out
+
+
 def _forked_chunk_links(
     g: "_Graph",
     pd_all,
@@ -501,11 +554,18 @@ class HNSWIndex:
         bc_vecs=None,
     ) -> None:
         """Chunked insert loop shared by build and incremental add."""
+        from lab_1806_vec_db_spark.index import ckernel
+
         n = vecs.shape[0]
         i = 0
         total = len(nodes)
         # node-chunk cap: visited bitmaps (C × n) stay under budget
         mem_cap = max(32, _VISITED_BUDGET // max(n, 1))
+        use_c = spark is None and ckernel.available()
+        if use_c:
+            cvecs = np.ascontiguousarray(vecs)
+            cx2 = np.einsum("ij,ij->i", cvecs, cvecs)
+            cxn = np.sqrt(cx2) if metric == "cosine" else None
         while i < total:
             if g.entry < 0:
                 first = int(nodes[i])
@@ -523,6 +583,11 @@ class HNSWIndex:
             if spark is not None:
                 cands = HNSWIndex._spark_candidates(
                     spark, bc_vecs, metric, g, chunk, ef_c, n
+                )
+                HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
+            elif use_c:
+                cands = _c_chunk_candidates(
+                    g, cvecs, cx2, cxn, metric, chunk, ef_c, workers
                 )
                 HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             elif workers > 1 and C >= 4 * 8:
@@ -640,7 +705,10 @@ class HNSWIndex:
         chunk = np.asarray(chunk, dtype=np.int64)
         Xc = vecs[chunk]
         peer_D = _pairwise_block(Xc[None, :, :], metric)[0]  # (C, C)
-        sels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # forward selection is pure per-row and GEMM-bound (the
+        # candidate↔candidate distance blocks), so fan (level,
+        # row-block) tasks over threads — BLAS releases the GIL
+        tasks: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
         for L, (rows, pid, pdist) in cands.items():
             R = len(rows)
             # peer block: node rows[k] sees peers rows[j], j < k
@@ -650,8 +718,34 @@ class HNSWIndex:
             cat_d = np.concatenate([pdist, pD], axis=1)
             cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
             cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
-            sel_id, sel_d = _forward_select(cat_d, cat_id, vecs, metric, trim, m)
-            sels[L] = (np.asarray(rows, dtype=np.int64), sel_id, sel_d)
+            rows = np.asarray(rows, dtype=np.int64)
+            # ~8 blocks for the big level-0 row set: _forward_select
+            # mixes GEMM (GIL-released) with index ops (GIL-held), so
+            # a handful of coarse blocks wins over full-width fan-out
+            blk = max(64, -(-len(rows) // 8))
+            for s in range(0, len(rows), blk):
+                tasks.append((L, rows[s:s + blk], cat_d[s:s + blk], cat_id[s:s + blk]))
+
+        def run_sel(t):
+            L, rows_b, cd, cid = t
+            sel_id, sel_d = _forward_select(cd, cid, vecs, metric, trim, m)
+            return L, rows_b, sel_id, sel_d
+
+        if len(tasks) > 1 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as tp:
+                done = list(tp.map(run_sel, tasks))
+        else:
+            done = [run_sel(t) for t in tasks]
+        sels: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for L in sorted({t[0] for t in done}):
+            pieces = [t for t in done if t[0] == L]
+            sels[L] = (
+                np.concatenate([p[1] for p in pieces]),
+                np.concatenate([p[2] for p in pieces], axis=0),
+                np.concatenate([p[3] for p in pieces], axis=0),
+            )
         HNSWIndex._apply_selected(g, metric, chunk, sels, pd_all)
 
     @staticmethod
@@ -722,33 +816,20 @@ class HNSWIndex:
     # ---- search (Q3 + the knn_pq combined path) ---------------------------
 
     def _c_views(self) -> dict:
-        """Flattened contiguous graph views for the compiled kernel —
-        query-independent, cached until the graph changes."""
+        """Contiguous graph views for the compiled kernel —
+        query-independent, cached until the graph changes. Link/count
+        arrays are per-level views (zero-copy when already contiguous,
+        which they are by construction)."""
         if self._c_state is None:
             g = self.graph
             vecs = np.ascontiguousarray(self.vecs)
             x2 = np.einsum("ij,ij->i", vecs, vecs)
-            nup = len(g.links) - 1
             self._c_state = {
                 "vecs": vecs,
                 "x2": x2,
                 "xn": np.sqrt(x2) if self.metric == "cosine" else None,
-                "links0": np.ascontiguousarray(g.links[0], dtype=np.int32),
-                "counts0": np.ascontiguousarray(g.counts[0], dtype=np.int32),
-                "uplinks": (
-                    np.concatenate([np.ascontiguousarray(l, dtype=np.int32).reshape(-1)
-                                    for l in g.links[1:]])
-                    if nup else np.empty(0, dtype=np.int32)
-                ),
-                "upcounts": (
-                    np.concatenate([np.ascontiguousarray(c, dtype=np.int32)
-                                    for c in g.counts[1:]])
-                    if nup else np.empty(0, dtype=np.int32)
-                ),
-                "upoff": np.cumsum(
-                    [0] + [l.size for l in g.links[1:-1]], dtype=np.int64
-                ) if nup else np.empty(0, dtype=np.int64),
-                "upcaps": np.asarray([l.shape[1] for l in g.links[1:]], dtype=np.int32),
+                "links": [np.ascontiguousarray(l, dtype=np.int32) for l in g.links],
+                "counts": [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts],
             }
         return self._c_state
 
@@ -769,8 +850,7 @@ class HNSWIndex:
                 dtype=st["vecs"].dtype)
         pid, pd_ = ckernel.search(
             st["vecs"], st["x2"], st["xn"],
-            st["links0"], st["counts0"],
-            st["uplinks"], st["upcounts"], st["upoff"], st["upcaps"],
+            st["links"], st["counts"],
             g.entry, g.max_level, self.metric,
             np.ascontiguousarray(qmat, dtype=st["vecs"].dtype),
             int(k), ef, codes=codes, lut=lut,
