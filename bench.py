@@ -65,26 +65,42 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 MATCHED = os.environ.get("BENCH_MATCHED", "1") != "0"
+MATCHED_N = int(os.environ.get("BENCH_MATCHED_N", "10000"))
 SF_SUITE = os.environ.get("BENCH_SF", "1") != "0"
 GT_DIR = os.environ.get("BENCH_GT_DIR", "/tmp/spark_graft_gt")
 GIST_BASE = "/root/reference/data/gist_1000.bin"
 GIST_TEST = "/root/reference/data/gist_test.bin"
 K = 10
 
-# BASELINE.md rows at N=10k (data/t_bench_1e4.toml): config -> ms/q
-_BASELINE_10K = {
-    ("hnsw", 120): 0.0382,
-    ("hnsw", 160): None,
-    ("hnsw", 200): None,
-    ("hnsw", 240): None,
-    ("hnsw", 280): None,
-    ("hnsw", 320): None,
-    ("hnsw", 360): 0.0816,
-    ("hnsw_pq", 160): 0.0369,
-    ("hnsw_pq", 360): 0.0632,
-    ("flat_pq", 100): 0.1271,
-    ("flat_pq", 200): 0.1360,
+# BASELINE.md rows per scale: (strategy, ef) -> published ms/q
+# N=10k from data/t_bench_1e4.toml, N=1M from data/t_bench.toml
+_BASELINES = {
+    10_000: {
+        ("hnsw", 120): 0.0382,
+        ("hnsw", 360): 0.0816,
+        ("hnsw_pq", 160): 0.0369,
+        ("hnsw_pq", 360): 0.0632,
+        ("flat_pq", 100): 0.1271,
+        ("flat_pq", 200): 0.1360,
+    },
+    1_000_000: {
+        ("hnsw", 120): 0.1535,
+        ("hnsw", 160): 0.1952,
+        ("hnsw", 200): 0.2381,
+        ("hnsw", 240): 0.2762,
+        ("hnsw", 280): 0.3148,
+        ("hnsw", 320): 0.3549,
+        ("hnsw", 360): 0.3930,
+        ("hnsw_pq", 180): 0.0878,
+        ("hnsw_pq", 360): 0.1561,
+        ("hnsw_pq", 600): 0.2502,
+    },
 }
+# per-scale sweep configs: ef points the reference publishes
+_HNSW_PQ_EFS = {10_000: (160, 360), 1_000_000: (180, 360, 600)}
+#: flat ADC scans the whole table per query — published only at 10k
+_FLAT_PQ_EFS = {10_000: (100, 200)}
+_IVF_PROBES = {10_000: (4, 8, 16, 32), 1_000_000: (8, 32)}
 
 
 def _recall(result_rows, gt: dict[int, set[int]]) -> float:
@@ -265,29 +281,50 @@ def _flat_pq_slice(args):
         out[qi - s] = cand[np.argpartition(d, k - 1)[:k]]
     return out
 
-def _gist_matched() -> tuple[np.ndarray, np.ndarray]:
-    """10k × 960 GIST-derived base + the reference's 1,000 test queries.
+def _gist_matched(n_target: int = MATCHED_N) -> tuple[np.ndarray, np.ndarray]:
+    """N × 960 GIST-derived base + the reference's 1,000 test queries.
 
     Only a 1,000-vector GIST sample ships with the reference
-    (data/gist_1000.bin), so the base is that sample tiled ×10 with
-    deterministic gaussian perturbation (σ = 5% of the data std) —
+    (data/gist_1000.bin), so the base is that sample tiled ×(N/1000)
+    with deterministic gaussian perturbation (σ = 5% of the data std) —
     real GIST geometry at the published N. Queries are the actual
     bench query file (data/gist_test.bin)."""
     base1k = np.fromfile(GIST_BASE, dtype=np.float32).reshape(-1, 960).astype(np.float64)
     rng = np.random.default_rng(7)
     scale = 0.05 * base1k.std()
-    reps = [base1k] + [base1k + rng.normal(0, scale, base1k.shape) for _ in range(9)]
+    tiles = max(1, n_target // base1k.shape[0])
+    reps = [base1k] + [
+        base1k + rng.normal(0, scale, base1k.shape) for _ in range(tiles - 1)
+    ]
     base = np.concatenate(reps, axis=0)
     queries = np.fromfile(GIST_TEST, dtype=np.float32).reshape(-1, 960).astype(np.float64)
     return base, queries
 
 
 def _exact_gt(base: np.ndarray, queries: np.ndarray, k: int) -> list[set[int]]:
-    qn = (queries ** 2).sum(1)[:, None]
-    bn = (base ** 2).sum(1)[None, :]
-    d = qn + bn - 2 * queries @ base.T
-    top = np.argpartition(d, k, axis=1)[:, :k]
-    return [set(map(int, row)) for row in top]
+    """Exact top-k ground truth (bin/gen_gnd.rs semantics), blocked over
+    queries and threaded — the GEMM releases the GIL, so this scales to
+    the N=1M regime (a single (Q × N) f64 distance matrix would not)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    comp = np.float64 if base.shape[0] * queries.shape[0] <= 2e7 else np.float32
+    bq = np.ascontiguousarray(base, dtype=comp)
+    qq = np.ascontiguousarray(queries, dtype=comp)
+    bn = np.einsum("ij,ij->i", bq, bq)
+    blocks = [np.arange(s, min(s + 32, len(qq)))
+              for s in range(0, len(qq), 32)]
+
+    def run(idx):
+        # query self-dot omitted: constant per row, argpartition-invariant
+        d = bn[None, :] - 2.0 * (qq[idx] @ bq.T)
+        top = np.argpartition(d, k, axis=1)[:, :k]
+        return [set(map(int, row)) for row in top]
+
+    out: list[set[int]] = []
+    with ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 1)) as tp:
+        for part in tp.map(run, blocks):
+            out.extend(part)
+    return out
 
 
 def _grid_recall(ids: np.ndarray, gt: list[set[int]]) -> float:
@@ -304,9 +341,11 @@ def run_matched(spark) -> dict:
     build_sec: dict[str, float] = {}
     grid: list[dict] = []
 
+    baselines = _BASELINES.get(n, {})
+
     def point(name: str, ef: int, best_sec: float, rec: float, **extra):
         ms_q = best_sec / n_q * 1000.0
-        baseline = _BASELINE_10K.get((name, ef))
+        baseline = baselines.get((name, ef))
         row = {"name": name, "ef": ef,
                "ms_per_query": round(ms_q, 4), "recall_at_10": round(rec, 4)}
         if baseline:
@@ -346,14 +385,16 @@ def run_matched(spark) -> dict:
 
     # ---- PQ m=320 4-bit (config/bench_pq_hnsw.toml:18-24) ----------------
     t0 = time.time()
-    pq = PQTable.train(bdf, dim=dim, m=320, n_bits=4, train_proportion=1.0,
+    # k_means_size=10000 training sample (config/bench_pq_hnsw.toml:22)
+    pq = PQTable.train(bdf, dim=dim, m=320, n_bits=4,
+                       train_proportion=min(1.0, 10_000 / n),
                        vec_col="embedding", id_col="vec_id")
     pq.codes.count()
     build_sec["pq_m320"] = round(time.time() - t0, 1)
 
     # ---- HNSW+PQ combined knn_pq (hnsw_index.rs:672-696) -----------------
     hnsw.search_many_parallel(queries[:128], K, 160, pq=pq, workers=32)  # warm-up
-    for ef in (160, 360):
+    for ef in _HNSW_PQ_EFS.get(n, (160, 360)):
         bw = 4 if ef < 280 else 6
         best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
             queries, K, ef, pq=pq, workers=32, beam_width=bw))
@@ -361,58 +402,59 @@ def run_matched(spark) -> dict:
     hnsw.close_pool()
 
     # ---- Flat+PQ: full ADC scan, top-ef, exact re-rank (the reference's
-    # Flat+PQ rows) — fork-parallel driver serving, per-query scans so
-    # the (n,) score vector stays cache-resident --------------------------
-    codes = aligned_codes(pq, np.arange(n, dtype=np.int64))
-    lut_all, _, _ = build_lookup_batch(queries, pq.codebooks, pq.groups,
-                                       pq.n_bits, "l2sqr", dtype=np.float32)
-    ksub = 1 << pq.n_bits
-    addr = codes.astype(np.int32) + (np.arange(pq.m, dtype=np.int32) * ksub)[None, :]
-    _FLAT_PQ_STATE.update(
-        base=base.astype(np.float32), queries=queries.astype(np.float32),
-        addr=np.ascontiguousarray(addr),
-        lut=lut_all, k=K,
-    )
+    # Flat+PQ rows; published at 10k only — the scan is O(N) per query)
+    flat_efs = _FLAT_PQ_EFS.get(n, ())
+    if flat_efs:
+        codes = aligned_codes(pq, np.arange(n, dtype=np.int64))
+        lut_all, _, _ = build_lookup_batch(queries, pq.codebooks, pq.groups,
+                                           pq.n_bits, "l2sqr", dtype=np.float32)
+        ksub = 1 << pq.n_bits
+        addr = codes.astype(np.int32) + (np.arange(pq.m, dtype=np.int32) * ksub)[None, :]
+        _FLAT_PQ_STATE.update(
+            base=base.astype(np.float32), queries=queries.astype(np.float32),
+            addr=np.ascontiguousarray(addr),
+            lut=lut_all, k=K,
+        )
 
-    from lab_1806_vec_db_spark.index import ckernel
+        from lab_1806_vec_db_spark.index import ckernel
 
-    st = _FLAT_PQ_STATE
-    cx2 = np.einsum("ij,ij->i", st["base"], st["base"])
-    clut = lut_all.reshape(n_q, pq.m, 1 << pq.n_bits)
+        st = _FLAT_PQ_STATE
+        cx2 = np.einsum("ij,ij->i", st["base"], st["base"])
+        clut = lut_all.reshape(n_q, pq.m, 1 << pq.n_bits)
 
-    def run_flat_pq(ef: int):
-        w = min(32, os.cpu_count() or 1)
-        bounds = np.linspace(0, n_q, 4 * w + 1).astype(int)
-        spans = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
-        if ckernel.available():
-            # compiled scan releases the GIL — plain threads, no forks
-            from concurrent.futures import ThreadPoolExecutor
+        def run_flat_pq(ef: int):
+            w = min(32, os.cpu_count() or 1)
+            bounds = np.linspace(0, n_q, 4 * w + 1).astype(int)
+            spans = [(int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+            if ckernel.available():
+                # compiled scan releases the GIL — plain threads, no forks
+                from concurrent.futures import ThreadPoolExecutor
 
-            def span(se):
-                s, e = se
-                ids, _ = ckernel.pq_flat(
-                    st["base"], cx2, codes, clut[s:e],
-                    st["queries"][s:e], K, ef)
-                return ids
-            with ThreadPoolExecutor(max_workers=w) as tp:
-                return np.concatenate(list(tp.map(span, spans)), axis=0)
-        import multiprocessing as mp
+                def span(se):
+                    s, e = se
+                    ids, _ = ckernel.pq_flat(
+                        st["base"], cx2, codes, clut[s:e],
+                        st["queries"][s:e], K, ef)
+                    return ids
+                with ThreadPoolExecutor(max_workers=w) as tp:
+                    return np.concatenate(list(tp.map(span, spans)), axis=0)
+            import multiprocessing as mp
 
-        from lab_1806_vec_db_spark.index.hnsw import _cow_friendly_fork
+            from lab_1806_vec_db_spark.index.hnsw import _cow_friendly_fork
 
-        jobs = [(s, e, ef) for s, e in spans]
-        with _cow_friendly_fork():
-            pool = mp.get_context("fork").Pool(w)
-        try:
-            parts = pool.map(_flat_pq_slice, jobs, chunksize=1)
-        finally:
-            pool.terminate()
-        return np.concatenate(parts, axis=0)
+            jobs = [(s, e, ef) for s, e in spans]
+            with _cow_friendly_fork():
+                pool = mp.get_context("fork").Pool(w)
+            try:
+                parts = pool.map(_flat_pq_slice, jobs, chunksize=1)
+            finally:
+                pool.terminate()
+            return np.concatenate(parts, axis=0)
 
-    for ef in (100, 200):
-        best, ids = _timed(lambda ef=ef: run_flat_pq(ef), runs=max(1, RUNS - 1))
-        point("flat_pq", ef, best, _grid_recall(ids, gt))
-    _FLAT_PQ_STATE.clear()
+        for ef in flat_efs:
+            best, ids = _timed(lambda ef=ef: run_flat_pq(ef), runs=max(1, RUNS - 1))
+            point("flat_pq", ef, best, _grid_recall(ids, gt))
+        _FLAT_PQ_STATE.clear()
 
     # ---- IVF k=128 (config/bench_10000_ivf.toml — no committed reference
     # rows; published here as the partition-pruning curve) ---------------
@@ -428,7 +470,7 @@ def run_matched(spark) -> dict:
     ivf.clustered = ivf.clustered.cache()
     ivf.clustered.count()
     build_sec["ivf_k128"] = round(time.time() - t0, 1)
-    for n_probes in (4, 8, 16, 32):
+    for n_probes in _IVF_PROBES.get(n, (4, 8, 16, 32)):
         def run_ivf_point(n_probes=n_probes):
             return ivf.search_batch(qdf, k=K, n_probes=n_probes,
                                     qvec_col="embedding").collect()

@@ -73,7 +73,7 @@ _VISITED_BUDGET = 256 * 1024 * 1024
 #: build insert-chunk cap: bounds the link phase's quadratic
 #: peer-distance block while keeping enough nodes per chunk to
 #: amortize the candidate-phase kernel launches
-_CHUNK_CAP = 512
+_CHUNK_CAP = int(os.environ.get("SPARK_GRAFT_CHUNK_CAP", "512"))
 
 #: state inherited by fork-pool workers (set immediately before the
 #: pool forks; children snapshot it copy-on-write, so the graph and
@@ -575,7 +575,11 @@ class HNSWIndex:
                 i += 1
                 continue
             built = int(nodes[i])  # nodes are inserted in ascending order
-            C = int(min(total - i, max(32, built // 2), _CHUNK_CAP, mem_cap))
+            # mem_cap bounds the numpy kernel's (C × n) visited bitmaps;
+            # the compiled kernel keeps one n-int visited array per
+            # thread regardless of chunk width, so it skips the cap
+            C = int(min(total - i, max(32, built // 2), _CHUNK_CAP,
+                        total if use_c else mem_cap))
             chunk = nodes[i : i + C]
             top_chunk = int(g.levels[chunk].max())
             g.ensure_level(max(top_chunk, g.max_level), n)
