@@ -74,3 +74,17 @@ def test_single_query_and_threaded_match_batch(emb):
     tid, td = idx.search_many_parallel(qmat, 10, 100, workers=8)
     assert np.array_equal(tid, bid)
     assert np.allclose(td, bd)
+
+
+def test_threaded_adc_matches_batch(emb):
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=8, ef_construction=60, seed=11)
+    pq = PQTable.train(emb, dim=64, m=16, n_bits=4, train_proportion=0.5,
+                       vec_col="embedding", id_col="vec_id", seed=5)
+    pq.codes.count()
+    rng = np.random.default_rng(9)
+    qmat = rng.normal(size=(64, 64))
+    bid, bd = idx.search_many(qmat, 10, 150, pq=pq)
+    tid, td = idx.search_many_parallel(qmat, 10, 150, pq=pq, workers=8)
+    assert np.array_equal(tid, bid)
+    assert np.allclose(td, bd)
