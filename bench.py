@@ -356,14 +356,43 @@ def run_matched(spark) -> dict:
 
     # base table as a DataFrame: the indexes are built through the same
     # public API the sf-suite uses (build collects + trains distributedly).
-    # Arrow path: a pandas frame of ndarray rows ships zero boxed floats
-    # and leaves the driver heap fork-friendly (see hnsw._cow_friendly_fork)
     import pandas as _pd
 
-    bpdf = _pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
-                          "embedding": list(base)})
-    bdf = spark.createDataFrame(bpdf, schema="vec_id long, embedding array<double>")
-    del bpdf
+    if n <= 200_000:
+        # Arrow path: a pandas frame of ndarray rows ships zero boxed
+        # floats and leaves the driver heap fork-friendly
+        bpdf = _pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                              "embedding": list(base)})
+        bdf = spark.createDataFrame(bpdf, schema="vec_id long, embedding array<double>")
+        del bpdf
+    else:
+        # local-mode createDataFrame serializes the whole dataset into
+        # the job binary (OOMs the driver JVM at N=1M); stage through a
+        # cached parquet file instead — also how a real deployment
+        # would ingest a multi-GB table
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        ppath = os.path.join(GT_DIR, f"matched_base_{n}.parquet")
+        if not os.path.exists(ppath):
+            os.makedirs(GT_DIR, exist_ok=True)
+            tmp = ppath + ".tmp"
+            writer = None
+            step = 50_000
+            for s in range(0, n, step):
+                blk = base[s:s + step]
+                tbl = pa.table({
+                    "vec_id": pa.array(np.arange(s, s + blk.shape[0]), type=pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(blk.reshape(-1)), blk.shape[1]
+                    ).cast(pa.list_(pa.float64())),
+                })
+                if writer is None:
+                    writer = pq_.ParquetWriter(tmp, tbl.schema)
+                writer.write_table(tbl)
+            writer.close()
+            os.replace(tmp, ppath)
+        bdf = spark.read.parquet(ppath)
     bdf = bdf.coalesce(32).cache()
     bdf.count()
 

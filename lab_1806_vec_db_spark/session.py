@@ -60,6 +60,11 @@ def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Arrow collects of whole vector tables (index builds) exceed the
+        # 1g default; single-box harness default is generous, cluster
+        # deploys override (0 = unlimited)
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
