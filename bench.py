@@ -285,17 +285,26 @@ def _gist_matched(n_target: int = MATCHED_N) -> tuple[np.ndarray, np.ndarray]:
     """N × 960 GIST-derived base + the reference's 1,000 test queries.
 
     Only a 1,000-vector GIST sample ships with the reference
-    (data/gist_1000.bin), so the base is that sample tiled ×(N/1000)
-    with deterministic gaussian perturbation (σ = 5% of the data std) —
-    real GIST geometry at the published N. Queries are the actual
-    bench query file (data/gist_test.bin)."""
+    (data/gist_1000.bin), so the base is densified to N by convex
+    interpolation between random sample pairs plus small gaussian noise
+    (σ = 5% of the data std) — GIST covariance geometry at the
+    published N with a smooth distance distribution. (A tiled-copy
+    scheme was tried first and is pathological: thousands-deep
+    near-duplicate clusters collapse HNSW's diversity heuristic to
+    degree ~2 — a regime real GIST never exhibits.) Queries are the
+    actual bench query file (data/gist_test.bin)."""
     base1k = np.fromfile(GIST_BASE, dtype=np.float32).reshape(-1, 960).astype(np.float64)
+    s = base1k.shape[0]
     rng = np.random.default_rng(7)
     scale = 0.05 * base1k.std()
-    tiles = max(1, n_target // base1k.shape[0])
-    reps = [base1k] + [
-        base1k + rng.normal(0, scale, base1k.shape) for _ in range(tiles - 1)
-    ]
+    tiles = max(1, n_target // s)
+    reps = [base1k]
+    for _ in range(tiles - 1):
+        i = rng.integers(0, s, size=s)
+        j = rng.integers(0, s, size=s)
+        a = rng.uniform(0.0, 1.0, size=(s, 1))
+        reps.append(a * base1k[i] + (1.0 - a) * base1k[j]
+                    + rng.normal(0, scale, base1k.shape))
     base = np.concatenate(reps, axis=0)
     queries = np.fromfile(GIST_TEST, dtype=np.float32).reshape(-1, 960).astype(np.float64)
     return base, queries
@@ -373,7 +382,8 @@ def run_matched(spark) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq_
 
-        ppath = os.path.join(GT_DIR, f"matched_base_{n}.parquet")
+        # v2: interpolation-densified generator (cache key tracks it)
+        ppath = os.path.join(GT_DIR, f"matched_base_{n}_v2.parquet")
         if not os.path.exists(ppath):
             os.makedirs(GT_DIR, exist_ok=True)
             tmp = ppath + ".tmp"
