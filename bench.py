@@ -24,10 +24,19 @@ Method notes (honest-measurement contract):
   sf-suite ground truth is persisted to Parquet and reloaded
   (candidate_pair.rs:176-191 GroundTruth save/load) so repeat runs
   skip the exact scan;
-- matched-scale serving runs the driver-side fork-pool kernel
+- matched-scale serving runs the driver-side threaded compiled kernel
   (`search_many_parallel`) — the same regime the reference benches
   (rayon par_iter over in-memory queries, examples/bench.rs -t);
   timing is best of BENCH_RUNS after a warm-up run;
+- data caveat at BENCH_MATCHED_N=1M: only 1,000 public GIST rows ship
+  with the reference, so the densified base is a 1k-anchor mixture —
+  near-tie density around each anchor makes recall@10 strictly harder
+  than real GIST-1M at the same ef (measured: equal id- and
+  distance-based recall, so it is genuine data hardness, not tie
+  artifacts). Grid rows carry the baseline's recall alongside ours so
+  both sides of the tradeoff are visible; the N=10k grid, where our
+  recall exceeds the baseline's at every point, is the primary
+  apples-to-apples comparison;
 - the IVF grid points go through the Spark `search_batch` path, so
   they carry per-job scheduling overhead the driver-side points
   don't — reported as measured;
@@ -72,28 +81,28 @@ GIST_BASE = "/root/reference/data/gist_1000.bin"
 GIST_TEST = "/root/reference/data/gist_test.bin"
 K = 10
 
-# BASELINE.md rows per scale: (strategy, ef) -> published ms/q
+# BASELINE.md rows per scale: (strategy, ef) -> (published ms/q, recall)
 # N=10k from data/t_bench_1e4.toml, N=1M from data/t_bench.toml
 _BASELINES = {
     10_000: {
-        ("hnsw", 120): 0.0382,
-        ("hnsw", 360): 0.0816,
-        ("hnsw_pq", 160): 0.0369,
-        ("hnsw_pq", 360): 0.0632,
-        ("flat_pq", 100): 0.1271,
-        ("flat_pq", 200): 0.1360,
+        ("hnsw", 120): (0.0382, 0.9927),
+        ("hnsw", 360): (0.0816, 0.9990),
+        ("hnsw_pq", 160): (0.0369, 0.9930),
+        ("hnsw_pq", 360): (0.0632, 0.9989),
+        ("flat_pq", 100): (0.1271, 0.9915),
+        ("flat_pq", 200): (0.1360, 0.9997),
     },
     1_000_000: {
-        ("hnsw", 120): 0.1535,
-        ("hnsw", 160): 0.1952,
-        ("hnsw", 200): 0.2381,
-        ("hnsw", 240): 0.2762,
-        ("hnsw", 280): 0.3148,
-        ("hnsw", 320): 0.3549,
-        ("hnsw", 360): 0.3930,
-        ("hnsw_pq", 180): 0.0878,
-        ("hnsw_pq", 360): 0.1561,
-        ("hnsw_pq", 600): 0.2502,
+        ("hnsw", 120): (0.1535, 0.8504),
+        ("hnsw", 160): (0.1952, 0.8837),
+        ("hnsw", 200): (0.2381, 0.9051),
+        ("hnsw", 240): (0.2762, 0.9211),
+        ("hnsw", 280): (0.3148, 0.9336),
+        ("hnsw", 320): (0.3549, 0.9424),
+        ("hnsw", 360): (0.3930, 0.9488),
+        ("hnsw_pq", 180): (0.0878, 0.8584),
+        ("hnsw_pq", 360): (0.1561, 0.9271),
+        ("hnsw_pq", 600): (0.2502, 0.9522),
     },
 }
 # per-scale sweep configs: ef points the reference publishes
@@ -298,10 +307,17 @@ def _gist_matched(n_target: int = MATCHED_N) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(7)
     scale = 0.05 * base1k.std()
     tiles = max(1, n_target // s)
+    # interpolate only between NEIGHBORING sample pairs: convex combos
+    # of random far pairs in 960-dim shrink toward the centroid and
+    # become universal "hub" neighbors (distance concentration), which
+    # real GIST doesn't have; local interpolation stays on the manifold
+    n2 = np.einsum("ij,ij->i", base1k, base1k)
+    dmat = n2[:, None] + n2[None, :] - 2.0 * (base1k @ base1k.T)
+    nbr = np.argsort(dmat, axis=1)[:, 1:21]  # 20-NN per sample row
     reps = [base1k]
     for _ in range(tiles - 1):
         i = rng.integers(0, s, size=s)
-        j = rng.integers(0, s, size=s)
+        j = nbr[i, rng.integers(0, nbr.shape[1], size=s)]
         a = rng.uniform(0.0, 1.0, size=(s, 1))
         reps.append(a * base1k[i] + (1.0 - a) * base1k[j]
                     + rng.normal(0, scale, base1k.shape))
@@ -358,8 +374,9 @@ def run_matched(spark) -> dict:
         row = {"name": name, "ef": ef,
                "ms_per_query": round(ms_q, 4), "recall_at_10": round(rec, 4)}
         if baseline:
-            row["baseline_ms_per_query"] = baseline
-            row["ratio_vs_baseline"] = round(ms_q / baseline, 2)
+            row["baseline_ms_per_query"] = baseline[0]
+            row["baseline_recall_at_10"] = baseline[1]
+            row["ratio_vs_baseline"] = round(ms_q / baseline[0], 2)
         row.update(extra)
         grid.append(row)
 
@@ -382,8 +399,8 @@ def run_matched(spark) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq_
 
-        # v2: interpolation-densified generator (cache key tracks it)
-        ppath = os.path.join(GT_DIR, f"matched_base_{n}_v2.parquet")
+        # v3: neighbor-pair interpolation generator (cache key tracks it)
+        ppath = os.path.join(GT_DIR, f"matched_base_{n}_v3.parquet")
         if not os.path.exists(ppath):
             os.makedirs(GT_DIR, exist_ok=True)
             tmp = ppath + ".tmp"
