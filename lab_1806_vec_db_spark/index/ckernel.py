@@ -493,6 +493,75 @@ def level_ptrs(arrays: list[np.ndarray]):
     return ptrs
 
 
+class SearchCtx:
+    """Prepared serve context for one (graph, vectors) snapshot: the
+    query-independent ctypes argument prefix (data/graph pointers,
+    caps, entry) is built once; each search only marshals the query
+    block and output buffers. This is what makes single-query
+    point-serve latency kernel-bound instead of wrapper-bound."""
+
+    def __init__(
+        self,
+        vecs: np.ndarray,
+        x2: np.ndarray,
+        xn: np.ndarray | None,
+        links: list[np.ndarray],
+        counts: list[np.ndarray],
+        entry: int,
+        max_level: int,
+        metric: str,
+    ) -> None:
+        lib = get_lib()
+        assert lib is not None
+        f32 = vecs.dtype == np.float32
+        self.dtype = vecs.dtype
+        self._vt = ctypes.c_float if f32 else ctypes.c_double
+        self._fn = getattr(lib, "hnsw_search_f32" if f32 else "hnsw_search_f64")
+        self.metric = metric
+        self._mnum = 0 if metric == "l2sqr" else 1
+        caps = np.asarray([a.shape[1] for a in links], dtype=np.int32)
+        # keep every array referenced for the pointers' lifetime
+        self._keep = (vecs, x2, xn, list(links), list(counts), caps)
+        self._head = (
+            _ptr(vecs, self._vt), _ptr(x2, self._vt), _ptr(xn, self._vt),
+            vecs.shape[0], vecs.shape[1], self._mnum,
+            level_ptrs(links), level_ptrs(counts),
+            _ptr(caps, ctypes.c_int), len(links),
+            int(entry), int(max_level),
+        )
+
+    def search(
+        self,
+        qs: np.ndarray,
+        k: int,
+        ef: int,
+        codes: np.ndarray | None = None,
+        lut: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        nq = qs.shape[0]
+        q2s = np.einsum("ij,ij->i", qs, qs).astype(self.dtype, copy=False)
+        qns = np.sqrt(q2s) if self._mnum == 1 else None
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_d = np.empty((nq, k), dtype=np.float64)
+        m = ksub = 0
+        codes_p = lut_p = None
+        if codes is not None and lut is not None:
+            m = codes.shape[1]
+            ksub = lut.shape[2]
+            codes_p = codes.ctypes.data_as(ctypes.c_char_p)
+            lut_p = _ptr(lut, self._vt)
+        rc = self._fn(
+            *self._head,
+            _ptr(qs, self._vt), _ptr(q2s, self._vt), _ptr(qns, self._vt), nq,
+            int(k), int(ef),
+            codes_p, lut_p, m, ksub,
+            _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
+        )
+        if rc != 0:
+            raise MemoryError("hnsw C kernel allocation failure")
+        return out_ids, out_d
+
+
 def search(
     vecs: np.ndarray,      # (n, d) contiguous f32/f64
     x2: np.ndarray,        # (n,) self-dots, same dtype
@@ -508,41 +577,9 @@ def search(
     codes: np.ndarray | None = None,   # (n, m) uint8 — ADC traversal
     lut: np.ndarray | None = None,     # (nq, m, ksub), same dtype as vecs
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Run the compiled search over a query block. Returns
-    (local ids (nq × k) int64, dists (nq × k) float64)."""
-    lib = get_lib()
-    assert lib is not None
-    vt = ctypes.c_float if vecs.dtype == np.float32 else ctypes.c_double
-    fn = getattr(lib, "hnsw_search_f32" if vecs.dtype == np.float32 else "hnsw_search_f64")
-    n, d = vecs.shape
-    nq = qs.shape[0]
-    mnum = 0 if metric == "l2sqr" else 1
-    q2s = np.einsum("ij,ij->i", qs, qs).astype(vecs.dtype)
-    qns = np.sqrt(q2s) if mnum == 1 else None
-    caps = np.asarray([a.shape[1] for a in links], dtype=np.int32)
-    out_ids = np.empty((nq, k), dtype=np.int64)
-    out_d = np.empty((nq, k), dtype=np.float64)
-    m = ksub = 0
-    codes_p = None
-    lut_p = None
-    if codes is not None and lut is not None:
-        m = codes.shape[1]
-        ksub = lut.shape[2]
-        codes_p = codes.ctypes.data_as(ctypes.c_char_p)
-        lut_p = _ptr(lut, vt)
-    rc = fn(
-        _ptr(vecs, vt), _ptr(x2, vt), _ptr(xn, vt),
-        n, d, mnum,
-        level_ptrs(links), level_ptrs(counts), _ptr(caps, ctypes.c_int), len(links),
-        int(entry), int(max_level),
-        _ptr(qs, vt), _ptr(q2s, vt), _ptr(qns, vt), nq,
-        int(k), int(ef),
-        codes_p, lut_p, m, ksub,
-        _ptr(out_ids, ctypes.c_long), _ptr(out_d, ctypes.c_double),
-    )
-    if rc != 0:
-        raise MemoryError("hnsw C kernel allocation failure")
-    return out_ids, out_d
+    """One-shot form of :class:`SearchCtx` (context built per call)."""
+    ctx = SearchCtx(vecs, x2, xn, links, counts, entry, max_level, metric)
+    return ctx.search(qs, k, ef, codes=codes, lut=lut)
 
 
 def build_pools(

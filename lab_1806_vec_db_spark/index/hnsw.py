@@ -825,15 +825,24 @@ class HNSWIndex:
         arrays are per-level views (zero-copy when already contiguous,
         which they are by construction)."""
         if self._c_state is None:
+            from lab_1806_vec_db_spark.index import ckernel
+
             g = self.graph
             vecs = np.ascontiguousarray(self.vecs)
             x2 = np.einsum("ij,ij->i", vecs, vecs)
+            xn = np.sqrt(x2) if self.metric == "cosine" else None
+            links = [np.ascontiguousarray(l, dtype=np.int32) for l in g.links]
+            counts = [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts]
             self._c_state = {
                 "vecs": vecs,
                 "x2": x2,
-                "xn": np.sqrt(x2) if self.metric == "cosine" else None,
-                "links": [np.ascontiguousarray(l, dtype=np.int32) for l in g.links],
-                "counts": [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts],
+                "xn": xn,
+                "links": links,
+                "counts": counts,
+                "ctx": ckernel.SearchCtx(
+                    vecs, x2, xn, links, counts,
+                    g.entry, g.max_level, self.metric,
+                ),
             }
         return self._c_state
 
@@ -842,20 +851,15 @@ class HNSWIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Compiled-kernel path of :meth:`_kernel_search` (identical
         contract: global ids, oracle rounding, -1/inf padding)."""
-        from lab_1806_vec_db_spark.index import ckernel
-
         st = self._c_views()
-        g = self.graph
+        ctx = st["ctx"]
         codes = lut = None
         if adc is not None:
             codes = np.ascontiguousarray(adc.codes)
             lut = np.ascontiguousarray(
                 adc.lut_flat.reshape(qmat.shape[0], adc.m, adc.ksub),
                 dtype=st["vecs"].dtype)
-        pid, pd_ = ckernel.search(
-            st["vecs"], st["x2"], st["xn"],
-            st["links"], st["counts"],
-            g.entry, g.max_level, self.metric,
+        pid, pd_ = ctx.search(
             np.ascontiguousarray(qmat, dtype=st["vecs"].dtype),
             int(k), ef, codes=codes, lut=lut,
         )
