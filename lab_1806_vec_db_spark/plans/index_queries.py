@@ -192,6 +192,34 @@ def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=10, ef=200)
 
 
+@register("knn_hnsw_pq", _FLAT_L2_ORACLE)
+def knn_hnsw_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined knn_pq path (hnsw_index.rs:672-696, dispatch rule
+    metadata_vec_table.rs:201-205): PQ ADC distances steer the HNSW
+    traversal, the ef pool is exact-re-ranked (candidate_pair.rs
+    pq_resort). At ef ≥ table size the pool is the full reachable set,
+    so the re-rank makes the result flat-equal regardless of how
+    coarse the (deterministic, first-16-rows) codebooks are."""
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    emb = _emb(spark, sf_dir).cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    crows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    pq.codes = pq.encode_df(emb)
+    qv = _query_vec(spark, sf_dir)
+    ids, dists = idx.search_np(np.asarray([float(x) for x in qv]), 10, 600, pq=pq)
+    rows = sorted(
+        ((int(i), float(d)) for i, d in zip(ids, dists)), key=lambda t: (t[1], t[0])
+    )
+    return spark.createDataFrame(rows, "vec_id long, dist double")
+
+
 _CENTROIDS_SQL = f"""c AS (
   SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 8)"""
 
