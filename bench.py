@@ -78,7 +78,7 @@ from lab_1806_vec_db_spark.session import get_spark, read_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 MATCHED = os.environ.get("BENCH_MATCHED", "1") != "0"
 MATCHED_N = int(os.environ.get("BENCH_MATCHED_N", "10000"))
 SF_SUITE = os.environ.get("BENCH_SF", "1") != "0"
