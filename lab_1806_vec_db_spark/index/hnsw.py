@@ -1057,7 +1057,13 @@ class HNSWIndex:
             Q = qmat.shape[0]
             k_ = int(k)
             ef_ = max(int(ef) if ef is not None else 2 * k_, k_)
-            bounds = np.linspace(0, Q, 2 * w + 1).astype(int)
+            # ADC spans carry a per-span LUT build (GIL-held numpy set-up
+            # between the GIL-released GEMM/traversal), so one span per
+            # worker minimizes the serialized fraction — measured 38.9 ms
+            # vs 54.2 ms for 2/worker at Q=1000. The exact path has no
+            # per-span set-up and is bandwidth-bound; 2/worker balances.
+            nspans = w if pq is not None else 2 * w
+            bounds = np.linspace(0, Q, nspans + 1).astype(int)
             spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
             lut3 = (adc.lut_flat.reshape(Q, adc.m, adc.ksub)
                     if adc is not None else None)
