@@ -549,6 +549,44 @@ def run_matched(spark) -> dict:
     bdf.unpersist()
     qdf.unpersist()
     gated = [g["ratio_vs_baseline"] for g in grid if "ratio_vs_baseline" in g]
+
+    # ---- recall-honest comparison: interpolate OUR ms/q curve to the
+    # baseline's recall per published row. A matched-ef ratio where our
+    # recall is 20-40 points below the baseline's (the N=1M regime) is
+    # not a comparable operating point; this one is. When our sweep
+    # never reaches the baseline's recall, say so (reachable=false)
+    # instead of printing a flattering sub-1x ratio.
+    curves: dict[str, list[tuple[float, float]]] = {}
+    for g in grid:
+        curves.setdefault(g["name"], []).append(
+            (g["recall_at_10"], g["ms_per_query"])
+        )
+
+    def _ms_at_recall(name: str, target: float) -> float | None:
+        pts = sorted(curves.get(name, []))
+        if not pts or pts[-1][0] < target:
+            return None
+        for i, (r, m) in enumerate(pts):
+            if r >= target:
+                if i == 0 or pts[i - 1][0] >= r:
+                    return m
+                r0, m0 = pts[i - 1]
+                return m0 + (target - r0) / (r - r0) * (m - m0)
+        return None
+
+    matched_recall = []
+    for g in grid:
+        if "baseline_ms_per_query" not in g:
+            continue
+        ms_i = _ms_at_recall(g["name"], g["baseline_recall_at_10"])
+        if ms_i is None:
+            g["ratio_at_matched_recall"] = None
+            g["matched_recall_reachable"] = False
+        else:
+            g["ratio_at_matched_recall"] = round(ms_i / g["baseline_ms_per_query"], 2)
+            g["matched_recall_reachable"] = True
+            matched_recall.append(g["ratio_at_matched_recall"])
+
     return {
         "n": n, "dim": dim, "n_queries": n_q, "k": K,
         "source": "gist_1000.bin tiled x10 + gaussian(sigma=0.05*std), queries=gist_test.bin",
@@ -556,6 +594,13 @@ def run_matched(spark) -> dict:
         "grid": grid,
         "best_ratio_vs_baseline": min(gated) if gated else None,
         "median_ratio_vs_baseline": round(float(np.median(gated)), 2) if gated else None,
+        "best_ratio_at_matched_recall": min(matched_recall) if matched_recall else None,
+        "median_ratio_at_matched_recall": (
+            round(float(np.median(matched_recall)), 2) if matched_recall else None
+        ),
+        "n_baseline_rows_unreachable": sum(
+            1 for g in grid if g.get("matched_recall_reachable") is False
+        ),
     }
 
 
@@ -568,7 +613,44 @@ def main() -> None:
                "queries": {}, "sf": -1.0}
     if MATCHED:
         out["matched"] = run_matched(spark)
+    # Full result → repo file: the harness keeps only a ~2000-char tail
+    # of stdout, which truncated the full JSON line in earlier rounds
+    # ("parsed": null in BENCH_r03/r04).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
+    # LAST stdout line: a compact summary guaranteed to fit inside the
+    # tail window, so the driver's parse always succeeds.
+    compact = {
+        "metric": out["metric"], "value": out["value"], "unit": out["unit"],
+        "queries": out["queries"], "sf": out["sf"],
+        "ms_per_query": out.get("ms_per_query"),
+        "recall_at_10": out.get("recall_at_10"),
+        "full": "BENCH_FULL.json",
+    }
+    m = out.get("matched")
+    if m:
+        compact["matched"] = {
+            "n": m.get("n"), "dim": m.get("dim"),
+            "best_ratio_vs_baseline": m.get("best_ratio_vs_baseline"),
+            "median_ratio_vs_baseline": m.get("median_ratio_vs_baseline"),
+            "best_ratio_at_matched_recall": m.get("best_ratio_at_matched_recall"),
+            "median_ratio_at_matched_recall": m.get("median_ratio_at_matched_recall"),
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and any(
+        compact.get(k) for k in ("recall_at_10", "ms_per_query", "queries")
+    ):
+        # drop detail blocks until the line fits the tail window
+        for k in ("recall_at_10", "ms_per_query", "queries"):
+            if k in compact and compact[k]:
+                compact[k] = {}
+                break
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

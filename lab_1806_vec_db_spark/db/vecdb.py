@@ -268,7 +268,11 @@ class VecDB:
                     np.asarray([r[1] for r in rows], dtype=np.float64),
                     seed=43 + start,
                 )
-                hnsw.save(self._index_path(key, "hnsw"))
+                # add_batch marks the index dirty; the graph artifact is
+                # flushed once at force_save()/close(), not per append —
+                # the reference's dirty-mark + deferred-flush shape
+                # (thread_save.rs:97-114, 60 s cadence). An inline save
+                # here would rewrite the whole O(N) npz on every call.
         self._save_brief()
         self._invalidate_cache(key)
 
@@ -604,8 +608,19 @@ class VecDB:
         return bool(self._meta(key)["has_pq"])
 
     def force_save(self) -> None:
-        """Writes are already durable on action; this flushes the catalog
-        (parity with database/mod.rs:514-521)."""
+        """Flush the catalog plus any dirty in-memory index artifacts
+        (parity with database/mod.rs:514-521; the reference's background
+        saver flushes dirty indexes on the same call path,
+        thread_save.rs:97-114). Table writes are already durable on
+        action; only incrementally-updated indexes defer their save."""
+        for key, kinds in self._indexes.items():
+            if key not in self._brief["tables"]:
+                continue
+            for kind, idx in kinds.items():
+                if kind.startswith("_"):
+                    continue  # driver-side caches, not persistable indexes
+                if getattr(idx, "dirty", False):
+                    idx.save(self._index_path(key, kind))
         self._save_brief()
 
     def close(self) -> None:

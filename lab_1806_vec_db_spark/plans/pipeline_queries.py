@@ -425,8 +425,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) rolled up per user — the
     classic lag/running-count construction (streaming/windows.py)."""
     ev = _events(spark, sf_dir)
-    # ts is epoch-nanos long here; sessionize gaps in seconds
-    ev = ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    # ts may be epoch-nanos long (parquet TIMESTAMP(NANOS) via
+    # nanosAsLong) or a real timestamp / timestamp_ntz, depending on
+    # the writer; gate the conversion on dtype exactly as tumbling_agg
+    # does (streaming/windows.py:50-53). TIMESTAMP_NTZ can't cast to
+    # BIGINT directly, so go via TIMESTAMP — session gaps depend only
+    # on differences, so the tz offset of that cast cancels out.
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    else:
+        ev = ev.withColumn("ts_sec", F.col("ts").cast("timestamp").cast("long"))
     from lab_1806_vec_db_spark.streaming.windows import sessionize
 
     out = sessionize(ev, ts_col="ts_sec", user_col="user_id",

@@ -94,11 +94,16 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
     prev_ts = F.lag(ts_col).over(w)
+    # Epoch-seconds for gap arithmetic. TIMESTAMP_NTZ can't cast to
+    # BIGINT directly, so go via TIMESTAMP; for an already-numeric
+    # column long→timestamp→long is an identity round-trip, so this
+    # one expression is type-robust. Gaps are differences, so the tz
+    # offset the NTZ→TIMESTAMP cast introduces cancels out.
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    prev_secs = prev_ts.cast("timestamp").cast("long")
     new_sess = (
         F.when(prev_ts.isNull(), 1)
-        .when(
-            F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_minutes * 60, 1
-        )
+        .when(secs - prev_secs > gap_minutes * 60, 1)
         .otherwise(0)
     )
     return df.withColumn("session_seq", F.sum(new_sess).over(w))

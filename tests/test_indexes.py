@@ -486,3 +486,37 @@ def test_vecdb_index_persists_across_reopen(spark, tmp_path):
     res_pq = d2.search(key, [float(x) for x in vecs[7]], k=1, ef=30)
     assert res_pq[0][0] == {"i": "7"}
     d2.close()
+
+def test_vecdb_append_defers_graph_save(spark, tmp_path, monkeypatch):
+    # W4 flush policy: K appends must NOT rewrite the O(N) graph artifact
+    # per call — the index is dirty-marked and flushed once at
+    # force_save()/close() (the reference's deferred-flush shape,
+    # thread_save.rs:97-114).
+    path = str(tmp_path / "db")
+    d1 = VecDB(path, spark=spark)
+    key, vecs = _seeded(d1)
+    d1.build_hnsw_index(key)
+
+    saves = []
+    real_save = HNSWIndex.save
+
+    def counting_save(self, p):
+        saves.append(p)
+        real_save(self, p)
+
+    monkeypatch.setattr(HNSWIndex, "save", counting_save)
+    for i in range(5):
+        d1.add(key, [float(i)] * 8, {"i": f"app{i}"})
+    assert saves == []  # no inline rewrite per append
+    idx = d1._indexes[key]["hnsw"]
+    assert idx.dirty
+    d1.close()
+    assert len(saves) == 1  # one flush at close
+    assert not idx.dirty
+
+    # reopen: the flushed graph must contain the appended rows
+    d2 = VecDB(path, spark=spark)
+    assert d2.has_hnsw_index(key)
+    res = d2.search(key, [3.0] * 8, k=1)
+    assert res[0][0] == {"i": "app3"}
+    d2.close()
