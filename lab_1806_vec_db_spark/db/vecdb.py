@@ -67,6 +67,17 @@ def _cast_u8(x: float) -> int:
     return int(min(max(x, 0.0), 255.0))
 
 
+def _is_plain_hnsw(idx) -> bool:
+    """True for the broadcast-tier single-graph index (knn_pq's
+    ADC-steered traversal requires it); False for None or the sharded
+    tier (index/sharded.py), which serves through its routed paths."""
+    if idx is None:
+        return False
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+    return not isinstance(idx, ShardedHNSWIndex)
+
+
 def sanitize_key(key: str) -> str:
     """Map a table key to a safe filename: keep [A-Za-z0-9_-], cap at 32
     chars (database/mod.rs:36-45); collisions get a ``_N`` suffix at
@@ -347,7 +358,9 @@ class VecDB:
         df = self.table_df(key)
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
-        if ef is not None and pq is not None and hnsw is not None:
+        # knn_pq's ADC-steered traversal needs the single-graph layout;
+        # a sharded index serves through its own routed branch below
+        if ef is not None and pq is not None and _is_plain_hnsw(hnsw):
             # knn_pq combined path — zero Spark jobs, like the HNSW
             # point-serve branch below
             import numpy as np
@@ -419,7 +432,7 @@ class VecDB:
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
         ivf = self._get_index(key, "ivf") if meta.get("has_ivf") else None
-        if ef is not None and pq is not None and hnsw is not None:
+        if ef is not None and pq is not None and _is_plain_hnsw(hnsw):
             return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
                                      qvec_col="vec", upper_bound=upper_bound,
                                      pq=pq)
@@ -496,9 +509,16 @@ class VecDB:
         if not os.path.isdir(path):
             return None
         if kind == "hnsw":
-            from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+            with open(os.path.join(path, "meta.json")) as f:
+                artifact_kind = json.load(f).get("kind")
+            if artifact_kind == "sharded_hnsw":
+                from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
-            idx[kind] = HNSWIndex.load(self.spark, path, base=self.table_df(key))
+                idx[kind] = ShardedHNSWIndex.load(self.spark, path)
+            else:
+                from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+                idx[kind] = HNSWIndex.load(self.spark, path, base=self.table_df(key))
         elif kind == "pq":
             from lab_1806_vec_db_spark.index.pq import PQTable
 
@@ -509,22 +529,52 @@ class VecDB:
             idx[kind] = IVFIndex.load(self.spark, path)
         return idx.get(kind)
 
-    def build_hnsw_index(self, key: str, ef_construction: int | None = None) -> None:
+    def build_hnsw_index(
+        self,
+        key: str,
+        ef_construction: int | None = None,
+        sharded: bool | None = None,
+        n_shards: int | None = None,
+    ) -> None:
         """Build the graph ANN index; no-op when already built
         (metadata_vec_table.rs:84-98). Persisted under
-        ``tables/<name>_hnsw`` so it survives restart."""
+        ``tables/<name>_hnsw`` so it survives restart.
+
+        Tier switch (docs/SCALE.md serving tiers): tables above the
+        broadcast bound (``SPARK_GRAFT_HNSW_BROADCAST_CAP``, default
+        50 M rows) get the sharded layout — per-shard sub-graphs built
+        executor-side + a centroid router (index/sharded.py) — instead
+        of one driver-built broadcast graph. ``sharded=True/False``
+        forces the tier; ``n_shards`` defaults to len/cap so each
+        sub-graph stays within the broadcast tier's envelope."""
         meta = self._meta(key)
         if meta["has_hnsw"]:
             return
-        from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+        cap = int(os.environ.get("SPARK_GRAFT_HNSW_BROADCAST_CAP", "50000000"))
+        use_sharded = sharded if sharded is not None else meta["len"] > cap
+        if use_sharded:
+            from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
-        idx = HNSWIndex.build(
-            self.table_df(key), metric=meta["dist"], vec_col="vec", id_col="id",
-            ef_construction=ef_construction or 200, path=self._index_path(key, "hnsw"),
-        )
+            shards = n_shards or max(2, math.ceil(meta["len"] / max(cap, 1)))
+            idx = ShardedHNSWIndex.build(
+                self.table_df(key), self._index_path(key, "hnsw"),
+                n_shards=shards, metric=meta["dist"], vec_col="vec",
+                id_col="id", ef_construction=ef_construction or 200,
+            )
+            params = {"ef_construction": ef_construction or 200,
+                      "sharded": True, "n_shards": shards}
+        else:
+            from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+            idx = HNSWIndex.build(
+                self.table_df(key), metric=meta["dist"], vec_col="vec", id_col="id",
+                ef_construction=ef_construction or 200,
+                path=self._index_path(key, "hnsw"),
+            )
+            params = {"ef_construction": ef_construction or 200}
         self._indexes.setdefault(key, {})["hnsw"] = idx
         meta["has_hnsw"] = True
-        meta["hnsw_params"] = {"ef_construction": ef_construction or 200}
+        meta["hnsw_params"] = params
         self._save_brief()
 
     def build_ivf_index(

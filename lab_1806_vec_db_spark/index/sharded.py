@@ -1,0 +1,325 @@
+"""Sharded HNSW — the >50 M-row serving tier (docs/SCALE.md "HNSW
+(latency serving)").
+
+The broadcast tier tops out where one graph no longer ships to every
+executor (~50 M rows × 16 links ≈ 3.2 GB). Past that, this module
+implements the layout SCALE.md promises: **IVF over graph shards** —
+k-means centroids route rows to spatially-coherent shards, each shard
+carries its own HNSW sub-graph built *inside an executor task*, and a
+query probes only the few shards whose centroids are nearest.
+
+Relation to the reference: the reference is single-node in-memory
+(vec_set.rs:18-19) and keeps one graph per table (hnsw_index.rs), so
+this tier is beyond parity — but the probing scheme is the reference's
+own IVF shape (ivf_index.rs:132-155 find_n_nearest → per-cluster scan)
+with the per-cluster flat scan replaced by a per-shard graph walk.
+
+Scale shape:
+- **Build**: one map-only assignment pass (broadcast centroids), one
+  shuffle on shard_id, then every shard builds its sub-graph in
+  parallel inside `applyInPandas` — no graph ever visits the driver.
+  A shard must fit one executor's memory: that is the sizing rule
+  (n_shards ≈ N / broadcast-tier-capacity), not a scalability limit.
+- **Serve**: routing is map-only (centroid matrix is tiny and
+  broadcast); the probe explode carries n_probes rows per query into
+  ONE shuffle keyed by shard_id; each task loads its shard graph once
+  (executor-local cache) and answers all its queries; the global
+  merge is a k-bounded window — the same merge the flat path uses.
+- **Storage**: `path` must be visible to all executors (local FS in
+  local mode; a shared filesystem / object store on a cluster —
+  exactly where the table's Parquet already lives).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans, sample_rows
+
+#: executor-local cache of loaded shard graphs, keyed by shard dir.
+#: Bounded FIFO: a task set serving a probe workload touches at most a
+#: few shards; the cap keeps a long-lived executor from accumulating
+#: every shard it ever served.
+_GRAPH_CACHE: dict[str, HNSWIndex] = {}
+_GRAPH_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "8"))
+
+
+def _cached_graph(shard_dir: str) -> HNSWIndex:
+    idx = _GRAPH_CACHE.get(shard_dir)
+    if idx is None:
+        idx = HNSWIndex.load(None, shard_dir)
+        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        _GRAPH_CACHE[shard_dir] = idx
+    return idx
+
+
+def _shard_dir(path: str, sid: int) -> str:
+    return os.path.join(path, f"shard_{sid:05d}")
+
+
+class ShardedHNSWIndex:
+    """Centroid-routed collection of per-shard HNSW graphs."""
+
+    def __init__(
+        self,
+        model: KMeansModel,
+        path: str,
+        metric: str,
+        id_col: str = "id",
+        m: int = 16,
+        ef_construction: int = 200,
+        shard_counts: dict[int, int] | None = None,
+    ) -> None:
+        self.model = model
+        self.path = path
+        self.metric = metric
+        self.id_col = id_col
+        self.m = m
+        self.ef_construction = int(ef_construction)
+        self.shard_counts = dict(shard_counts or {})
+        #: driver-side lazily-loaded shards (point-serve path + appends)
+        self._driver_shards: dict[int, HNSWIndex] = {}
+
+    # ---- build -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        n_shards: int,
+        metric: str = "l2sqr",
+        vec_col: str = "vec",
+        id_col: str = "id",
+        m: int = 16,
+        ef_construction: int = 200,
+        train_size: int = 10_000,
+        seed: int = 42,
+    ) -> "ShardedHNSWIndex":
+        """Fit the router on a bounded sample, assign rows map-only,
+        build every sub-graph executor-side in one `applyInPandas`
+        stage (one shuffle on shard_id, graphs never on the driver)."""
+        spark = df.sparkSession
+        sample = sample_rows(df, train_size, vec_col=vec_col, id_col=id_col, seed=seed)
+        model = fit_kmeans(sample, n_shards, metric=metric, seed=seed)
+        assigned = model.assign_df(df.select(id_col, vec_col), vec_col=vec_col,
+                                   out_col="shard_id")
+
+        os.makedirs(path, exist_ok=True)
+        bc = spark.sparkContext.broadcast(
+            (path, metric, vec_col, id_col, m, ef_construction, seed)
+        )
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            p, met, vcol, icol, mm, efc, sd = bc.value
+            sid = int(pdf["shard_id"].iloc[0])
+            ids = pdf[icol].to_numpy().astype(np.int64, copy=False)
+            order = np.argsort(ids, kind="stable")  # deterministic insert order
+            ids = ids[order]
+            vecs = np.asarray(pdf[vcol].to_list(), dtype=np.float64)[order]
+            graph = HNSWIndex._build_graph(vecs, met, mm, efc, sd + sid, spark=None)
+            shard = HNSWIndex(ids, vecs, graph, met, base=None, id_col=icol,
+                              ef_construction=efc)
+            shard.save(_shard_dir(p, sid))
+            return pd.DataFrame({"shard_id": [sid], "n": [len(ids)]})
+
+        stats = (
+            assigned.groupBy("shard_id")
+            .applyInPandas(build_shard, schema="shard_id int, n long")
+            .collect()
+        )
+        shard_counts = {int(r["shard_id"]): int(r["n"]) for r in stats}
+        obj = cls(model, path, metric, id_col=id_col, m=m,
+                  ef_construction=ef_construction, shard_counts=shard_counts)
+        obj._save_meta()
+        return obj
+
+    # ---- persistence -----------------------------------------------------
+
+    def _save_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        np.savez_compressed(os.path.join(self.path, "router.npz"),
+                            centroids=self.model.centroids)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump({
+                "kind": "sharded_hnsw", "metric": self.metric,
+                "id_col": self.id_col, "m": self.m,
+                "ef_construction": self.ef_construction,
+                "shard_counts": {str(k): v for k, v in self.shard_counts.items()},
+            }, f)
+
+    def save(self, path: str | None = None) -> None:
+        """Flush root metadata plus any dirty driver-loaded shard
+        graphs (the append path dirty-marks, VecDB's force_save/close
+        flushes — the same deferred policy as the broadcast tier)."""
+        if path is not None and path != self.path:
+            raise ValueError("sharded index artifacts are bound to their build path")
+        for sid, shard in self._driver_shards.items():
+            if shard.dirty:
+                shard.save(_shard_dir(self.path, sid))
+        self._save_meta()
+
+    @property
+    def dirty(self) -> bool:
+        return any(s.dirty for s in self._driver_shards.values())
+
+    @classmethod
+    def load(cls, spark: SparkSession | None, path: str,
+             base: DataFrame | None = None) -> "ShardedHNSWIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        npz = np.load(os.path.join(path, "router.npz"))
+        model = KMeansModel(centroids=np.asarray(npz["centroids"], dtype=np.float64),
+                            metric=meta["metric"])
+        return cls(model, path, meta["metric"], id_col=meta["id_col"],
+                   m=meta["m"], ef_construction=meta["ef_construction"],
+                   shard_counts={int(k): v for k, v in meta["shard_counts"].items()})
+
+    # ---- serve: point (driver-side latency path) -------------------------
+
+    def _driver_shard(self, sid: int) -> HNSWIndex:
+        shard = self._driver_shards.get(sid)
+        if shard is None:
+            shard = HNSWIndex.load(None, _shard_dir(self.path, sid))
+            self._driver_shards[sid] = shard
+        return shard
+
+    def search_np(self, q: np.ndarray, k: int, ef: int | None = None,
+                  n_probes: int = 4) -> tuple[np.ndarray, np.ndarray]:
+        """Zero-Spark-job point serve: rank centroids, walk the probed
+        shard graphs, merge — the reference's latency model with the
+        graph swapped for its nearest shards."""
+        q = np.asarray(q, dtype=np.float64)
+        ids_all, d_all = [], []
+        for sid in self.model.rank_centroids(q, n_probes):
+            sid = int(sid)
+            if self.shard_counts.get(sid, 0) == 0:
+                continue
+            ids, dists = self._driver_shard(sid).search_np(q, k, ef)
+            ids_all.append(ids)
+            d_all.append(dists)
+        if not ids_all:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = np.concatenate(ids_all)
+        dists = np.concatenate(d_all)
+        order = np.lexsort((ids, dists))[:k]
+        return ids[order], dists[order]
+
+    # ---- serve: batch (one shuffle on shard_id) --------------------------
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        n_probes: int = 4,
+        qvec_col: str = "vec",
+        qid_col: str = "query_id",
+        upper_bound: float | None = None,
+    ) -> DataFrame:
+        """Route (map-only, broadcast centroids) → explode to n_probes
+        (query, shard) rows → ONE shuffle on shard_id → each task
+        serves its shard from the executor-local graph cache → global
+        k-bounded window merge. The shuffle carries n_probes rows per
+        query; result traffic is k rows per (query, shard)."""
+        spark = queries.sparkSession
+        id_col = self.id_col
+        bc = spark.sparkContext.broadcast((
+            self.model.centroids, self.metric, self.path,
+            [sid for sid, n in self.shard_counts.items() if n > 0],
+        ))
+        n_probes_ = int(n_probes)
+        ef_ = ef
+        k_ = int(k)
+
+        def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            centroids, metric, _, live = bc.value
+            model = KMeansModel(centroids=centroids, metric=metric)
+            live_set = set(live)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                qmat = np.asarray(pdf[qvec_col].to_list(), dtype=np.float64)
+                probes = model.rank_centroids_batch(qmat, n_probes_)
+                out_qid, out_vec, out_sid = [], [], []
+                for i in range(len(pdf)):
+                    for sid in probes[i]:
+                        if int(sid) in live_set:
+                            out_qid.append(pdf[qid_col].iloc[i])
+                            out_vec.append(pdf[qvec_col].iloc[i])
+                            out_sid.append(int(sid))
+                yield pd.DataFrame({qid_col: out_qid, qvec_col: out_vec,
+                                    "shard_id": out_sid})
+
+        routed = queries.select(qid_col, qvec_col).mapInPandas(
+            route, schema=f"{qid_col} long, {qvec_col} array<double>, shard_id int"
+        )
+
+        def serve(pdf: pd.DataFrame) -> pd.DataFrame:
+            _, _, root, _ = bc.value
+            sid = int(pdf["shard_id"].iloc[0])
+            shard = _cached_graph(_shard_dir(root, sid))
+            qmat = np.asarray(pdf[qvec_col].to_list(), dtype=np.float64)
+            gids, dists = shard.search_many(qmat, k_, ef_)
+            qids, out_ids, out_d = [], [], []
+            for i in range(qmat.shape[0]):
+                keep = gids[i] >= 0
+                qids.extend([int(pdf[qid_col].iloc[i])] * int(keep.sum()))
+                out_ids.extend(gids[i][keep].tolist())
+                out_d.extend(dists[i][keep].tolist())
+            return pd.DataFrame({qid_col: qids, id_col: out_ids, "dist": out_d})
+
+        per_shard = routed.groupBy("shard_id").applyInPandas(
+            serve, schema=f"{qid_col} long, {id_col} long, dist double"
+        )
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qid_col).orderBy("dist", id_col)
+        out = (
+            per_shard.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k_)
+            .drop("__rn")
+        )
+        if upper_bound is not None:
+            out = out.filter(F.col("dist") <= float(upper_bound))
+        return out
+
+    # ---- incremental add (W4 on the sharded tier) ------------------------
+
+    def add_batch(self, new_ids: np.ndarray, new_vecs: np.ndarray,
+                  seed: int = 43) -> None:
+        """Route each new row to its nearest shard and graph-insert it
+        there; shards are dirty-marked and flushed by save() — adds
+        never invalidate the index (the reference's invariant,
+        README.md:45). Loading one shard on the driver is the same
+        memory envelope as the broadcast tier's whole graph."""
+        new_vecs = np.asarray(new_vecs, dtype=np.float64)
+        new_ids = np.asarray(new_ids, dtype=np.int64)
+        labels = self.model.assign(new_vecs)
+        for sid in np.unique(labels):
+            mask = labels == sid
+            sid = int(sid)
+            if self.shard_counts.get(sid, 0) == 0:
+                # empty shard: materialize a fresh sub-graph for it
+                graph = HNSWIndex._build_graph(
+                    new_vecs[mask], self.metric, self.m, self.ef_construction,
+                    seed + sid, spark=None)
+                shard = HNSWIndex(new_ids[mask], new_vecs[mask], graph,
+                                  self.metric, base=None, id_col=self.id_col,
+                                  ef_construction=self.ef_construction)
+                shard.dirty = True
+                self._driver_shards[sid] = shard
+            else:
+                self._driver_shard(sid).add_batch(new_ids[mask], new_vecs[mask],
+                                                  seed=seed)
+            self.shard_counts[sid] = self.shard_counts.get(sid, 0) + int(mask.sum())

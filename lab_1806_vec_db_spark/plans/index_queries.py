@@ -220,6 +220,35 @@ def knn_hnsw_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id long, dist double")
 
 
+@register("knn_hnsw_sharded", _FLAT_L2_ORACLE)
+def knn_hnsw_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >50 M-row serving tier (docs/SCALE.md): per-shard HNSW
+    sub-graphs built executor-side + a centroid router
+    (index/sharded.py). Probing every shard with a wide beam makes the
+    union cover the table and each sub-graph exhaustive at this scale,
+    so the result is flat-equal — the same equivalence gate style as
+    knn_ivf_l2/knn_hnsw. Exercises the full distributed path: k-means
+    router fit, map-only assignment, one shard_id shuffle,
+    applyInPandas sub-graph builds, routed probe explode, per-shard
+    graph serve, k-bounded window merge."""
+    import tempfile
+
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+    emb = _emb(spark, sf_dir).cache()
+    idx = ShardedHNSWIndex.build(
+        emb, tempfile.mkdtemp(prefix="sharded_hnsw_"), n_shards=4,
+        metric="l2sqr", vec_col="embedding", id_col="vec_id", train_size=200,
+    )
+    qv = _query_vec(spark, sf_dir)
+    queries = spark.createDataFrame([(0, qv)], "query_id long, vec array<double>")
+    return (
+        idx.search_batch(queries, k=10, ef=300, n_probes=4)
+        .select("vec_id", "dist")
+        .orderBy("dist", "vec_id")
+    )
+
+
 _CENTROIDS_SQL = f"""c AS (
   SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 8)"""
 
