@@ -28,14 +28,15 @@ Method notes (honest-measurement contract):
   (`search_many_parallel`) — the same regime the reference benches
   (rayon par_iter over in-memory queries, examples/bench.rs -t);
   timing is best of BENCH_RUNS after a warm-up run;
-- data caveat at BENCH_MATCHED_N=1M: only 1,000 public GIST rows ship
-  with the reference, so the densified base is a 1k-anchor mixture —
-  near-tie density around each anchor makes recall@10 strictly harder
-  than real GIST-1M at the same ef (measured: equal id- and
-  distance-based recall, so it is genuine data hardness, not tie
-  artifacts). Grid rows carry the baseline's recall alongside ours so
-  both sides of the tradeoff are visible; the N=10k grid, where our
-  recall exceeds the baseline's at every point, is the primary
+- data caveat: only 1,000 public GIST rows ship with the reference,
+  so the base is densified from them (v4 local-covariance patches —
+  see _gist_matched for the method and the measured failure modes of
+  the earlier generators). Synthetic-vs-real hardness can differ in
+  either direction, so every grid row carries the baseline's recall
+  alongside ours AND a ratio_at_matched_recall computed by
+  interpolating our ms/q curve to the baseline's recall — the
+  recall-honest comparison; the N=10k grid, where our recall meets or
+  exceeds the baseline's at every point, is the primary
   apples-to-apples comparison;
 - the IVF grid points go through the Spark `search_batch` path, so
   they carry per-job scheduling overhead the driver-side points
@@ -311,22 +312,29 @@ def _gist_matched(n_target: int = MATCHED_N) -> tuple[np.ndarray, np.ndarray]:
     base1k = np.fromfile(GIST_BASE, dtype=np.float32).reshape(-1, 960).astype(np.float64)
     s = base1k.shape[0]
     rng = np.random.default_rng(7)
-    scale = 0.05 * base1k.std()
     tiles = max(1, n_target // s)
-    # interpolate only between NEIGHBORING sample pairs: convex combos
-    # of random far pairs in 960-dim shrink toward the centroid and
-    # become universal "hub" neighbors (distance concentration), which
-    # real GIST doesn't have; local interpolation stays on the manifold
+    # v4 local-covariance densification: new points = seed + A_i z with
+    # A_i the (960 × 20) frame of directions from seed i to its 20
+    # nearest sample rows and z ~ N(0, (τ/√20)² I). Points fill each
+    # seed's ~20-dim local tangent patch instead of (v3) 1-D segments
+    # between neighbor pairs — at N=1M the v3 filaments collected ~50
+    # samples per edge, a near-tie density no real image-descriptor set
+    # has, which capped graph recall@10 at 0.47-0.77 while real-GIST
+    # baselines sit at 0.85-0.95 (measured in round 5: at N=100k the
+    # same graph scores 0.885 on v3, 0.99 on v4, 0.24-0.44 on isotropic
+    # gaussian mixtures — full-dim noise blurs to uniform, the opposite
+    # failure). τ=0.6 keeps samples inside the local neighborhood
+    # radius; geometry (covariance, manifold dim) stays GIST's own.
     n2 = np.einsum("ij,ij->i", base1k, base1k)
     dmat = n2[:, None] + n2[None, :] - 2.0 * (base1k @ base1k.T)
     nbr = np.argsort(dmat, axis=1)[:, 1:21]  # 20-NN per sample row
+    frames = base1k[nbr] - base1k[:, None, :]  # (s, 20, 960)
+    tau = 0.6
     reps = [base1k]
     for _ in range(tiles - 1):
         i = rng.integers(0, s, size=s)
-        j = nbr[i, rng.integers(0, nbr.shape[1], size=s)]
-        a = rng.uniform(0.0, 1.0, size=(s, 1))
-        reps.append(a * base1k[i] + (1.0 - a) * base1k[j]
-                    + rng.normal(0, scale, base1k.shape))
+        z = rng.normal(0.0, tau / np.sqrt(20.0), size=(s, 20))
+        reps.append(base1k[i] + np.einsum("sk,skd->sd", z, frames[i]))
     base = np.concatenate(reps, axis=0)
     queries = np.fromfile(GIST_TEST, dtype=np.float32).reshape(-1, 960).astype(np.float64)
     return base, queries
@@ -405,8 +413,9 @@ def run_matched(spark) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq_
 
-        # v3: neighbor-pair interpolation generator (cache key tracks it)
-        ppath = os.path.join(GT_DIR, f"matched_base_{n}_v3.parquet")
+        # v4: local-covariance densification (cache key tracks the
+        # generator version — see _gist_matched)
+        ppath = os.path.join(GT_DIR, f"matched_base_{n}_v4.parquet")
         if not os.path.exists(ppath):
             os.makedirs(GT_DIR, exist_ok=True)
             tmp = ppath + ".tmp"
@@ -439,7 +448,11 @@ def run_matched(spark) -> dict:
     build_sec["hnsw"] = round(time.time() - t0, 1)
 
     hnsw.search_many_parallel(queries[:128], K, 120, workers=32)  # warm-up
-    for ef in (120, 160, 200, 240, 280, 320, 360):
+    # the sweep extends BELOW the published efs so the matched-recall
+    # interpolation has points under the baseline's lowest recall
+    # (not just above it — otherwise the interpolation clamps to our
+    # slowest-at-higher-recall point and overstates the ratio)
+    for ef in (40, 60, 90, 120, 160, 200, 240, 280, 320, 360):
         bw = 4 if ef < 280 else 6  # measured sweet spots (bw=8 over-expands)
         best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
             queries, K, ef, workers=32, beam_width=bw))
@@ -546,6 +559,42 @@ def run_matched(spark) -> dict:
                      "ms_per_query": round(best / n_q * 1000.0, 4),
                      "recall_at_10": round(rec, 4)})
 
+    # ---- Sharded HNSW (the >broadcast-tier layout, index/sharded.py):
+    # executor-side sub-graph builds + centroid routing, measured at 1M
+    # to show the distributed tier's build parallelism and probe cost.
+    # Goes through full Spark jobs per sweep point (route shuffle +
+    # per-shard serve + merge), so ms/q carries scheduling overhead the
+    # driver-side points don't — reported as measured, like IVF.
+    if n > 500_000 and os.environ.get("BENCH_SHARDED", "1") == "1":
+        import shutil as _sh
+
+        from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+        spath = os.path.join(GT_DIR, f"sharded_{n}_v4")
+        _sh.rmtree(spath, ignore_errors=True)
+        t0 = time.time()
+        sharded = ShardedHNSWIndex.build(
+            bdf, spath, n_shards=8, metric="l2sqr", vec_col="embedding",
+            id_col="vec_id", ef_construction=200,
+            build_workers=max(1, (os.cpu_count() or 8) // 8),
+        )
+        build_sec["sharded_hnsw"] = round(time.time() - t0, 1)
+        for ef, probes in ((120, 2), (120, 4), (360, 4)):
+            def run_sharded(ef=ef, probes=probes):
+                return sharded.search_batch(
+                    qdf, k=K, ef=ef, n_probes=probes,
+                    qvec_col="embedding", qid_col="query_id",
+                ).collect()
+            best, rows = _timed(run_sharded, runs=max(1, RUNS - 1))
+            got2: dict[int, set[int]] = {}
+            for r in rows:
+                got2.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+            rec = float(np.mean([len(got2.get(i, set()) & gt[i]) / len(gt[i])
+                                 for i in range(n_q)]))
+            grid.append({"name": "sharded_hnsw", "ef": ef, "n_probes": probes,
+                         "ms_per_query": round(best / n_q * 1000.0, 4),
+                         "recall_at_10": round(rec, 4)})
+
     bdf.unpersist()
     qdf.unpersist()
     gated = [g["ratio_vs_baseline"] for g in grid if "ratio_vs_baseline" in g]
@@ -589,7 +638,7 @@ def run_matched(spark) -> dict:
 
     return {
         "n": n, "dim": dim, "n_queries": n_q, "k": K,
-        "source": "gist_1000.bin tiled x10 + gaussian(sigma=0.05*std), queries=gist_test.bin",
+        "source": "gist_1000.bin densified by local-covariance patches (v4, tau=0.6), queries=gist_test.bin",
         "build_sec": build_sec,
         "grid": grid,
         "best_ratio_vs_baseline": min(gated) if gated else None,

@@ -583,7 +583,12 @@ class HNSWIndex:
             chunk = nodes[i : i + C]
             top_chunk = int(g.levels[chunk].max())
             g.ensure_level(max(top_chunk, g.max_level), n)
-            workers = os.cpu_count() or 1
+            # SPARK_GRAFT_BUILD_WORKERS caps the candidate-phase thread
+            # fan-out — needed when several builds run concurrently in
+            # one machine's executor tasks (the sharded tier builds all
+            # sub-graphs at once; ceil(cpus/concurrent tasks) each)
+            workers = int(os.environ.get("SPARK_GRAFT_BUILD_WORKERS", "0")) \
+                or (os.cpu_count() or 1)
             if spark is not None:
                 cands = HNSWIndex._spark_candidates(
                     spark, bc_vecs, metric, g, chunk, ef_c, n

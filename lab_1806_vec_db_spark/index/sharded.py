@@ -104,6 +104,7 @@ class ShardedHNSWIndex:
         ef_construction: int = 200,
         train_size: int = 10_000,
         seed: int = 42,
+        build_workers: int | None = None,
     ) -> "ShardedHNSWIndex":
         """Fit the router on a bounded sample, assign rows map-only,
         build every sub-graph executor-side in one `applyInPandas`
@@ -116,11 +117,18 @@ class ShardedHNSWIndex:
 
         os.makedirs(path, exist_ok=True)
         bc = spark.sparkContext.broadcast(
-            (path, metric, vec_col, id_col, m, ef_construction, seed)
+            (path, metric, vec_col, id_col, m, ef_construction, seed, build_workers)
         )
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            p, met, vcol, icol, mm, efc, sd = bc.value
+            p, met, vcol, icol, mm, efc, sd, bw = bc.value
+            if bw:
+                # cap each concurrent task's candidate-phase thread
+                # fan-out so S simultaneous sub-graph builds don't
+                # oversubscribe one machine S× (local mode / dense
+                # executor packing); set here because reused Python
+                # workers don't re-read the driver's env
+                os.environ["SPARK_GRAFT_BUILD_WORKERS"] = str(int(bw))
             sid = int(pdf["shard_id"].iloc[0])
             ids = pdf[icol].to_numpy().astype(np.int64, copy=False)
             order = np.argsort(ids, kind="stable")  # deterministic insert order
