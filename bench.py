@@ -56,6 +56,8 @@ Environment:
                       SPARK_GRAFT_DRIVER_MEM=48g,
                       SPARK_GRAFT_MAX_RESULT=0 with it)
   BENCH_SF            0 to skip the sf-dir suite (default 1)
+  BENCH_SHARDED       0 to skip the sharded-tier grid rows that run
+                      when BENCH_MATCHED_N > 500k (default 1)
   BENCH_GT_DIR        ground-truth cache dir (default /tmp/spark_graft_gt)
 """
 
@@ -113,9 +115,12 @@ _BASELINES = {
     },
 }
 # per-scale sweep configs: ef points the reference publishes
-_HNSW_PQ_EFS = {10_000: (160, 360), 1_000_000: (180, 360, 600)}
-#: flat ADC scans the whole table per query — published only at 10k
-_FLAT_PQ_EFS = {10_000: (100, 200)}
+#: 1M includes sub-published efs so the matched-recall interpolation
+#: has points below the baseline band (no clamping)
+_HNSW_PQ_EFS = {10_000: (60, 100, 160, 360), 1_000_000: (60, 90, 120, 180, 360, 600)}
+#: flat ADC scans the whole table per query — published only at 10k;
+#: ef=40 gives the interpolation a sub-baseline-recall point
+_FLAT_PQ_EFS = {10_000: (40, 100, 200)}
 _IVF_PROBES = {10_000: (4, 8, 16, 32), 1_000_000: (8, 32)}
 
 
