@@ -170,16 +170,27 @@ def fit_kmeans(
     return KMeansModel(centroids=centroids, metric=metric)
 
 
+def sample_key(id_col: str, seed: int = 42):
+    """Seeded pseudo-random sort key: md5 of ``"<seed>:<id>"``. Unlike
+    ``F.rand`` (whose per-partition XORShift stream is Spark-internal),
+    md5 is engine-portable — DuckDB reproduces the identical key with
+    ``md5(<seed> || ':' || CAST(id AS VARCHAR))``, which is what lets
+    the ``vec_random_sample`` registry entry carry a full value-hash
+    oracle instead of a rows-only check."""
+    return F.md5(F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string")))
+
+
 def sample_rows(
     df: DataFrame, n: int, vec_col: str = "vec", id_col: str = "id", seed: int = 42
 ) -> np.ndarray:
     """Deterministic training sample (A1, vec_set.rs:154-163): order by a
-    seeded pseudo-random key, take n. ``orderBy(rand(seed)).limit(n)`` is
-    a TakeOrderedAndProject — k-bounded, no full sort, no full shuffle."""
+    seeded hash key of the id, take n. ``orderBy(key).limit(n)`` is a
+    TakeOrderedAndProject — k-bounded, no full sort, no full shuffle."""
     pdf = (
-        df.select(vec_col)
-        .orderBy(F.rand(seed), F.col(vec_col).getItem(0))
+        df.select(vec_col, sample_key(id_col, seed).alias("__sk"))
+        .orderBy("__sk")
         .limit(int(n))
+        .select(vec_col)
         .toPandas()  # Arrow: ndarray rows, no boxed floats on the driver
     )
     out = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
 from lab_1806_vec_db_spark.index.ivf import IVFIndex
-from lab_1806_vec_db_spark.index.kmeans import KMeansModel
+from lab_1806_vec_db_spark.index.kmeans import KMeansModel, sample_key
 from lab_1806_vec_db_spark.index.pq import PQTable
 from lab_1806_vec_db_spark.operators import knn as knn_ops
 from lab_1806_vec_db_spark.plans.entry_queries import (
@@ -346,14 +346,23 @@ def knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-@register("vec_random_sample")
+_SAMPLE_ORACLE = """
+SELECT vec_id FROM (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50
+) ORDER BY vec_id"""
+
+
+@register("vec_random_sample", _SAMPLE_ORACLE)
 def vec_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 — seeded deterministic sample (vec_set.rs:154-163). The seed
-    stream is Spark-internal, so no SQL oracle (rows-only check): the
-    contract verified here is count and reproducibility."""
+    """A1 — seeded deterministic sample (vec_set.rs:154-163), the exact
+    key ``sample_rows`` trains k-means/PQ on. The seeded md5 key is
+    engine-portable (see kmeans.sample_key), so this entry carries a
+    full value-hash oracle: DuckDB computes the identical key and the
+    identical top-50."""
     emb = _emb(spark, sf_dir)
     return (
-        emb.orderBy(F.rand(42), F.col("vec_id"))
+        emb.orderBy(sample_key("vec_id", 42), F.col("vec_id"))
         .limit(50)
         .select("vec_id")
         .orderBy("vec_id")

