@@ -445,3 +445,39 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_session_agg",
+    """WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 4) + 0.0 AS sum_value
+FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+)
+def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via NATIVE Spark session windows
+    (``F.session_window`` — streaming/windows.py:session_agg); the
+    oracle reconstructs the identical sessions with the portable
+    lag/running-count SQL (strict ``>`` gap test and
+    ``end = last_event + gap``, the session_window semantics verified
+    in tests/test_streaming.py)."""
+    from lab_1806_vec_db_spark.streaming.windows import session_agg
+
+    return session_agg(
+        _events(spark, sf_dir), ts_col="ts", user_col="user_id",
+        gap_minutes=30, value_col="value",
+    ).orderBy("user_id", "session_start")

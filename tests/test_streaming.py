@@ -74,3 +74,84 @@ def test_tumbling_agg_append_mode_evicts_state(spark, tmp_path):
     # (max event time - 1h) is emitted; the last open window is held back
     assert 1 <= len(out) < 7
     assert all(r["n_events"] == 2 for r in out)
+
+
+def test_session_agg_matches_lag_construction(spark):
+    # Includes an exactly-gap-apart pair (u2: 08:00:00 → 08:30:00) to pin
+    # the boundary semantics: session_window keeps ts == prev + gap in
+    # the SAME session, i.e. the lag construction's strict > test.
+    import datetime as dt
+
+    from lab_1806_vec_db_spark.streaming.windows import session_agg, sessionize
+
+    b = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (1, 1, b, 1.0),
+        (2, 1, b + dt.timedelta(minutes=10), 2.0),
+        (3, 1, b + dt.timedelta(minutes=41), 4.0),   # > 30m gap → new session
+        (4, 2, b, 8.0),
+        (5, 2, b + dt.timedelta(minutes=30), 16.0),  # == gap → same session
+        (6, 2, b + dt.timedelta(minutes=91), 32.0),  # > gap → new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+    native = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in session_agg(df).collect()
+    }
+    lagged = (
+        sessionize(df.withColumn("ts_sec", F.col("ts").cast("long")), ts_col="ts_sec",
+                   tiebreak_cols=("event_id",))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"),
+             F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert len(native) == len(lagged) == 4
+    for r in lagged:
+        key = (r["user_id"], r["start"].strftime("%Y-%m-%d %H:%M:%S"))
+        end, n, s = native[key]
+        assert n == r["n"] and s == r["s"]
+        assert end == (r["end"] + datetime.timedelta(minutes=30)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_session_agg_stream_equals_batch(spark, tmp_path):
+    # Session windows stream in append mode only (merging state is
+    # incompatible with complete); a far-future sentinel event drives the
+    # watermark past every real session so all of them finalize.
+    import datetime as dt
+
+    from lab_1806_vec_db_spark.streaming.windows import session_agg
+
+    b = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (i, i % 5, b + dt.timedelta(minutes=(3 * i) % 240 + (i % 3)), float(i))
+        for i in range(60)
+    ]
+    rows.append((999, 99, b + dt.timedelta(days=30), 0.0))  # watermark driver
+    src = str(tmp_path / "events_sess_src")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    spark.createDataFrame(rows, schema).repartition(4).write.mode("overwrite").parquet(src)
+
+    batch_rows = sorted(
+        tuple(r) for r in session_agg(spark.read.parquet(src)).collect()
+        if r["user_id"] != 99
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_agg(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("session_agg_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT * FROM session_agg_test WHERE user_id != 99"
+        ).collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(batch_rows) >= 5
