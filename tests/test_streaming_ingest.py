@@ -1,0 +1,98 @@
+"""End-to-end: Structured-Streaming ingest → live HNSW → one flush.
+
+A stream of vectors lands through foreachBatch/batch_add while an HNSW
+index is live; every streamed vector is immediately searchable (the
+graph absorbs appends incrementally), the artifact is written ONCE at
+close despite multiple micro-batches, and a reopened DB serves the
+streamed rows from the flushed graph.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from lab_1806_vec_db_spark.db.vecdb import VecDB
+from lab_1806_vec_db_spark.streaming.ingest import stream_into_vecdb
+
+DIM = 16
+
+
+def _mk_vec(rng):
+    v = rng.standard_normal(DIM)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+@pytest.fixture()
+def seeded_db(spark, tmp_path):
+    db = VecDB(str(tmp_path / "db"), spark)
+    db.create_table_if_not_exists("t", dim=DIM, dist="l2sqr")
+    rng = np.random.default_rng(7)
+    vecs = [_mk_vec(rng) for _ in range(64)]
+    db.batch_add("t", vecs, [{"src": "seed", "i": str(i)} for i in range(64)])
+    db.build_hnsw_index("t")
+    yield db, rng
+    db.close()
+
+
+def test_stream_ingest_live_search_and_single_flush(spark, tmp_path, seeded_db):
+    db, rng = seeded_db
+    waves = [[_mk_vec(rng) for _ in range(8)] for _ in range(3)]
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for w, wave in enumerate(waves):
+        spark.createDataFrame(
+            [(f"s{w}_{i}", v) for i, v in enumerate(wave)],
+            "tag string, vec array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # one file per micro-batch → 3 separate batch_add calls
+    stream = (
+        spark.readStream.schema("tag string, vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_vecdb(
+        stream, db, "t", vec_col="vec", meta_cols=("tag",),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert db.get_len("t") == 64 + 24
+    # streamed vectors are searchable NOW (graph absorbed them; no flush
+    # has happened yet)
+    probe = waves[2][0]
+    meta, dist = db.search("t", probe, k=1)[0]
+    assert dist == pytest.approx(0.0, abs=1e-9)
+    assert meta["tag"].startswith("s2_")
+
+    # flush-once contract: no graph artifact rewrite happened during the
+    # stream; close() writes it exactly once
+    # the artifact is a directory; watch the files inside it (graph.npz
+    # is rewritten in place, so the dir's own mtime never moves)
+    graph_glob = os.path.join(str(tmp_path / "db"), "tables", "*hnsw*", "*")
+    pre = {p: os.path.getmtime(p) for p in glob.glob(graph_glob)}
+    db.force_save()
+    post = {p: os.path.getmtime(p) for p in glob.glob(graph_glob)}
+    assert post, "graph artifact missing after force_save"
+    changed = [p for p in post if p not in pre or post[p] != pre[p]]
+    assert changed, "force_save flushed nothing despite streamed appends"
+
+    # reopen: the flushed graph serves streamed rows without a rebuild
+    # (close first — the DB holds the D7 exclusive lock)
+    db.close()
+    db2 = VecDB(str(tmp_path / "db"), spark)
+    meta2, dist2 = db2.search("t", probe, k=1)[0]
+    assert dist2 == pytest.approx(0.0, abs=1e-9)
+    assert meta2["tag"] == meta["tag"]
+    db2.close()
+
+
+def test_stream_into_vecdb_rejects_batch_df(spark, tmp_path, seeded_db):
+    db, _ = seeded_db
+    bdf = spark.createDataFrame([("x", [0.0] * DIM)], "tag string, vec array<double>")
+    with pytest.raises(ValueError, match="streaming"):
+        stream_into_vecdb(bdf, db, "t")
