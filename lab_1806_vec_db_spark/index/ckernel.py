@@ -28,8 +28,12 @@ Design constraints honored:
   per-chunk concat would copy hundreds of MB.
 - **Same contract as the numpy kernel.** Distances use the identical
   formulas (l2sqr: ``max(x2 + q2 - 2·ip, 0)``; cosine:
-  ``1 - ip / max(|x||q|, 1e-10)``, flat_index.rs:48-57), accumulation
-  is double for exact / LUT-precision for ADC, ties order by
+  ``1 - ip / max(|x||q|, 1e-10)``, flat_index.rs:48-57). Accumulation:
+  the f64 unit keeps the strictly-sequential double sum (the order the
+  DuckDB oracle comparisons were validated against); the f32 serving
+  unit sums in 8 f32 lanes — the reference's own SIMD precision
+  (its packed-f32 distance sums) and ~2x the widen-to-double loop.
+  ADC sums in LUT precision. Ties order by
   (dist, local id) exactly like ``beam_search_batch``'s final lexsort,
   and outputs are -1 / inf padded. The ctypes calls release the GIL,
   so driver-side serving and the build candidate phase parallelize
@@ -95,11 +99,31 @@ static pair_t heap_pop(pair_t *h, long *sz, int is_max) {
 # Per-dtype implementation; instantiated for float32 and float64 by
 # textual substitution of VT/SUF (a single translation unit holds both).
 _C_IMPL = r"""
+#if ISFLOAT32
+/* 8 independent lanes -> gcc -O3 vectorizes to packed f32 mul/add
+ * without -ffast-math (each lane is its own reduction); f32
+ * accumulation is the reference's own SIMD precision (its rayon/SIMD
+ * distance sums are f32, distance/mod.rs). ~2x the f64-widening loop
+ * on AVX2: 8 floats per register instead of 4 widened doubles. */
+static inline double dot_SUF(const VT *a, const VT *b, int d) {
+    VT lane[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int i = 0;
+    for (; i + 8 <= d; i += 8)
+        for (int l = 0; l < 8; l++) lane[l] += a[i + l] * b[i + l];
+    double acc = ((double)lane[0] + lane[1] + lane[2] + lane[3])
+               + ((double)lane[4] + lane[5] + lane[6] + lane[7]);
+    for (; i < d; i++) acc += (double)a[i] * (double)b[i];
+    return acc;
+}
+#else
+/* f64 path: keep the strictly-sequential sum — it is the
+ * oracle-stable order the DuckDB comparisons were validated against */
 static inline double dot_SUF(const VT *a, const VT *b, int d) {
     double acc = 0.0;
     for (int i = 0; i < d; i++) acc += (double)a[i] * (double)b[i];
     return acc;
 }
+#endif
 
 /* exact pair distance: same formula family as beam.ExactPairDist */
 static inline double dist_SUF(
@@ -153,6 +177,19 @@ static inline double qdist_SUF(const qctx_SUF *c, long u) {
                     c->q, c->q2, c->qn, u);
 }
 
+/* start the cache fill for node v's distance operand (vector row or
+ * ADC code row) a step ahead of its qdist — covers the DRAM latency of
+ * the first lines; the hardware streamer follows for the rest */
+static inline void qprefetch_SUF(const qctx_SUF *c, long v) {
+    const char *p = c->lut_q
+        ? (const char *)(c->codes + (size_t)v * c->m)
+        : (const char *)(c->vecs + (size_t)v * c->d);
+    __builtin_prefetch(p, 0, 3);
+    __builtin_prefetch(p + 64, 0, 3);
+    __builtin_prefetch(p + 128, 0, 3);
+    __builtin_prefetch(p + 192, 0, 3);
+}
+
 /* greedy hill-climb at one level (hnsw_index.rs:244-256) */
 static void greedy_SUF(
     const qctx_SUF *qc, const int *L, const int *C, int cap,
@@ -163,9 +200,11 @@ static void greedy_SUF(
         improved = 0;
         int cnt = C[*cur];
         const int *row = L + (size_t)(*cur) * cap;
+        if (cnt > 0) qprefetch_SUF(qc, row[0]);
         for (int j = 0; j < cnt; j++) {
             long v = row[j];
             if (v < 0) break;
+            if (j + 1 < cnt && row[j + 1] >= 0) qprefetch_SUF(qc, row[j + 1]);
             double dv = qdist_SUF(qc, v);
             if (dv < *cur_d) { *cur_d = dv; *cur = v; improved = 1; }
         }
@@ -189,9 +228,14 @@ static long beam_SUF(
         if (nres >= ef && c.d > res[0].d) break;
         int cnt = C[c.id];
         const int *row = L + (size_t)c.id * cap;
+        if (cnt > 0) qprefetch_SUF(qc, row[0]);
         for (int j = 0; j < cnt; j++) {
             long v = row[j];
             if (v < 0) break;
+            /* prefetch the next neighbor's operand while computing this
+             * one's distance (unconditional — a visited neighbor's data
+             * is usually cache-hot, so the wasted prefetch is cheap) */
+            if (j + 1 < cnt && row[j + 1] >= 0) qprefetch_SUF(qc, row[j + 1]);
             if (visit[v] == epoch) continue;
             visit[v] = epoch;
             double dv = qdist_SUF(qc, v);
@@ -379,8 +423,8 @@ int pq_flat_SUF(
 def _source() -> str:
     return (
         _C_COMMON
-        + _C_IMPL.replace("VT", "float").replace("SUF", "f32")
-        + _C_IMPL.replace("VT", "double").replace("SUF", "f64")
+        + _C_IMPL.replace("ISFLOAT32", "1").replace("VT", "float").replace("SUF", "f32")
+        + _C_IMPL.replace("ISFLOAT32", "0").replace("VT", "double").replace("SUF", "f64")
     )
 
 
