@@ -1,0 +1,340 @@
+"""IVF+PQ combined index — the canonical 100 TB serving layout.
+
+The reference pairs its coarse index with PQ only through the HNSW+PQ
+``knn_pq`` path (hnsw_index.rs:672-696); at distributed scale the same
+idea composes with IVF instead of a graph: the coarse quantizer prunes
+*partitions*, PQ prunes *bytes*. This module is that composition,
+beyond-reference but built from the repo's two existing reference-parity
+layers (ivf.rs semantics via index/ivf.py, pq_table.rs semantics via
+index/pq.py):
+
+- **build**: fit the IVF coarse quantizer (k-means, k_means.rs:117-123)
+  and the PQ codebooks (pq_table.rs:141-191) on the same seeded sample
+  key; encode every row; store ``(id, code, cluster_id)`` persisted
+  **partitioned by cluster_id**. At 100 TB the codes table is ~m/dim·¼
+  the size of the raw vectors (4-bit codes) and a probe touches only
+  n_probes/k of its directories — both pruning axes multiply.
+- **search**: rank centroids driver-side (they are tiny, exactly the
+  reference's in-memory centroid VecSet), partition-pruned ADC scan of
+  the probed clusters only (pq_table.rs:239-301 lookup-sum), top-ef by
+  rounded approximate distance, then one broadcast join back to the
+  base table for the exact re-rank (candidate_pair.rs:102-108).
+- **search_batch**: per-query probe sets share one scan — each codes
+  partition scores a row only for the queries that probe its cluster,
+  per-partition top-ef, k-bounded window merge, Arrow-batched re-rank.
+
+Plan shape at scale: one pruned scan of the codes table (no shuffle),
+one ef·|Q|-bounded shuffle for the merge window, one broadcast join for
+the re-rank. Nothing driver-side grows with the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions.distance import dist_expr
+from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans, sample_rows
+from lab_1806_vec_db_spark.index.pq import (
+    PQTable,
+    build_lookup_batch,
+    pq_groups,
+    unpack_codes,
+    _fit_codebooks,
+)
+from lab_1806_vec_db_spark.operators.knn import (
+    _topk_per_query,
+    np_round_half_up,
+    round_dist,
+)
+
+
+class IVFPQIndex:
+    """Coarse k-means router + PQ codes co-partitioned by cluster."""
+
+    def __init__(
+        self,
+        model: KMeansModel,
+        pq: PQTable,
+        codes_clustered: DataFrame,
+        base: DataFrame,
+        vec_col: str = "vec",
+        id_col: str = "id",
+        path: str | None = None,
+    ) -> None:
+        self.model = model
+        self.pq = pq
+        self.codes_clustered = codes_clustered  # id, code, cluster_id
+        self.base = base
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.path = path
+
+    # ---- build ------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        k_coarse: int = 128,
+        m: int | None = None,
+        n_bits: int = 4,
+        metric: str = "l2sqr",
+        vec_col: str = "vec",
+        id_col: str = "id",
+        train_size: int = 10_000,
+        seed: int = 42,
+        path: str | None = None,
+        dim: int | None = None,
+    ) -> "IVFPQIndex":
+        """One seeded sample trains both quantizers; one distributed
+        pass assigns + encodes every row (map-only — cluster argmin and
+        PQ argmin ride the same Arrow batch)."""
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        sample = sample_rows(df, train_size, vec_col=vec_col, id_col=id_col, seed=seed)
+        model = fit_kmeans(sample, k=k_coarse, metric=metric, seed=seed)
+        mm = -(-dim // 3) if m is None else int(m)
+        groups = pq_groups(dim, mm)
+        codebooks = _fit_codebooks(sample, groups, 1 << n_bits, seed)
+        pq = PQTable(codebooks, groups, n_bits, codes=None, base=df,  # type: ignore[arg-type]
+                     vec_col=vec_col, id_col=id_col)
+        codes_clustered = cls._assign_encode(df, model, pq, vec_col, id_col)
+        if path is not None:
+            spark = df.sparkSession
+            os.makedirs(path, exist_ok=True)
+            codes_clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                os.path.join(path, "codes")
+            )
+            np.save(os.path.join(path, "centroids.npy"), model.centroids)
+            np.savez(os.path.join(path, "codebooks.npz"),
+                     **{f"g{gi}": cb for gi, cb in enumerate(codebooks)})
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"metric": metric, "vec_col": vec_col, "id_col": id_col,
+                           "k": model.k, "groups": groups, "n_bits": n_bits,
+                           "dim": dim}, f)
+            codes_clustered = spark.read.parquet(os.path.join(path, "codes"))
+        pq.codes = codes_clustered.select(id_col, "code")
+        return cls(model, pq, codes_clustered, df, vec_col=vec_col, id_col=id_col,
+                   path=path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, base: DataFrame) -> "IVFPQIndex":
+        """S8 parity: reopen without re-training/encoding."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        model = KMeansModel(centroids=np.load(os.path.join(path, "centroids.npy")),
+                            metric=meta["metric"])
+        npz = np.load(os.path.join(path, "codebooks.npz"))
+        codebooks = [npz[f"g{gi}"] for gi in range(len(meta["groups"]))]
+        codes_clustered = spark.read.parquet(os.path.join(path, "codes"))
+        pq = PQTable(codebooks, [tuple(g) for g in meta["groups"]], meta["n_bits"],
+                     codes=codes_clustered.select(meta["id_col"], "code"), base=base,
+                     vec_col=meta["vec_col"], id_col=meta["id_col"])
+        return cls(model, pq, codes_clustered, base, vec_col=meta["vec_col"],
+                   id_col=meta["id_col"], path=path)
+
+    @staticmethod
+    def _assign_encode(df: DataFrame, model: KMeansModel, pq: PQTable,
+                       vec_col: str, id_col: str) -> DataFrame:
+        """Single map-only pass producing (id, code, cluster_id)."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (model.centroids, model.metric, pq.codebooks, pq.groups, pq.n_bits)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist
+            from lab_1806_vec_db_spark.index.pq import pack_codes
+
+            cents, metric, codebooks, groups, n_bits = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                cid = np.argmin(_pairwise_dist(x, cents, metric), axis=1)
+                codes = np.empty((x.shape[0], len(groups)), dtype=np.uint8)
+                for gi, (start, size) in enumerate(groups):
+                    d = _pairwise_dist(x[:, start : start + size], codebooks[gi], "l2sqr")
+                    codes[:, gi] = np.argmin(d, axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                    "code": pack_codes(codes, n_bits),
+                                    "cluster_id": cid.astype(np.int32)})
+
+        return df.select(id_col, vec_col).mapInPandas(
+            enc, schema=f"{id_col} long, code binary, cluster_id int"
+        )
+
+    # ---- search -----------------------------------------------------------
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        n_probes: int = 4,
+        ef: int = 64,
+        metric: str | None = None,
+        upper_bound: float | None = None,
+        payload_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Single-query IVF+PQ: partition-pruned ADC scan of the probed
+        clusters, rounded top-ef candidate gate, exact re-rank top-k."""
+        metric = metric or self.model.metric
+        q = np.asarray(list(query), dtype=np.float64)
+        probed = [int(c) for c in self.model.rank_centroids(q, n_probes)]
+        lut, sq, qnorm = self.pq.build_lookup(q, metric)
+        spark = self.codes_clustered.sparkSession
+        bc = spark.sparkContext.broadcast((lut, sq, qnorm, self.pq.m, self.pq.n_bits))
+        id_col = self.id_col
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            blut, bsq, bqnorm, m, n_bits = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                codes = unpack_codes(buf, m, n_bits)
+                d = PQTable._adc_scores(codes, blut, bsq, bqnorm)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "dist": d})
+
+        cand = (
+            self.codes_clustered.filter(F.col("cluster_id").isin(probed))
+            .select(id_col, "code")
+            .mapInPandas(scan, schema=f"{id_col} long, dist double")
+            .select(id_col, round_dist(F.col("dist")).alias("adc_r"))
+            .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+            .limit(max(int(ef), int(k)))
+            .select(id_col)
+        )
+        qlit = F.lit([float(x) for x in q]).cast("array<double>")
+        payload = list(payload_cols) if payload_cols is not None else [id_col]
+        rer = (
+            self.base.join(F.broadcast(cand), id_col)
+            .select(*payload,
+                    round_dist(dist_expr(F.col(self.vec_col), qlit, metric)).alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(int(k))
+        )
+        if upper_bound is not None:
+            rer = rer.filter(F.col("dist") <= F.lit(float(upper_bound)))
+        return rer
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probes: int = 4,
+        ef: int = 64,
+        metric: str | None = None,
+        qid_col: str = "query_id",
+        qvec_col: str = "vec",
+        upper_bound: float | None = None,
+        max_queries: int = 200_000,
+    ) -> DataFrame:
+        """Batch IVF+PQ: one pruned scan of the codes table; each
+        partition scores a row only for the queries probing its
+        cluster (LUT gather, no raw vectors touched), keeps its top-ef
+        per query; window merge; Arrow re-rank against the base."""
+        metric = metric or self.model.metric
+        spark = queries.sparkSession
+        qrows = queries.select(qid_col, qvec_col).collect()
+        if not qrows:
+            return spark.createDataFrame([], f"query_id long, {self.id_col} long, dist double")
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                "IVF+PQ batch path; chunk the query set upstream."
+            )
+        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        probes = self.model.rank_centroids_batch(qmat, n_probes)
+        by_cluster: dict[int, list[int]] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                by_cluster.setdefault(int(c), []).append(qi)
+        lut3, sq, qn = build_lookup_batch(
+            qmat, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
+        )
+        bc = spark.sparkContext.broadcast(
+            (qids, by_cluster, lut3, sq, qn, self.pq.m, self.pq.n_bits)
+        )
+        id_col = self.id_col
+        ef_ = max(int(ef), int(k))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bqids, bclusters, blut3, bsq, bqn, m, n_bits = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for cid, grp in pdf.groupby("cluster_id"):
+                    sel = bclusters.get(int(cid))
+                    if not sel:
+                        continue
+                    buf = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8).reshape(len(grp), -1)
+                    codes = unpack_codes(buf, m, n_bits)
+                    ids = grp[id_col].to_numpy()
+                    # (n × |sel|) ADC via m 2-D gathers (no 3-D blowup)
+                    summed = np.zeros((codes.shape[0], len(sel)))
+                    lsel = blut3[sel]
+                    for g in range(m):
+                        summed += lsel[:, g, codes[:, g]].T
+                    if bsq is not None:
+                        v2 = np.zeros(codes.shape[0])
+                        for g in range(m):
+                            v2 += bsq[g, codes[:, g]]
+                        vnorm = np.sqrt(np.maximum(v2, 0.0))
+                        summed = 1.0 - summed / np.maximum(
+                            vnorm[:, None] * bqn[sel][None, :], 1e-10
+                        )
+                    kk = min(ef_, summed.shape[0])
+                    idm = np.broadcast_to(ids[:, None], summed.shape)
+                    top = np.lexsort((idm, summed), axis=0)[:kk, :]
+                    yield pd.DataFrame({
+                        "query_id": np.repeat(bqids[sel], kk),
+                        id_col: np.take_along_axis(idm, top, axis=0).T.reshape(-1),
+                        "dist": np.take_along_axis(summed, top, axis=0).T.reshape(-1),
+                    })
+
+        probed_any = sorted(by_cluster.keys())
+        approx = (
+            self.codes_clustered.filter(F.col("cluster_id").isin(probed_any))
+            .select(id_col, "code", "cluster_id")
+            .mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
+        )
+        cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
+        # exact re-rank (same shape as PQTable.search_batch)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bc_q = spark.sparkContext.broadcast((qpos, qmat))
+        vec_col = self.vec_col
+
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bqpos, bqmat = bc_q.value
+            q2 = np.einsum("ij,ij->i", bqmat, bqmat)
+            qnorm = np.sqrt(q2)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+                ip = np.einsum("ij,ij->i", x, bqmat[qi])
+                x2 = np.einsum("ij,ij->i", x, x)
+                if metric == "l2sqr":
+                    d = x2 + q2[qi] - 2.0 * ip
+                else:
+                    d = 1.0 - ip / np.maximum(np.sqrt(x2) * qnorm[qi], 1e-10)
+                yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                    id_col: pdf[id_col].to_numpy(),
+                                    "dist": np_round_half_up(d)})
+
+        rer = (
+            self.base.select(id_col, vec_col)
+            .join(F.broadcast(cand), id_col)
+            .mapInPandas(rerank, schema=f"query_id long, {id_col} long, dist double")
+        )
+        return _topk_per_query(rer, int(k), id_col, upper_bound)

@@ -346,6 +346,84 @@ def knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _ivf_pq_oracle() -> str:
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    grp_rows = ",".join(
+        f"({g},{start + 1},{start + size})"
+        for g, (start, size) in enumerate(pq_groups(64, 16))
+    )
+    return f"""{_Q0},
+c AS (SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 16),
+coarse AS (
+  SELECT e.vec_id, c.cid AS cluster_id,
+         list_dot_product({_E},{_E}) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product({_E},c.cv) AS d
+  FROM embeddings e, c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1),
+probes AS (
+  SELECT c.cid,
+         list_dot_product(q.qv,q.qv) + list_dot_product(c.cv,c.cv)
+           - 2*list_dot_product(q.qv,c.cv) AS pd
+  FROM c, q
+  ORDER BY pd, c.cid LIMIT 4),
+grp AS (SELECT * FROM (VALUES {grp_rows}) t(g, lo, hi)),
+cb AS (
+  SELECT c2.vec_id AS ccid, grp.g, grp.lo, grp.hi,
+         ({_dd('c2.embedding')})[grp.lo:grp.hi] AS cv
+  FROM embeddings c2, grp WHERE c2.vec_id < 16),
+assign AS (
+  SELECT e.vec_id, cb.g, cb.ccid,
+         list_dot_product(({_E})[cb.lo:cb.hi], ({_E})[cb.lo:cb.hi])
+           + list_dot_product(cb.cv, cb.cv)
+           - 2*list_dot_product(({_E})[cb.lo:cb.hi], cb.cv) AS d
+  FROM embeddings e, cb
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, cb.g ORDER BY d, cb.ccid) = 1),
+adc AS (
+  SELECT a.vec_id,
+         round(SUM(list_dot_product(q.qv[cb2.lo:cb2.hi], q.qv[cb2.lo:cb2.hi])
+                   + list_dot_product(cb2.cv, cb2.cv)
+                   - 2*list_dot_product(q.qv[cb2.lo:cb2.hi], cb2.cv)), 4) + 0.0 AS adc_r
+  FROM assign a JOIN cb cb2 ON a.g = cb2.g AND a.ccid = cb2.ccid, q
+  GROUP BY a.vec_id),
+cand AS (
+  SELECT adc.vec_id FROM adc
+  JOIN coarse ON adc.vec_id = coarse.vec_id
+  JOIN probes ON coarse.cluster_id = probes.cid
+  ORDER BY adc.adc_r, adc.vec_id LIMIT 64)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_ivf_pq", _ivf_pq_oracle())
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined serving path (index/ivfpq.py) — the 100 TB
+    layout where the coarse quantizer prunes partitions and PQ prunes
+    bytes: 4-of-16 cluster probe, 4-bit ADC over the pruned codes,
+    rounded top-ef=64 gate, exact re-rank. Both quantizers are FIXED
+    deterministic sets (first-16-row centroids / per-group subvectors
+    of the same rows) so the whole pipeline — coarse argmin, probe
+    ranking, per-group encode argmin, ADC lookup sum, candidate cut,
+    re-rank — is exactly SQL-reproducible; the k-means-trained variant
+    is gated by recall tests (tests/test_indexes.py)."""
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    emb = _emb(spark, sf_dir).cache()
+    crows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    model = KMeansModel(centroids=cmat, metric="l2sqr")
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    codes_clustered = IVFPQIndex._assign_encode(emb, model, pq, "embedding", "vec_id")
+    pq.codes = codes_clustered.select("vec_id", "code")
+    idx = IVFPQIndex(model, pq, codes_clustered, emb, vec_col="embedding", id_col="vec_id")
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4, ef=64)
+
+
 _SAMPLE_ORACLE = """
 SELECT vec_id FROM (
   SELECT vec_id FROM embeddings

@@ -1,0 +1,123 @@
+"""IVF+PQ combined index (index/ivfpq.py) — the distributed
+partition-pruning + byte-pruning serving path. Gates mirror the
+equivalence style of the IVF and PQ suites: removing the approximation
+(all probes + full ef) must reproduce flat exactly; partial regimes are
+recall-gated; save/load must serve identically to the built index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_correct):
+    return read_table(spark, sf_correct, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    return IVFPQIndex.build(
+        emb, k_coarse=16, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=500,
+    )
+
+
+def _pairs(rows):
+    return [(r["vec_id"], r["dist"]) for r in rows]
+
+
+def test_full_probe_full_ef_equals_flat(emb, ivfpq, qvec):
+    # no approximation left: every cluster probed, ef covers the table,
+    # exact re-rank ⇒ identical to the flat scan
+    n = emb.count()
+    flat = knn_ops.knn(emb, qvec, k=10, metric="l2sqr", vec_col="embedding", id_col="vec_id")
+    got = ivfpq.search(qvec, k=10, n_probes=16, ef=n)
+    assert _pairs(got.collect()) == _pairs(flat.collect())
+
+
+def test_partial_probe_recall(emb, ivfpq):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = knn_ops.knn_batch(
+        emb, queries, k=10, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    )
+    gt: dict = {}
+    for r in flat.collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict = {}
+    rows = ivfpq.search_batch(queries, k=10, n_probes=4, ef=64, qvec_col="embedding")
+    for r in rows.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(gt[q] & got.get(q, set())) / 10 for q in gt]
+    # 4/16 random probing would give ~0.25; the trained quantizer plus
+    # the exact re-rank must do far better
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_batch_matches_single(emb, ivfpq):
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivfpq.search_batch(queries, k=5, n_probes=4, ef=32, qvec_col="embedding")
+    by_q: dict = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+    for r in queries.collect():
+        single = ivfpq.search(
+            [float(x) for x in r["embedding"]], k=5, n_probes=4, ef=32
+        ).collect()
+        assert by_q[r["query_id"]] == _pairs(single)
+
+
+def test_cosine_metric(emb, qvec):
+    idx = IVFPQIndex.build(
+        emb, k_coarse=8, m=16, n_bits=8, metric="cosine",
+        vec_col="embedding", id_col="vec_id", train_size=500,
+    )
+    n = emb.count()
+    flat = knn_ops.knn(emb, qvec, k=5, metric="cosine", vec_col="embedding", id_col="vec_id")
+    got = idx.search(qvec, k=5, n_probes=8, ef=n, metric="cosine")
+    assert _pairs(got.collect()) == _pairs(flat.collect())
+
+
+def test_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    built = IVFPQIndex.build(
+        emb, k_coarse=8, m=16, n_bits=4, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=500, path=path,
+    )
+    reopened = IVFPQIndex.load(spark, path, emb)
+    a = built.search(qvec, k=10, n_probes=4, ef=64).collect()
+    b = reopened.search(qvec, k=10, n_probes=4, ef=64).collect()
+    assert _pairs(a) == _pairs(b)
+    assert np.array_equal(built.model.centroids, reopened.model.centroids)
+
+
+def test_partition_pruning_reaches_scan(spark, emb, tmp_path, qvec):
+    # the probe filter must prune parquet partitions, not post-filter:
+    # cluster_id is the partition column, so the pruned plan carries it
+    # in PartitionFilters
+    path = str(tmp_path / "ivfpq_pruned")
+    idx = IVFPQIndex.build(
+        emb, k_coarse=8, m=16, n_bits=4, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=500, path=path,
+    )
+    probed = [int(c) for c in idx.model.rank_centroids(np.asarray(qvec), 2)]
+    plan = (
+        idx.codes_clustered.filter(F.col("cluster_id").isin(probed))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cluster_id" in plan
