@@ -58,6 +58,7 @@ Environment:
   BENCH_SF            0 to skip the sf-dir suite (default 1)
   BENCH_SHARDED       0 to skip the sharded-tier grid rows that run
                       when BENCH_MATCHED_N > 500k (default 1)
+  BENCH_IVFPQ         0 to skip the IVF+PQ grid rows (default 1)
   BENCH_GT_DIR        ground-truth cache dir (default /tmp/spark_graft_gt)
 """
 
@@ -563,6 +564,37 @@ def run_matched(spark) -> dict:
         grid.append({"name": "ivf_k128", "n_probes": n_probes,
                      "ms_per_query": round(best / n_q * 1000.0, 4),
                      "recall_at_10": round(rec, 4)})
+
+    # ---- IVF+PQ (index/ivfpq.py — the 100 TB serving combo): coarse
+    # probe prunes partitions, 4-bit ADC prunes bytes, exact re-rank.
+    # Same measurement basis as the IVF rows (full Spark jobs), so the
+    # delta vs ivf_k128 at equal probes is pure scan-byte savings.
+    if os.environ.get("BENCH_IVFPQ", "1") == "1":
+        from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+
+        t0 = time.time()
+        ivfpq = IVFPQIndex.build(
+            bdf, k_coarse=128, m=dim // 3, n_bits=4, metric="l2sqr",
+            vec_col="embedding", id_col="vec_id", train_size=1000, dim=dim,
+        )
+        ivfpq.codes_clustered = ivfpq.codes_clustered.cache()
+        ivfpq.codes_clustered.count()
+        build_sec["ivfpq_k128"] = round(time.time() - t0, 1)
+        for n_probes in _IVF_PROBES.get(n, (4, 8, 16, 32)):
+            def run_ivfpq_point(n_probes=n_probes):
+                return ivfpq.search_batch(qdf, k=K, n_probes=n_probes,
+                                          ef=max(4 * K, 40),
+                                          qvec_col="embedding").collect()
+            best, rows = _timed(run_ivfpq_point, runs=max(1, RUNS - 1))
+            got_pq: dict[int, set[int]] = {}
+            for r in rows:
+                got_pq.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+            rec = float(np.mean([len(got_pq.get(i, set()) & gt[i]) / len(gt[i])
+                                 for i in range(n_q)]))
+            grid.append({"name": "ivfpq_k128", "n_probes": n_probes,
+                         "ms_per_query": round(best / n_q * 1000.0, 4),
+                         "recall_at_10": round(rec, 4)})
+        ivfpq.codes_clustered.unpersist()
 
     # ---- Sharded HNSW (the >broadcast-tier layout, index/sharded.py):
     # executor-side sub-graph builds + centroid routing, measured at 1M

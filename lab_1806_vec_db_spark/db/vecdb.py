@@ -269,6 +269,7 @@ class VecDB:
         # graph absorbs the new rows incrementally (hnsw_index.rs:538-572)
         self._clear_pq_state(key)
         self._clear_ivf_state(key)
+        self._clear_ivfpq_state(key)
         if meta["has_hnsw"]:
             hnsw = self._get_index(key, "hnsw")
             if hnsw is not None:
@@ -318,6 +319,7 @@ class VecDB:
             self._clear_pq_state(key)
             self._clear_hnsw_state(key)
             self._clear_ivf_state(key)
+            self._clear_ivfpq_state(key)
             self._save_brief()
         return deleted
 
@@ -426,12 +428,15 @@ class VecDB:
         (metadata_vec_table.rs:201-205): ``ef`` + PQ built → ``knn_pq``
         on the live index (HNSW built → ADC-steered broadcast-graph
         traversal + in-task exact re-rank; else flat batch ADC +
-        re-rank); HNSW built → broadcast-graph beam per query; IVF
-        built + ``ef`` → ef probes; else the flat Arrow scan."""
+        re-rank); HNSW built → broadcast-graph beam per query; IVF+PQ
+        built + ``ef`` → cluster-pruned ADC with the build-time probe
+        default; IVF built + ``ef`` → ef probes; else the flat Arrow
+        scan."""
         meta = self._meta(key)
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
         ivf = self._get_index(key, "ivf") if meta.get("has_ivf") else None
+        ivfpq = self._get_index(key, "ivfpq") if meta.get("has_ivfpq") else None
         if ef is not None and pq is not None and _is_plain_hnsw(hnsw):
             return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
                                      qvec_col="vec", upper_bound=upper_bound,
@@ -443,6 +448,14 @@ class VecDB:
         if hnsw is not None:
             return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
                                      qvec_col="vec", upper_bound=upper_bound)
+        if ef is not None and ivfpq is not None:
+            # distributed throughput tier: coarse probe (serving default
+            # recorded at build time) prunes partitions, ADC keeps the
+            # ef-candidate pool, exact re-rank returns k
+            probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
+            return ivfpq.search_batch(queries, k, n_probes=probes, ef=ef,
+                                      qid_col="query_id", qvec_col="vec",
+                                      upper_bound=upper_bound)
         if ef is not None and ivf is not None:
             # the reference reuses the ef knob as n_probes for IVF
             # (dynamic_index.rs:85-90)
@@ -468,7 +481,7 @@ class VecDB:
         self._indexes.pop(key, None)
         meta = self._brief["tables"].get(key)
         if meta:
-            for suffix in ("_ivf", "_pq", "_hnsw"):
+            for suffix in ("_ivf", "_pq", "_hnsw", "_ivfpq"):
                 shutil.rmtree(
                     os.path.join(self.dir, "tables", meta["filename"] + suffix),
                     ignore_errors=True,
@@ -497,6 +510,14 @@ class VecDB:
             meta["ivf_params"] = None
         self._indexes.get(key, {}).pop("ivf", None)
         shutil.rmtree(self._index_path(key, "ivf"), ignore_errors=True)
+
+    def _clear_ivfpq_state(self, key: str) -> None:
+        meta = self._meta(key)
+        if meta.get("has_ivfpq"):
+            meta["has_ivfpq"] = False
+            meta["ivfpq_params"] = None
+        self._indexes.get(key, {}).pop("ivfpq", None)
+        shutil.rmtree(self._index_path(key, "ivfpq"), ignore_errors=True)
 
     def _get_index(self, key: str, kind: str):
         """Lazy-load a persisted index artifact (S8: the reference's
@@ -527,6 +548,10 @@ class VecDB:
             from lab_1806_vec_db_spark.index.ivf import IVFIndex
 
             idx[kind] = IVFIndex.load(self.spark, path)
+        elif kind == "ivfpq":
+            from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+
+            idx[kind] = IVFPQIndex.load(self.spark, path, base=self.table_df(key))
         return idx.get(kind)
 
     def build_hnsw_index(
@@ -600,6 +625,45 @@ class VecDB:
 
     def has_ivf_index(self, key: str) -> bool:
         return bool(self._meta(key).get("has_ivf"))
+
+    def build_ivfpq_index(
+        self,
+        key: str,
+        k_coarse: int = 128,
+        m: int | None = None,
+        n_bits: int = 4,
+        train_size: int = 10_000,
+        n_probes: int = 8,
+    ) -> None:
+        """Spark-native extension: the IVF+PQ combined serving tier
+        (index/ivfpq.py) — coarse clusters prune partitions, 4-bit
+        codes prune bytes. The batch throughput path for tables above
+        the HNSW broadcast bound; ``n_probes`` is the serving default
+        recorded with the index (the reference keeps serving knobs in
+        its per-index config the same way, t_bench.toml)."""
+        meta = self._meta(key)
+        if meta.get("has_ivfpq"):
+            return
+        from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+
+        idx = IVFPQIndex.build(
+            self.table_df(key), k_coarse=k_coarse, m=m, n_bits=n_bits,
+            metric=meta["dist"], vec_col="vec", id_col="id",
+            train_size=train_size, path=self._index_path(key, "ivfpq"),
+            dim=meta["dim"],
+        )
+        self._indexes.setdefault(key, {})["ivfpq"] = idx
+        meta["has_ivfpq"] = True
+        meta["ivfpq_params"] = {"k_coarse": k_coarse, "m": m, "n_bits": n_bits,
+                                "train_size": train_size, "n_probes": n_probes}
+        self._save_brief()
+
+    def has_ivfpq_index(self, key: str) -> bool:
+        return bool(self._meta(key).get("has_ivfpq"))
+
+    def clear_ivfpq_index(self, key: str) -> None:
+        self._clear_ivfpq_state(key)
+        self._save_brief()
 
     def clear_hnsw_index(self, key: str) -> None:
         """Downgrade to flat, keeping vectors (metadata_vec_table.rs:100-106)."""

@@ -164,3 +164,35 @@ def test_batch_search_dataframe_form(db, spark):
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r["id"])
     assert by_q[0][0] == 0 and by_q[1][0] == 3
+
+
+def test_ivfpq_index_build_dispatch_invalidate(db, spark, tmp_path):
+    # IVF+PQ tier: build, batch dispatch routes through it, reopen
+    # serves from the persisted artifact, writes invalidate it
+    import numpy as np
+
+    key = "big"
+    db.create_table_if_not_exists(key, 8, "l2sqr")
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(64, 8)).astype(float)
+    db.batch_add(key, [list(map(float, v)) for v in vecs],
+                 [{"i": str(i)} for i in range(64)])
+    db.build_ivfpq_index(key, k_coarse=4, m=4, n_bits=8, train_size=64,
+                         n_probes=4)
+    assert db.has_ivfpq_index(key)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[3]])], "query_id long, vec array<double>"
+    )
+    # all 4 probes + wide ef ⇒ exact: top-1 must be the query row itself
+    rows = db.batch_search(key, queries, k=3, ef=64).collect()
+    assert rows and rows[0]["id"] == 3 and rows[0]["dist"] == pytest.approx(0.0, abs=1e-4)
+    # restart: the artifact reloads lazily and serves identically
+    db.close()
+    d2 = VecDB(db.dir, spark=spark)
+    assert d2.has_ivfpq_index(key)
+    rows2 = d2.batch_search(key, queries, k=3, ef=64).collect()
+    assert [(r["id"], r["dist"]) for r in rows2] == [(r["id"], r["dist"]) for r in rows]
+    # a write invalidates the compressed index (codes are stale)
+    d2.batch_add(key, [[0.0] * 8], [{"i": "new"}])
+    assert not d2.has_ivfpq_index(key)
+    d2.close()
