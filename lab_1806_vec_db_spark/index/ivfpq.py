@@ -269,26 +269,35 @@ class IVFPQIndex:
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bqids, bclusters, blut3, bsq, bqn, m, n_bits = bc.value
+            ksub = 1 << n_bits
+            # flattened-LUT layout: one fancy-index per cluster replaces
+            # an m-iteration gather loop (m=320 python-level loops per
+            # cluster measured 3-8× slower than the traversal itself)
+            lut2 = np.ascontiguousarray(blut3.reshape(blut3.shape[0], m * ksub))
+            offs = (np.arange(m) * ksub).astype(np.int64)
             for pdf in batches:
                 if pdf.empty:
                     continue
-                for cid, grp in pdf.groupby("cluster_id"):
+                # unpack the whole Arrow batch once
+                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                codes_off = unpack_codes(buf, m, n_bits).astype(np.int64) + offs[None, :]
+                all_ids = pdf[id_col].to_numpy()
+                cl = pdf["cluster_id"].to_numpy()
+                if bsq is not None:
+                    sq_flat = bsq.reshape(m * ksub)
+                    v2_all = sq_flat[codes_off].sum(axis=1)
+                for cid in np.unique(cl):
                     sel = bclusters.get(int(cid))
                     if not sel:
                         continue
-                    buf = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8).reshape(len(grp), -1)
-                    codes = unpack_codes(buf, m, n_bits)
-                    ids = grp[id_col].to_numpy()
-                    # (n × |sel|) ADC via m 2-D gathers (no 3-D blowup)
-                    summed = np.zeros((codes.shape[0], len(sel)))
-                    lsel = blut3[sel]
-                    for g in range(m):
-                        summed += lsel[:, g, codes[:, g]].T
+                    rows = np.nonzero(cl == cid)[0]
+                    # (|sel| × n × m) gather then reduce — cluster rows
+                    # are partition-local and small, so the temporary is
+                    # bounded by rows-per-cluster × m
+                    summed = lut2[sel][:, codes_off[rows]].sum(axis=2).T
+                    ids = all_ids[rows]
                     if bsq is not None:
-                        v2 = np.zeros(codes.shape[0])
-                        for g in range(m):
-                            v2 += bsq[g, codes[:, g]]
-                        vnorm = np.sqrt(np.maximum(v2, 0.0))
+                        vnorm = np.sqrt(np.maximum(v2_all[rows], 0.0))
                         summed = 1.0 - summed / np.maximum(
                             vnorm[:, None] * bqn[sel][None, :], 1e-10
                         )

@@ -396,7 +396,7 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
   event_type,
   count(*) AS n_events,
   round(sum(value), 4) + 0.0 AS sum_value,
-  round(avg(value), 4) + 0.0 AS avg_value
+  floor((round(sum(value), 4) + 0.0) / count(*) * 10000.0 + 0.5) / 10000.0 + 0.0 AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 )
 def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,3 +481,27 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), ts_col="ts", user_col="user_id",
         gap_minutes=30, value_col="value",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "events_hopping_agg",
+    """SELECT strftime(date_trunc('hour', ts) - to_hours(r), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 4) + 0.0 AS sum_value,
+  floor((round(sum(value), 4) + 0.0) / count(*) * 10000.0 + 0.5) / 10000.0 + 0.0 AS avg_value
+FROM events, range(2) t(r)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 2-hour/1-hour-slide rollup per event type
+    (streaming/windows.py:hopping_agg — same code on ``readStream``).
+    Every event lands in exactly window/slide = 2 hour-aligned windows,
+    which is what the oracle's ``range(2)`` shift reproduces: the
+    windows starting at trunc(ts) and trunc(ts) − 1 h."""
+    from lab_1806_vec_db_spark.streaming.windows import hopping_agg
+
+    return hopping_agg(
+        _events(spark, sf_dir), ts_col="ts", window="2 hours", slide="1 hour",
+        keys=("event_type",), value_col="value",
+    ).orderBy("window_start", "event_type")

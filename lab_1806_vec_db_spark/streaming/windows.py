@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _avg4(value_col: str):
+    """Engine-portable 4-dp average. Two traps stack here: (1) engines
+    disagree by 1 ulp on the raw sum (summation order), so derive from
+    the ROUNDED sum — dividing a 4-dp-clean double is bit-identical
+    everywhere; (2) avg = sum/n regularly lands on exact half-at-5th-
+    decimal values where decimal-string rounding (Spark round →
+    BigDecimal of the shortest repr) and binary rounding (DuckDB)
+    disagree, so round via floor(x·10⁴ + 0.5)/10⁴ — pure binary-value
+    arithmetic both engines evaluate identically (the SQL twin is
+    spelled out in plans/pipeline_queries.py)."""
+    clean_sum = F.round(F.sum(value_col), 4) + F.lit(0.0)
+    q = clean_sum / F.count("*")
+    return F.floor(q * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0) + F.lit(0.0)
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str = "ts",
@@ -59,7 +74,7 @@ def tumbling_agg(
     aggs = (
         F.count("*").alias("n_events"),
         (F.round(F.sum(value_col), 4) + F.lit(0.0)).alias("sum_value"),
-        (F.round(F.avg(value_col), 4) + F.lit(0.0)).alias("avg_value"),
+        _avg4(value_col).alias("avg_value"),
     )
     if df.isStreaming:
         dur = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}[unit]
@@ -70,6 +85,46 @@ def tumbling_agg(
         wstart = F.col("__w")
     return out.select(
         F.date_format(wstart, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        *keys,
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) window rollup: each event lands in
+    ``window/slide`` overlapping windows — the moving-average /
+    rate-feature shape a training pipeline computes over an events
+    stream. ``F.window(ts, window, slide)`` is the native form and
+    works identically on batch and ``readStream`` (with a watermark the
+    state store evicts windows the watermark has passed).
+
+    Scale: the window explode multiplies rows by window/slide
+    *map-side*, then one (window, keys) shuffle carries map-combined
+    partials — the blow-up never crosses the wire as raw events.
+    """
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        ts = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
+    df = df.withColumn("__ts", ts)
+    if watermark is not None:
+        df = df.withWatermark("__ts", watermark)
+    out = df.groupBy(F.window("__ts", window, slide).alias("__w"), *keys).agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum(value_col), 4) + F.lit(0.0)).alias("sum_value"),
+        _avg4(value_col).alias("avg_value"),
+    )
+    return out.select(
+        F.date_format(F.col("__w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         *keys,
         "n_events",
         "sum_value",

@@ -155,3 +155,41 @@ def test_session_agg_stream_equals_batch(spark, tmp_path):
     )
     assert stream_rows == batch_rows
     assert len(batch_rows) >= 5
+
+
+def test_hopping_agg_stream_equals_batch(spark, tmp_path):
+    from lab_1806_vec_db_spark.streaming.windows import hopping_agg
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=11 * i), "click" if i % 3 else "view", float(i))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "events_hop_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    batch_rows = sorted(
+        tuple(r) for r in hopping_agg(spark.read.parquet(src)).collect()
+    )
+    # overlap invariant: each event is in window/slide = 2 windows
+    n_batch = sum(r[2] for r in batch_rows)
+    assert n_batch == 2 * 40
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        hopping_agg(stream, watermark="3 hours")
+        .writeStream.format("memory")
+        .queryName("hopping_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM hopping_test").collect()
+    )
+    assert stream_rows == batch_rows
