@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry_mod
 from lab_1806_vec_db_spark.session import read_table
 
-EVENTS_ENTRIES = ["events_tumbling_agg", "events_sessionize", "events_session_agg"]
+EVENTS_ENTRIES = [
+    "events_tumbling_agg",
+    "events_hopping_agg",
+    "events_sessionize",
+    "events_session_agg",
+]
 
 
 def _canon(v):
