@@ -417,6 +417,28 @@ int pq_flat_SUF(
     free(res); free(fin);
     return 0;
 }
+
+/*
+ * Block ADC scores (the IVF+PQ probed-cluster scan, index/ivfpq.py):
+ * out[s][u] = sum over groups of lut[s] at codes[u] — the bare
+ * lookup-sum for a (row-block × query-block) tile, no selection. The
+ * LUT row is L1-resident (m * ksub entries), so this is the
+ * memory-layout-optimal form of the scan the GEMM/one-hot expression
+ * wastes 16x MACs on.
+ */
+int adc_block_SUF(
+    const unsigned char *codes, long n, int m, int ksub,
+    const VT *lut, const long *sel, long S,
+    double *out)
+{
+    for (long s = 0; s < S; s++) {
+        const VT *lut_q = lut + (size_t)(sel ? sel[s] : s) * m * ksub;
+        double *o = out + (size_t)s * n;
+        for (long u = 0; u < n; u++)
+            o[u] = adc_SUF(codes, lut_q, m, ksub, u);
+    }
+    return 0;
+}
 """
 
 
@@ -497,6 +519,13 @@ def _bind(lib: ctypes.CDLL) -> None:
             lp, dp,
         ]
         pf.restype = ctypes.c_int
+        ab = getattr(lib, f"adc_block_{suf}")
+        ab.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,  # codes, n, m, ksub
+            vp, lp, ctypes.c_long,                                       # lut, sel, S
+            dp,
+        ]
+        ab.restype = ctypes.c_int
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -668,6 +697,33 @@ def build_pools(
     if rc != 0:
         raise MemoryError("hnsw build-pools C kernel allocation failure")
     return out_ids, out_d
+
+
+def adc_block(codes: np.ndarray, lut: np.ndarray, sel: np.ndarray | None = None) -> np.ndarray:
+    """Compiled block ADC: codes (n × m) uint8 (unpacked), lut
+    (Q × m × ksub) f32/f64 contiguous, optional ``sel`` (S,) int64
+    picking query rows of ``lut`` → (S × n) float64 lookup-sums.
+    Caller handles cosine normalization and masking."""
+    lib = get_lib()
+    assert lib is not None
+    n, m = codes.shape
+    _, m2, ksub = lut.shape
+    S = lut.shape[0] if sel is None else sel.shape[0]
+    assert m2 == m and codes.flags["C_CONTIGUOUS"] and lut.flags["C_CONTIGUOUS"]
+    if sel is not None:
+        sel = np.ascontiguousarray(sel, dtype=np.int64)
+    vt = ctypes.c_float if lut.dtype == np.float32 else ctypes.c_double
+    fn = getattr(lib, "adc_block_f32" if lut.dtype == np.float32 else "adc_block_f64")
+    out = np.empty((S, n), dtype=np.float64)
+    rc = fn(
+        codes.ctypes.data_as(ctypes.c_char_p), n, m, ksub,
+        _ptr(lut, vt),
+        None if sel is None else _ptr(sel, ctypes.c_long),
+        S,
+        _ptr(out, ctypes.c_double),
+    )
+    assert rc == 0
+    return out
 
 
 def pq_flat(

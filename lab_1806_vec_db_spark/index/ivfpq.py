@@ -268,36 +268,47 @@ class IVFPQIndex:
         ef_ = max(int(ef), int(k))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from lab_1806_vec_db_spark.index import ckernel
+
             bqids, bclusters, blut3, bsq, bqn, m, n_bits = bc.value
             ksub = 1 << n_bits
-            # flattened-LUT layout: one fancy-index per cluster replaces
-            # an m-iteration gather loop (m=320 python-level loops per
-            # cluster measured 3-8× slower than the traversal itself)
-            lut2 = np.ascontiguousarray(blut3.reshape(blut3.shape[0], m * ksub))
-            offs = (np.arange(m) * ksub).astype(np.int64)
+            # Per-(cluster, probing-queries) tile through the compiled
+            # lookup-sum kernel — the FLOP-minimal form: only probed
+            # (row, query) pairs are scored, m adds each, LUT rows
+            # L1-resident. A one-hot GEMM over all queries measured
+            # 16× the MACs · k/n_probes× the pairs (both slower);
+            # python-level gather loops lose ~10× to interpreter
+            # overhead. Falls back to the numpy loop when no cc exists.
+            use_c = ckernel.available()
+            lut64 = np.ascontiguousarray(blut3, dtype=np.float64)
             for pdf in batches:
                 if pdf.empty:
                     continue
-                # unpack the whole Arrow batch once
                 buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
-                codes_off = unpack_codes(buf, m, n_bits).astype(np.int64) + offs[None, :]
-                all_ids = pdf[id_col].to_numpy()
-                cl = pdf["cluster_id"].to_numpy()
-                if bsq is not None:
-                    sq_flat = bsq.reshape(m * ksub)
-                    v2_all = sq_flat[codes_off].sum(axis=1)
-                for cid in np.unique(cl):
+                codes_all = unpack_codes(buf, m, n_bits)
+                ids_all = pdf[id_col].to_numpy()
+                cl_all = pdf["cluster_id"].to_numpy()
+                for cid in np.unique(cl_all):
                     sel = bclusters.get(int(cid))
                     if not sel:
                         continue
-                    rows = np.nonzero(cl == cid)[0]
-                    # (|sel| × n × m) gather then reduce — cluster rows
-                    # are partition-local and small, so the temporary is
-                    # bounded by rows-per-cluster × m
-                    summed = lut2[sel][:, codes_off[rows]].sum(axis=2).T
-                    ids = all_ids[rows]
+                    rows = np.nonzero(cl_all == cid)[0]
+                    codes_sub = np.ascontiguousarray(codes_all[rows])
+                    ids = ids_all[rows]
+                    if use_c:
+                        summed = ckernel.adc_block(
+                            codes_sub, lut64, np.asarray(sel, dtype=np.int64)
+                        ).T  # (n_c × |sel|)
+                    else:
+                        summed = np.zeros((codes_sub.shape[0], len(sel)))
+                        lsel = blut3[sel]
+                        for g in range(m):
+                            summed += lsel[:, g, codes_sub[:, g]].T
                     if bsq is not None:
-                        vnorm = np.sqrt(np.maximum(v2_all[rows], 0.0))
+                        v2 = np.zeros(codes_sub.shape[0])
+                        for g in range(m):
+                            v2 += bsq[g, codes_sub[:, g]]
+                        vnorm = np.sqrt(np.maximum(v2, 0.0))
                         summed = 1.0 - summed / np.maximum(
                             vnorm[:, None] * bqn[sel][None, :], 1e-10
                         )

@@ -116,6 +116,41 @@ def knn(
     return out
 
 
+def knn_grouped(
+    df: DataFrame,
+    query: Sequence[float],
+    k_per_group: int,
+    group_col: str,
+    metric: str = "cosine",
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> DataFrame:
+    """Diversified kNN: top-``k_per_group`` nearest per ``group_col``
+    value (labels, sources, languages …) — the "give me the best
+    matches from EVERY category" retrieval shape a training pipeline
+    uses for balanced sampling. Beyond-reference extension composed
+    from the flat scan.
+
+    Plan: one scan + project(dist), then a rank window partitioned by
+    the group key — a single shuffle on ``group_col``, k-bounded per
+    group. At 100 TB the shuffle carries only rows that survive the
+    per-partition window partial-rank, never the raw table."""
+    from pyspark.sql import Window
+
+    _check_metric(metric)
+    qlit = F.lit([float(x) for x in query]).cast("array<double>")
+    scored = df.select(
+        group_col, id_col,
+        round_dist(dist_expr(F.col(vec_col), qlit, metric)).alias("dist"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_per_group))
+        .drop("rnk")
+    )
+
+
 def _dist_matrix(x: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     """(n × d) base block vs (m × d) query block → (n × m) float64
     distances; algebraic forms match the reference's cached-dot

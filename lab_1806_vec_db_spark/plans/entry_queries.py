@@ -129,6 +129,46 @@ def knn_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_flat_filtered",
+    f"""{_Q0}
+SELECT e.vec_id AS vec_id, e.label AS label, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e, q WHERE e.label = 1
+ORDER BY dist, vec_id LIMIT 10""",
+)
+def knn_flat_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN: a metadata predicate applied BELOW the distance
+    computation, so Catalyst pushes it into the parquet scan
+    (PushedFilters-gated in tests/test_plans.py) — non-matching rows
+    never get a distance. Beyond-reference (the reference attaches
+    metadata to results, Q8, but cannot prune the search by it)."""
+    q = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(F.col("label") == 1)
+    return knn_ops.knn(emb, q, k=10, metric="l2sqr", vec_col="embedding",
+                       id_col="vec_id", payload_cols=["vec_id", "label"])
+
+
+@register(
+    "knn_grouped_by_label",
+    f"""{_Q0}
+SELECT label, vec_id, dist FROM (
+  SELECT e.label, e.vec_id, {_l2_sql(_E, 'q.qv')} AS dist,
+         row_number() OVER (PARTITION BY e.label
+                            ORDER BY {_l2_sql(_E, 'q.qv')}, e.vec_id) AS rnk
+  FROM embeddings e, q) WHERE rnk <= 3
+ORDER BY label, dist, vec_id""",
+)
+def knn_grouped_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified kNN: top-3 nearest per label (operators/knn.py:
+    knn_grouped) — balanced retrieval across categories in one
+    group-key shuffle."""
+    q = _query_vec(spark, sf_dir)
+    return knn_ops.knn_grouped(
+        _emb(spark, sf_dir), q, k_per_group=3, group_col="label",
+        metric="l2sqr", vec_col="embedding", id_col="vec_id",
+    ).select("label", "vec_id", "dist").orderBy("label", "dist", "vec_id")
+
+
+@register(
     "knn_upper_bound",
     f"""{_Q0}
 SELECT * FROM (

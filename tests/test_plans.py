@@ -57,3 +57,29 @@ def test_pq_rerank_is_broadcast_join(emb, qvec):
                        vec_col="embedding", id_col="vec_id")
     plan = _plan(pq.search(qvec, k=10, ef=50, metric="l2sqr"))
     assert "BroadcastHashJoin" in plan  # base table is never shuffled
+
+
+def test_filtered_knn_pushes_predicate_to_scan(emb, qvec):
+    # the label predicate must reach the parquet reader (PushedFilters),
+    # not run as a post-scan Filter over scored rows
+    plan = _plan(
+        knn_ops.knn(emb.filter(F.col("label") == 1), qvec, k=10, metric="l2sqr",
+                    vec_col="embedding", id_col="vec_id",
+                    payload_cols=["vec_id", "label"])
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("label" in l for l in pushed)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_knn_is_single_group_shuffle(emb, qvec):
+    # one hashpartitioning exchange on the group key; rank window, no sort-all
+    plan = _plan(
+        knn_ops.knn_grouped(emb, qvec, k_per_group=3, group_col="label",
+                            metric="l2sqr", vec_col="embedding", id_col="vec_id")
+    )
+    assert plan.count(") Exchange") == 1  # detail section: one exchange node
+    assert "hashpartitioning(label" in plan
+    # rank-limit pushdown: the shuffle input is already k-bounded per
+    # group map-side, so the exchange never carries the full scored table
+    assert "WindowGroupLimit" in plan and "Partial" in plan
