@@ -218,6 +218,24 @@ def run_sf_suite(spark) -> dict:
     timings["pq_ef80"], rows = _timed(run_pq)
     recalls["pq_ef80"] = _recall(rows, gt)
 
+    # ---- IVF+PQ (index/ivfpq.py — both pruning axes) ---------------------
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+
+    t0 = time.time()
+    ivfpq = IVFPQIndex.build(emb, k_coarse=ivf_k, m=22, n_bits=4,
+                             metric="l2sqr", vec_col="embedding",
+                             id_col="vec_id", train_size=10_000, dim=64)
+    ivfpq.codes_clustered = ivfpq.codes_clustered.cache()
+    ivfpq.codes_clustered.count()
+    build_sec["ivfpq"] = time.time() - t0
+
+    def run_ivfpq():
+        return ivfpq.search_batch(queries, k=K, n_probes=n_probes, ef=80,
+                                  qvec_col="embedding").collect()
+
+    timings["ivfpq_probe50pct"], rows = _timed(run_ivfpq)
+    recalls["ivfpq_probe50pct"] = _recall(rows, gt)
+
     # ---- HNSW ------------------------------------------------------------
     t0 = time.time()
     hnsw = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
