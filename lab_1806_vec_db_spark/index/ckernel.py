@@ -149,16 +149,24 @@ static inline double adc_SUF(
 {
     const unsigned char *cu = codes + (size_t)u * m;
     const VT *p = lut_q;
-    VT a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+    /* 8 independent accumulators: the lookups are L1-resident, so the
+     * limit is load-latency × chain depth — 8 in-flight loads cover the
+     * ~4-cycle L1 latency at 2 loads/cycle (same reasoning as the
+     * 8-lane exact-dot kernel). */
+    VT a0 = 0, a1 = 0, a2 = 0, a3 = 0, a4 = 0, a5 = 0, a6 = 0, a7 = 0;
     int g = 0;
-    for (; g + 4 <= m; g += 4) {
+    for (; g + 8 <= m; g += 8) {
         a0 += p[cu[g]];
         a1 += p[ksub + cu[g + 1]];
         a2 += p[2 * ksub + cu[g + 2]];
         a3 += p[3 * ksub + cu[g + 3]];
-        p += 4 * ksub;
+        a4 += p[4 * ksub + cu[g + 4]];
+        a5 += p[5 * ksub + cu[g + 5]];
+        a6 += p[6 * ksub + cu[g + 6]];
+        a7 += p[7 * ksub + cu[g + 7]];
+        p += 8 * ksub;
     }
-    VT acc = (a0 + a1) + (a2 + a3);
+    VT acc = ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7));
     for (; g < m; g++) { acc += p[cu[g]]; p += ksub; }
     return (double)acc;
 }
