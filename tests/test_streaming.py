@@ -193,3 +193,48 @@ def test_hopping_agg_stream_equals_batch(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM hopping_test").collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_dedup_stream_drops_dupes_across_batches(spark, tmp_path):
+    # duplicates arriving in DIFFERENT micro-batches within the horizon
+    # must still dedup — that is what the keyed state store provides
+    from lab_1806_vec_db_spark.streaming.dedup_stream import dedup_stream
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    src = str(tmp_path / "docs_stream")
+    schema = "doc_id long, ts timestamp, text string"
+    # file 1: three docs, one internal dup; file 2 (separate micro-batch
+    # under maxFilesPerTrigger=1): a dup of doc A + one new doc
+    spark.createDataFrame(
+        [(0, base, "alpha"), (1, base + datetime.timedelta(minutes=1), "beta"),
+         (2, base + datetime.timedelta(minutes=2), "alpha")],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(3, base + datetime.timedelta(minutes=3), "alpha"),
+         (4, base + datetime.timedelta(minutes=4), "gamma")],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        dedup_stream(stream, content_col="text", ts_col="ts", horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text FROM dedup_stream_test").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]
+
+    # batch mode: same semantics via plain dropDuplicates
+    batch = spark.read.schema(schema).parquet(src + "/f*")
+    out = dedup_stream(batch, content_col="text").select("text").collect()
+    assert sorted(r["text"] for r in out) == ["alpha", "beta", "gamma"]
