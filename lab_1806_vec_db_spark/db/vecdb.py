@@ -413,6 +413,38 @@ class VecDB:
         result.sort(key=lambda t: t[1])
         return result[:k]
 
+    def search_filtered(
+        self,
+        key: str,
+        query: list[float],
+        k: int,
+        pattern: dict[str, str],
+        upper_bound: float | None = None,
+    ) -> list[tuple[dict[str, str], float]]:
+        """Metadata-filtered exact kNN: the subset-match predicate
+        (the reference's delete-pattern semantics, metadata_vec_table.rs
+        :163-169) applied BELOW the distance computation — non-matching
+        rows are pruned by the scan (map-type predicate; with metadata
+        promoted to top-level parquet columns it reaches PushedFilters,
+        tests/test_plans.py shows the shape). Beyond-reference: the
+        reference can attach metadata to results (Q8) but cannot prune
+        the search space by it."""
+        meta = self._meta(key)
+        if len(query) != meta["dim"]:
+            raise ValueError("Dimension mismatch")
+        df = self.table_df(key).filter(self._pattern_pred(pattern))
+        out = knn_ops.knn(
+            df, query, k, metric=meta["dist"], vec_col="vec",
+            payload_cols=["id", "metadata"], id_col="id", norm_col="norm",
+        )
+        result = []
+        for r in out.collect():
+            if upper_bound is not None and r["dist"] > upper_bound:
+                continue
+            result.append((dict(r["metadata"] or {}), float(r["dist"])))
+        result.sort(key=lambda t: t[1])
+        return result[:k]
+
     def batch_search(
         self,
         key: str,

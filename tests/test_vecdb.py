@@ -196,3 +196,16 @@ def test_ivfpq_index_build_dispatch_invalidate(db, spark, tmp_path):
     d2.batch_add(key, [[0.0] * 8], [{"i": "new"}])
     assert not d2.has_ivfpq_index(key)
     d2.close()
+
+
+def test_search_filtered_subset_match(db):
+    key = _tiny4d(db)  # 4 one-hots (content a-d) + one 'oops' row
+    # filter to a single metadata value: only that row can be returned,
+    # regardless of distance rank
+    res = db.search_filtered(key, [1.0, 0.0, 0.0, 0.0], k=3, pattern={"content": "b"})
+    assert len(res) == 1 and res[0][0]["content"] == "b"
+    # empty pattern = unfiltered exact search
+    res_all = db.search_filtered(key, [1.0, 0.0, 0.0, 0.0], k=3, pattern={})
+    assert len(res_all) == 3 and res_all[0][0].get("content", "") == "a"
+    # non-matching pattern → empty
+    assert db.search_filtered(key, [1.0, 0.0, 0.0, 0.0], k=3, pattern={"content": "zzz"}) == []
