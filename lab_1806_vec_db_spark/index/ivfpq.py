@@ -236,6 +236,7 @@ class IVFPQIndex:
         qvec_col: str = "vec",
         upper_bound: float | None = None,
         max_queries: int = 200_000,
+        max_lut_bytes: int = 64 << 20,
     ) -> DataFrame:
         """Batch IVF+PQ: one pruned scan of the codes table; each
         partition scores a row only for the queries probing its
@@ -253,21 +254,11 @@ class IVFPQIndex:
             )
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
-        probes = self.model.rank_centroids_batch(qmat, n_probes)
-        by_cluster: dict[int, list[int]] = {}
-        for qi, row in enumerate(probes):
-            for c in row:
-                by_cluster.setdefault(int(c), []).append(qi)
-        lut3, sq, qn = build_lookup_batch(
-            qmat, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
-        )
-        bc = spark.sparkContext.broadcast(
-            (qids, by_cluster, lut3, sq, qn, self.pq.m, self.pq.n_bits)
-        )
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make_scan(bc):
+          def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lab_1806_vec_db_spark.index import ckernel
 
             bqids, bclusters, blut3, bsq, bqn, m, n_bits = bc.value
@@ -320,13 +311,37 @@ class IVFPQIndex:
                         id_col: np.take_along_axis(idm, top, axis=0).T.reshape(-1),
                         "dist": np.take_along_axis(summed, top, axis=0).T.reshape(-1),
                     })
+          return scan
 
-        probed_any = sorted(by_cluster.keys())
-        approx = (
-            self.codes_clustered.filter(F.col("cluster_id").isin(probed_any))
-            .select(id_col, "code", "cluster_id")
-            .mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
-        )
+        # bound each broadcast lookup tensor (same ≤64 MB budget as
+        # PQTable.search_batch): queries are processed in chunks, each
+        # with its own probe routing, pruned scan, and broadcast
+        ksub = 1 << self.pq.n_bits
+        chunk = max(4, int(max_lut_bytes) // (self.pq.m * ksub * 8))
+        pieces = []
+        for s in range(0, len(qids), chunk):
+            qmat_c = qmat[s : s + chunk]
+            probes = self.model.rank_centroids_batch(qmat_c, n_probes)
+            by_cluster: dict[int, list[int]] = {}
+            for qi, row in enumerate(probes):
+                for c in row:
+                    by_cluster.setdefault(int(c), []).append(qi)
+            lut3, sq, qn = build_lookup_batch(
+                qmat_c, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
+            )
+            bc = spark.sparkContext.broadcast(
+                (qids[s : s + chunk], by_cluster, lut3, sq, qn,
+                 self.pq.m, self.pq.n_bits)
+            )
+            probed_any = sorted(by_cluster.keys())
+            pieces.append(
+                self.codes_clustered.filter(F.col("cluster_id").isin(probed_any))
+                .select(id_col, "code", "cluster_id")
+                .mapInPandas(make_scan(bc), schema=f"query_id long, {id_col} long, dist double")
+            )
+        approx = pieces[0]
+        for p in pieces[1:]:
+            approx = approx.unionByName(p)
         cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
         # exact re-rank (same shape as PQTable.search_batch)
         qpos = {int(q): i for i, q in enumerate(qids)}

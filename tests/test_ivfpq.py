@@ -121,3 +121,15 @@ def test_partition_pruning_reaches_scan(spark, emb, tmp_path, qvec):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_chunked_lut_broadcast_matches(emb, ivfpq):
+    # force multiple LUT chunks (tiny budget ⇒ 4 queries per chunk) —
+    # results must be identical to the single-chunk run
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one = ivfpq.search_batch(queries, k=5, n_probes=4, ef=32, qvec_col="embedding").collect()
+    many = ivfpq.search_batch(queries, k=5, n_probes=4, ef=32,
+                              qvec_col="embedding", max_lut_bytes=1).collect()
+    assert sorted(map(tuple, many)) == sorted(map(tuple, one))
