@@ -625,6 +625,12 @@ def run_matched(spark) -> dict:
 
         from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
+        # the sharded tier loads sub-graphs into executor-side python
+        # workers; free the driver-side numpy copy of the base (7.7 GB
+        # at 1M×960 f64) first — recalls only need gt + returned ids
+        del base
+        import gc; gc.collect()
+
         spath = os.path.join(GT_DIR, f"sharded_{n}_v4")
         _sh.rmtree(spath, ignore_errors=True)
         t0 = time.time()

@@ -49,7 +49,12 @@ from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans, sample_r
 #: few shards; the cap keeps a long-lived executor from accumulating
 #: every shard it ever served.
 _GRAPH_CACHE: dict[str, HNSWIndex] = {}
-_GRAPH_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "8"))
+#: default 2, not "all shards": each worker PROCESS keeps its own cache,
+#: so the worst case is workers × cap × graph-size resident at once —
+#: at 1M rows / 8 shards / 32 workers a cap of 8 admits ~150 GB and
+#: OOM-killed the JVM in testing; 2 bounds it at ~⅛ of that while still
+#: covering the common two-shards-per-task routing.
+_GRAPH_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "2"))
 
 
 def _cached_graph(shard_dir: str) -> HNSWIndex:
