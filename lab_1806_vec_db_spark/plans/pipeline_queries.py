@@ -505,3 +505,66 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), ts_col="ts", window="2 hours", slide="1 hour",
         keys=("event_type",), value_col="value",
     ).orderBy("window_start", "event_type")
+
+
+# ---- end-to-end corpus cleaning (the flagship pipeline composition) --------
+
+
+def _corpus_clean_oracle() -> str:
+    return f"""WITH h AS (
+  SELECT doc_id, text,
+    {', '.join(f'{_hits_sql(T.LANG_STOPWORDS[lang])} AS hits_{lang}' for lang in sorted(T.LANG_STOPWORDS))}
+  FROM documents),
+s AS (
+  SELECT doc_id, text, {_LANG_CASE} AS lang_pred,
+    round((least(CAST(len({_TOKS}) AS DOUBLE)/50.0, 1.0)
+           + (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) >= 3.0
+                    AND CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) <= 10.0
+              THEN 1.0 ELSE 0.5 END)
+           + least(CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS}) * 5.0, 1.0)
+          ) / 3.0, 4) + 0.0 AS quality
+  FROM h),
+kept AS (
+  SELECT doc_id, text, quality FROM s
+  WHERE lang_pred = 'en' AND quality >= 0.5),
+g AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies
+  FROM kept GROUP BY 1)
+SELECT k.doc_id AS doc_id, g.n_copies AS n_copies, k.quality AS quality
+FROM g JOIN kept k ON g.doc_id = k.doc_id
+ORDER BY doc_id"""
+
+
+@register("corpus_clean", _corpus_clean_oracle())
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pipeline in ONE
+    declarative plan — the composition every LLM data pipeline runs:
+
+      score (lang-ID + quality, map-only Catalyst)
+        → filter (keep English docs above the quality floor —
+          predicate applies before any shuffle)
+        → exact dedup (one md5-keyed shuffle, map-side combine)
+        → canonical selection (min doc_id per content group).
+
+    Plan shape at 100 TB: one map-only scoring pass fused with the
+    filter into the scan stage, then a single content-hash shuffle;
+    the canonical join is a self-join on the k-bounded group table.
+    Every stage reuses an operator that already has its own oracle
+    (text_lang_quality, dedup_exact_groups) — this entry gates the
+    COMPOSITION end-to-end."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text",
+        T.lang_id("text").alias("lang_pred"),
+        T.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    groups = kept.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        groups.join(kept.select("doc_id", "quality"), "doc_id")
+        .select("doc_id", "n_copies", "quality")
+        .orderBy("doc_id")
+    )
