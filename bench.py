@@ -598,20 +598,27 @@ def run_matched(spark) -> dict:
         ivfpq.codes_clustered = ivfpq.codes_clustered.cache()
         ivfpq.codes_clustered.count()
         build_sec["ivfpq_k128"] = round(time.time() - t0, 1)
+        # two ef points per probe count: ef sizes the ADC→re-rank pool —
+        # 4-bit codes at dim/m=3 cap recall ~0.85 with ef=40 at 1M
+        # (quantization error, not probe coverage); ef=20·k recovers
+        # ≥0.98 for ~2× the re-rank cost. Both are honest operating
+        # points; report both.
         for n_probes in _IVF_PROBES.get(n, (4, 8, 16, 32)):
-            def run_ivfpq_point(n_probes=n_probes):
-                return ivfpq.search_batch(qdf, k=K, n_probes=n_probes,
-                                          ef=max(4 * K, 40),
-                                          qvec_col="embedding").collect()
-            best, rows = _timed(run_ivfpq_point, runs=max(1, RUNS - 1))
-            got_pq: dict[int, set[int]] = {}
-            for r in rows:
-                got_pq.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
-            rec = float(np.mean([len(got_pq.get(i, set()) & gt[i]) / len(gt[i])
-                                 for i in range(n_q)]))
-            grid.append({"name": "ivfpq_k128", "n_probes": n_probes,
-                         "ms_per_query": round(best / n_q * 1000.0, 4),
-                         "recall_at_10": round(rec, 4)})
+            for ef_pq in (max(4 * K, 40), max(20 * K, 200)):
+                def run_ivfpq_point(n_probes=n_probes, ef_pq=ef_pq):
+                    return ivfpq.search_batch(qdf, k=K, n_probes=n_probes,
+                                              ef=ef_pq,
+                                              qvec_col="embedding").collect()
+                best, rows = _timed(run_ivfpq_point, runs=max(1, RUNS - 1))
+                got_pq: dict[int, set[int]] = {}
+                for r in rows:
+                    got_pq.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+                rec = float(np.mean([len(got_pq.get(i, set()) & gt[i]) / len(gt[i])
+                                     for i in range(n_q)]))
+                grid.append({"name": "ivfpq_k128", "n_probes": n_probes,
+                             "ef": ef_pq,
+                             "ms_per_query": round(best / n_q * 1000.0, 4),
+                             "recall_at_10": round(rec, 4)})
         ivfpq.codes_clustered.unpersist()
 
     # ---- Sharded HNSW (the >broadcast-tier layout, index/sharded.py):
