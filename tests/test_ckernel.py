@@ -88,3 +88,20 @@ def test_threaded_adc_matches_batch(emb):
     tid, td = idx.search_many_parallel(qmat, 10, 150, pq=pq, workers=8)
     assert np.array_equal(tid, bid)
     assert np.allclose(td, bd)
+
+
+def test_adc_block_matches_numpy_reference():
+    # the block-ADC entry point (IVF+PQ scan) must reproduce the numpy
+    # lookup-sum bit-for-bit in f64 across shapes, including the m%8
+    # tail path of the 8-lane accumulator
+    rng = np.random.default_rng(3)
+    for m, ksub, n, S in ((320, 16, 37, 5), (22, 16, 64, 3), (7, 256, 11, 2)):
+        codes = rng.integers(0, ksub, (n, m)).astype(np.uint8)
+        lut = np.ascontiguousarray(rng.normal(size=(S, m, ksub)))
+        got = ckernel.adc_block(np.ascontiguousarray(codes), lut)
+        want = np.stack([lut[s][np.arange(m), codes].sum(axis=1) for s in range(S)])
+        assert np.allclose(got, want, rtol=0, atol=1e-9), (m, ksub)
+        # sel indirection picks the same rows
+        sel = np.array([S - 1, 0], dtype=np.int64)
+        got_sel = ckernel.adc_block(np.ascontiguousarray(codes), lut, sel)
+        assert np.array_equal(got_sel, got[sel])
