@@ -269,7 +269,18 @@ class VecDB:
         # graph absorbs the new rows incrementally (hnsw_index.rs:538-572)
         self._clear_pq_state(key)
         self._clear_ivf_state(key)
-        self._clear_ivfpq_state(key)
+        if meta.get("has_ivfpq"):
+            # the IVF+PQ tier absorbs appends incrementally: frozen
+            # quantizers encode the new rows, the partitioned codes
+            # table gets an O(batch) append — no rebuild, no O(N)
+            # rewrite (the distributed-tier twin of the HNSW
+            # incremental insert below)
+            ivfpq = self._get_index(key, "ivfpq")
+            if ivfpq is not None:
+                ivfpq.add_batch(df)
+                ivfpq.base = self.spark.read.parquet(self._table_path(key))
+            else:
+                self._clear_ivfpq_state(key)
         if meta["has_hnsw"]:
             hnsw = self._get_index(key, "hnsw")
             if hnsw is not None:

@@ -171,6 +171,46 @@ class IVFPQIndex:
             enc, schema=f"{id_col} long, code binary, cluster_id int"
         )
 
+    # ---- incremental append (W4 for the distributed tier) -----------------
+
+    def add_batch(self, df_new: DataFrame) -> None:
+        """Append rows without rebuilding: the quantizers are FROZEN
+        (standard IVF+PQ practice — k-means centroids and PQ codebooks
+        are trained once; appends are encoded with them), so an append
+        is one map-only assign+encode pass over the new rows plus an
+        append-mode partitioned write. No O(N) rewrite — the new files
+        land inside their clusters' existing directories, the exact
+        shape the reference's incremental HNSW insert has on the
+        broadcast tier (hnsw_index.rs:538-572), transplanted to the
+        partition layout.
+
+        Drift caveat (documented, matching the reference's own
+        behavior of never re-training on insert): heavy appends far
+        from the training distribution degrade recall until the next
+        rebuild; the quantizers are not updated in place."""
+        # the exact re-rank joins candidates against ``base`` — it MUST
+        # cover the appended ids or their candidates silently drop
+        if not set(self.base.columns) <= set(df_new.columns):
+            raise ValueError(
+                "add_batch needs the new rows to carry the base table's columns "
+                f"({self.base.columns}) so the re-rank base stays complete; "
+                "refresh .base yourself if the table lives elsewhere"
+            )
+        enc = self._assign_encode(df_new, self.model, self.pq,
+                                  self.vec_col, self.id_col)
+        if self.path is not None:
+            enc.write.mode("append").partitionBy("cluster_id").parquet(
+                os.path.join(self.path, "codes")
+            )
+            spark = df_new.sparkSession
+            self.codes_clustered = spark.read.parquet(
+                os.path.join(self.path, "codes")
+            )
+        else:
+            self.codes_clustered = self.codes_clustered.unionByName(enc)
+        self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+        self.base = self.base.unionByName(df_new.select(*self.base.columns))
+
     # ---- search -----------------------------------------------------------
 
     def search(

@@ -133,3 +133,30 @@ def test_chunked_lut_broadcast_matches(emb, ivfpq):
     many = ivfpq.search_batch(queries, k=5, n_probes=4, ef=32,
                               qvec_col="embedding", max_lut_bytes=1).collect()
     assert sorted(map(tuple, many)) == sorted(map(tuple, one))
+
+
+def test_add_batch_appends_without_rebuild(spark, emb, tmp_path):
+    # append-only ingest into the persisted layout: new rows are
+    # encoded with the FROZEN quantizers, land inside their clusters'
+    # directories, and are immediately searchable; reopen sees them too
+    path = str(tmp_path / "ivfpq_append")
+    half = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    idx = IVFPQIndex.build(
+        half, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=250, path=path,
+    )
+    probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 260).first()["embedding"]]
+    before = idx.search(probe_vec, k=1, n_probes=8, ef=64).collect()
+    assert not before or before[0]["vec_id"] != 260
+    idx.add_batch(rest)
+    after = idx.search(probe_vec, k=1, n_probes=8, ef=64).collect()
+    assert after and after[0]["vec_id"] == 260 and after[0]["dist"] == 0.0
+    # reopen from disk: the appended codes are durable
+    base_all = emb.filter(F.col("vec_id") < 300)
+    reopened = IVFPQIndex.load(spark, path, base_all)
+    again = reopened.search(probe_vec, k=1, n_probes=8, ef=64).collect()
+    assert again and again[0]["vec_id"] == 260
+    # missing base columns are rejected (re-rank would silently drop)
+    with pytest.raises(ValueError, match="base table's columns"):
+        idx.add_batch(rest.select("vec_id"))

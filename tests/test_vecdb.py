@@ -192,8 +192,16 @@ def test_ivfpq_index_build_dispatch_invalidate(db, spark, tmp_path):
     assert d2.has_ivfpq_index(key)
     rows2 = d2.batch_search(key, queries, k=3, ef=64).collect()
     assert [(r["id"], r["dist"]) for r in rows2] == [(r["id"], r["dist"]) for r in rows]
-    # a write invalidates the compressed index (codes are stale)
-    d2.batch_add(key, [[0.0] * 8], [{"i": "new"}])
+    # a write is absorbed incrementally: frozen quantizers encode the
+    # new row, the codes table gets an O(batch) append, and the index
+    # stays live — the new vector is immediately searchable
+    d2.batch_add(key, [[9.0] * 8], [{"i": "new"}])
+    assert d2.has_ivfpq_index(key)
+    q_new = spark.createDataFrame([(1, [9.0] * 8)], "query_id long, vec array<double>")
+    rows3 = d2.batch_search(key, q_new, k=1, ef=64).collect()
+    assert rows3 and rows3[0]["dist"] == pytest.approx(0.0, abs=1e-4)
+    # pattern delete still clears it (codes would go stale)
+    d2.delete(key, {"i": "new"})
     assert not d2.has_ivfpq_index(key)
     d2.close()
 
