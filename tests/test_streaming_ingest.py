@@ -96,3 +96,42 @@ def test_stream_into_vecdb_rejects_batch_df(spark, tmp_path, seeded_db):
     bdf = spark.createDataFrame([("x", [0.0] * DIM)], "tag string, vec array<double>")
     with pytest.raises(ValueError, match="streaming"):
         stream_into_vecdb(bdf, db, "t")
+
+
+def test_stream_ingest_into_live_ivfpq(spark, tmp_path):
+    # the distributed tier absorbs the same stream: foreachBatch →
+    # batch_add → frozen-quantizer encode + O(batch) partitioned append;
+    # every streamed vector is searchable through the IVF+PQ dispatch
+    db = VecDB(str(tmp_path / "db_pq"), spark)
+    db.create_table_if_not_exists("t", dim=DIM, dist="l2sqr")
+    rng = np.random.default_rng(11)
+    seed_vecs = [_mk_vec(rng) for _ in range(64)]
+    db.batch_add("t", seed_vecs, [{"src": "seed", "i": str(i)} for i in range(64)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=64, n_probes=4)
+
+    waves = [[_mk_vec(rng) for _ in range(6)] for _ in range(2)]
+    src = str(tmp_path / "stream_src_pq")
+    os.makedirs(src)
+    for w, wave in enumerate(waves):
+        spark.createDataFrame(
+            [(f"s{w}_{i}", v) for i, v in enumerate(wave)],
+            "tag string, vec array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("tag string, vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_vecdb(
+        stream, db, "t", vec_col="vec", meta_cols=("tag",),
+        checkpoint=str(tmp_path / "ckpt_pq"),
+    )
+    q.awaitTermination(120)
+
+    assert db.has_ivfpq_index("t") and db.get_len("t") == 64 + 12
+    probe = waves[1][0]
+    queries = spark.createDataFrame([(0, probe)], "query_id long, vec array<double>")
+    rows = db.batch_search("t", queries, k=1, ef=64).collect()
+    assert rows and rows[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[0]["id"] >= 64  # a streamed row, not a seed row
+    db.close()
