@@ -553,18 +553,9 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage reuses an operator that already has its own oracle
     (text_lang_quality, dedup_exact_groups) — this entry gates the
     COMPOSITION end-to-end."""
-    docs = _docs(spark, sf_dir)
-    scored = docs.select(
-        "doc_id", "text",
-        T.lang_id("text").alias("lang_pred"),
-        T.quality_score("text").alias("quality"),
-    )
-    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
-    groups = kept.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
-    )
-    return (
-        groups.join(kept.select("doc_id", "quality"), "doc_id")
-        .select("doc_id", "n_copies", "quality")
-        .orderBy("doc_id")
-    )
+    from lab_1806_vec_db_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        lang="en", min_quality=0.5,
+    ).orderBy("doc_id")
