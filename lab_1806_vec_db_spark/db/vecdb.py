@@ -579,10 +579,38 @@ class VecDB:
                 from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
                 idx[kind] = ShardedHNSWIndex.load(self.spark, path)
+                rows_indexed = sum(idx[kind].shard_counts.values())
             else:
                 from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
 
                 idx[kind] = HNSWIndex.load(self.spark, path, base=self.table_df(key))
+                rows_indexed = len(idx[kind].ids)
+            # crash-window recovery: batch_add appends rows to parquet
+            # durably but defers the graph flush to force_save/close —
+            # a kill in between leaves a graph that silently misses the
+            # tail of the table. Appends are id-ordered and deletes
+            # clear the index, so the missing rows are exactly the
+            # (len - indexed) LARGEST ids: absorb them incrementally on
+            # load and dirty-mark so the next flush persists the repair.
+            # (The reference papers over the same window with a 60 s
+            # background saver, thread_save.rs — this closes it exactly.)
+            n_missing = self._meta(key)["len"] - rows_indexed
+            if n_missing > 0:
+                import numpy as np
+
+                tail = (
+                    self.table_df(key)
+                    .orderBy(F.col("id").desc())
+                    .limit(int(n_missing))
+                    .select("id", "vec")
+                    .collect()
+                )
+                idx[kind].add_batch(
+                    np.asarray([r["id"] for r in tail], dtype=np.int64),
+                    np.asarray([[float(x) for x in r["vec"]] for r in tail],
+                               dtype=np.float64),
+                    seed=43 + int(self._meta(key)["next_id"]),
+                )
         elif kind == "pq":
             from lab_1806_vec_db_spark.index.pq import PQTable
 

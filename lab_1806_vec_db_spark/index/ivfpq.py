@@ -75,6 +75,7 @@ class IVFPQIndex:
         self.vec_col = vec_col
         self.id_col = id_col
         self.path = path
+        self._appends = 0
 
     # ---- build ------------------------------------------------------------
 
@@ -202,14 +203,45 @@ class IVFPQIndex:
             enc.write.mode("append").partitionBy("cluster_id").parquet(
                 os.path.join(self.path, "codes")
             )
-            spark = df_new.sparkSession
-            self.codes_clustered = spark.read.parquet(
-                os.path.join(self.path, "codes")
-            )
+            # serve from an in-memory union rather than re-listing the
+            # whole codes directory per append (a streaming ingest at
+            # one batch per trigger would otherwise pay an O(files)
+            # listing every micro-batch); collapse the union lineage
+            # back to one clean scan every 16 appends
+            self._appends += 1
+            if self._appends % 16 == 0:
+                self.codes_clustered = df_new.sparkSession.read.parquet(
+                    os.path.join(self.path, "codes")
+                )
+            else:
+                self.codes_clustered = self.codes_clustered.unionByName(
+                    enc.select(*self.codes_clustered.columns)
+                )
         else:
             self.codes_clustered = self.codes_clustered.unionByName(enc)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
         self.base = self.base.unionByName(df_new.select(*self.base.columns))
+
+    def compact(self) -> None:
+        """Rewrite the codes layout in one pass — the opt-in answer to
+        append-mode small-file growth (each append adds a file per
+        touched cluster directory; thousands of micro-batches make the
+        probe scans listing-bound). O(N) by design, like any compaction;
+        run it on a maintenance cadence, not per batch."""
+        if self.path is None:
+            return
+        spark = self.codes_clustered.sparkSession
+        tmp = os.path.join(self.path, "codes__compact")
+        spark.read.parquet(os.path.join(self.path, "codes")).repartition(
+            "cluster_id"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        import shutil
+
+        live = os.path.join(self.path, "codes")
+        shutil.rmtree(live)
+        os.rename(tmp, live)
+        self.codes_clustered = spark.read.parquet(live)
+        self.pq.codes = self.codes_clustered.select(self.id_col, "code")
 
     # ---- search -----------------------------------------------------------
 
@@ -343,6 +375,11 @@ class IVFPQIndex:
                         summed = 1.0 - summed / np.maximum(
                             vnorm[:, None] * bqn[sel][None, :], 1e-10
                         )
+                    # 4-dp rounded candidate gate with id tie-break —
+                    # the SAME cut the single-query path applies
+                    # (round_dist over adc_r), so batch == single on
+                    # near-tie boundaries
+                    summed = np_round_half_up(summed)
                     kk = min(ef_, summed.shape[0])
                     idm = np.broadcast_to(ids[:, None], summed.shape)
                     top = np.lexsort((idm, summed), axis=0)[:kk, :]
@@ -383,33 +420,15 @@ class IVFPQIndex:
         for p in pieces[1:]:
             approx = approx.unionByName(p)
         cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
-        # exact re-rank (same shape as PQTable.search_batch)
-        qpos = {int(q): i for i, q in enumerate(qids)}
-        bc_q = spark.sparkContext.broadcast((qpos, qmat))
-        vec_col = self.vec_col
-
-        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bqpos, bqmat = bc_q.value
-            q2 = np.einsum("ij,ij->i", bqmat, bqmat)
-            qnorm = np.sqrt(q2)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-                qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
-                ip = np.einsum("ij,ij->i", x, bqmat[qi])
-                x2 = np.einsum("ij,ij->i", x, x)
-                if metric == "l2sqr":
-                    d = x2 + q2[qi] - 2.0 * ip
-                else:
-                    d = 1.0 - ip / np.maximum(np.sqrt(x2) * qnorm[qi], 1e-10)
-                yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
-                                    id_col: pdf[id_col].to_numpy(),
-                                    "dist": np_round_half_up(d)})
+        # exact re-rank: the shared PQ closure (index/pq.py:make_rerank_scan)
+        from lab_1806_vec_db_spark.index.pq import make_rerank_scan
 
         rer = (
-            self.base.select(id_col, vec_col)
+            self.base.select(id_col, self.vec_col)
             .join(F.broadcast(cand), id_col)
-            .mapInPandas(rerank, schema=f"query_id long, {id_col} long, dist double")
+            .mapInPandas(
+                make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
+                schema=f"query_id long, {id_col} long, dist double",
+            )
         )
         return _topk_per_query(rer, int(k), id_col, upper_bound)

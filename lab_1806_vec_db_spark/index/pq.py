@@ -254,6 +254,37 @@ def _fit_group_slice_seq(sample, groups, ksub, seed):
         _FIT_STATE = {}
 
 
+def make_rerank_scan(spark, qids: np.ndarray, qmat: np.ndarray, metric: str,
+                     id_col: str, vec_col: str):
+    """Arrow re-rank closure shared by the PQ and IVF+PQ batch paths:
+    exact distances for (query_id, id) candidate pairs, query vectors
+    looked up executor-side from one small broadcast — never duplicated
+    per candidate. Returns the ``mapInPandas`` function."""
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bc_q = spark.sparkContext.broadcast((qpos, np.asarray(qmat, dtype=np.float64)))
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqpos, bqmat = bc_q.value
+        q2 = np.einsum("ij,ij->i", bqmat, bqmat)
+        qn = np.sqrt(q2)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            ip = np.einsum("ij,ij->i", x, bqmat[qi])
+            x2 = np.einsum("ij,ij->i", x, x)
+            if metric == "l2sqr":
+                d = x2 + q2[qi] - 2.0 * ip
+            else:
+                d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
+            d = np_round_half_up(d)
+            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                id_col: pdf[id_col].to_numpy(), "dist": d})
+
+    return rerank
+
+
 def aligned_codes(pq: "PQTable", ids: np.ndarray) -> np.ndarray:
     """Collect + unpack the codes table into an (N × m) uint8 matrix
     row-aligned with ``ids`` (an HNSW index's id order) — the
@@ -591,34 +622,13 @@ class PQTable:
         else:
             cand = approx.select("query_id", id_col)
         # exact re-rank: broadcast only the (query_id, id) pairs into the
-        # base scan — query vectors are looked up executor-side from a
-        # small (|Q| × dim) broadcast, never duplicated per candidate
-        qpos = {int(q): i for i, q in enumerate(qids)}
-        bc_q = spark.sparkContext.broadcast((qpos, qmat))
-        vec_col = self.vec_col
-
-        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bqpos, bqmat = bc_q.value
-            q2 = np.einsum("ij,ij->i", bqmat, bqmat)
-            qn = np.sqrt(q2)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-                qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
-                ip = np.einsum("ij,ij->i", x, bqmat[qi])
-                x2 = np.einsum("ij,ij->i", x, x)
-                if metric == "l2sqr":
-                    d = x2 + q2[qi] - 2.0 * ip
-                else:
-                    d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
-                d = np_round_half_up(d)
-                yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
-                                    id_col: pdf[id_col].to_numpy(), "dist": d})
-
+        # base scan (shared closure — make_rerank_scan)
         rer = (
-            self.base.select(id_col, vec_col)
+            self.base.select(id_col, self.vec_col)
             .join(F.broadcast(cand), id_col)
-            .mapInPandas(rerank, schema=f"query_id long, {id_col} long, dist double")
+            .mapInPandas(
+                make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
+                schema=f"query_id long, {id_col} long, dist double",
+            )
         )
         return _topk_per_query(rer, int(k), id_col, upper_bound)

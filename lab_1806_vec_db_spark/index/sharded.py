@@ -48,7 +48,7 @@ from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans, sample_r
 #: Bounded FIFO: a task set serving a probe workload touches at most a
 #: few shards; the cap keeps a long-lived executor from accumulating
 #: every shard it ever served.
-_GRAPH_CACHE: dict[str, HNSWIndex] = {}
+_GRAPH_CACHE: dict[tuple[str, int], HNSWIndex] = {}
 #: default 2, not "all shards": each worker PROCESS keeps its own cache,
 #: so the worst case is workers × cap × graph-size resident at once —
 #: at 1M rows / 8 shards / 32 workers a cap of 8 admits ~150 GB and
@@ -58,12 +58,17 @@ _GRAPH_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "2"))
 
 
 def _cached_graph(shard_dir: str) -> HNSWIndex:
-    idx = _GRAPH_CACHE.get(shard_dir)
+    # version-aware key: a flushed append rewrites the shard's meta.json,
+    # so its mtime invalidates whatever a long-lived worker cached —
+    # without this, workers would serve pre-append graphs forever
+    ver = int(os.path.getmtime(os.path.join(shard_dir, "meta.json")) * 1e9)
+    key = (shard_dir, ver)
+    idx = _GRAPH_CACHE.get(key)
     if idx is None:
         idx = HNSWIndex.load(None, shard_dir)
         while len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
             _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-        _GRAPH_CACHE[shard_dir] = idx
+        _GRAPH_CACHE[key] = idx
     return idx
 
 
@@ -244,6 +249,13 @@ class ShardedHNSWIndex:
         serves its shard from the executor-local graph cache → global
         k-bounded window merge. The shuffle carries n_probes rows per
         query; result traffic is k rows per (query, shard)."""
+        # executors serve from the on-disk shard files: flush any
+        # dirty driver-side shards first so appended rows (and shards
+        # newly materialized by add_batch) are visible — without this,
+        # batch results silently miss appends until force_save, and a
+        # brand-new shard has no directory to load at all
+        if self.dirty:
+            self.save()
         spark = queries.sparkSession
         id_col = self.id_col
         bc = spark.sparkContext.broadcast((

@@ -160,3 +160,22 @@ def test_add_batch_appends_without_rebuild(spark, emb, tmp_path):
     # missing base columns are rejected (re-rank would silently drop)
     with pytest.raises(ValueError, match="base table's columns"):
         idx.add_batch(rest.select("vec_id"))
+
+
+def test_compact_preserves_results(spark, emb, tmp_path, qvec):
+    path = str(tmp_path / "ivfpq_compact")
+    idx = IVFPQIndex.build(
+        emb.filter(F.col("vec_id") < 200), k_coarse=8, m=16, n_bits=8,
+        metric="l2sqr", vec_col="embedding", id_col="vec_id",
+        train_size=200, path=path,
+    )
+    more = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    idx.add_batch(more)
+    before = idx.search(qvec, k=10, n_probes=8, ef=64).collect()
+    idx.compact()
+    after = idx.search(qvec, k=10, n_probes=8, ef=64).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # compacted layout still reopens cleanly
+    reopened = IVFPQIndex.load(spark, path, emb.filter(F.col("vec_id") < 220))
+    again = reopened.search(qvec, k=10, n_probes=8, ef=64).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in before]

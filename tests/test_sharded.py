@@ -167,3 +167,43 @@ def test_vecdb_sharded_tier_dispatch(spark, tmp_path):
     res = d2.search("t", [100.0] * 8, k=1, ef=100)
     assert res[0][0] == {"i": "far"}
     d2.close()
+
+
+def test_batch_serve_sees_appends_and_new_shards(spark, tmp_path):
+    # regression: (a) batch serving must not miss appended rows — the
+    # serve path flushes dirty shards and the executor cache is
+    # version-keyed on the shard meta mtime, so already-cached workers
+    # pick up the rewritten graph; (b) an append routed to a shard with
+    # no on-disk directory must materialize it before serving
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "sharded_append")
+    idx = ShardedHNSWIndex.build(df, path, n_shards=2, metric="l2sqr",
+                                 vec_col="vec", id_col="id", train_size=120)
+    queries = spark.createDataFrame([(0, [25.0] * 8)], "query_id long, vec array<double>")
+    # warm the executor cache with the pre-append graphs
+    idx.search_batch(queries, k=1, ef=64, n_probes=2).collect()
+
+    # (b) force an empty-shard route: a far-away centroid no build row mapped to
+    far = np.full((1, 8), 25.0)
+    idx.model.centroids = np.vstack([idx.model.centroids, far])
+    idx.add_batch(np.array([500]), far)  # lands in the brand-new shard
+    rows = idx.search_batch(queries, k=1, ef=64, n_probes=3).collect()
+    assert rows and rows[0]["id"] == 500 and rows[0]["dist"] == 0.0
+
+    # (a) append into an EXISTING shard: visible to batch serving at
+    # once, despite workers having cached that shard already
+    probe2 = [float(x) for x in vecs[0] + 0.001]
+    idx.add_batch(np.array([501]), np.asarray([vecs[0]]))
+    q2 = spark.createDataFrame([(1, probe2)], "query_id long, vec array<double>")
+    rows2 = idx.search_batch(q2, k=2, ef=64, n_probes=2).collect()
+    assert {r["id"] for r in rows2} >= {0, 501} or any(r["id"] == 501 for r in rows2)

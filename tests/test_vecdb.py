@@ -217,3 +217,31 @@ def test_search_filtered_subset_match(db):
     assert len(res_all) == 3 and res_all[0][0].get("content", "") == "a"
     # non-matching pattern → empty
     assert db.search_filtered(key, [1.0, 0.0, 0.0, 0.0], k=3, pattern={"content": "zzz"}) == []
+
+
+def test_hnsw_crash_window_recovery(spark, tmp_path):
+    # batch_add makes the TABLE durable immediately but defers the graph
+    # flush; a crash in between must not lose the appended rows from
+    # search results after reopen — the load path tops the graph up
+    import numpy as np
+
+    d = VecDB(str(tmp_path / "crashdb"), spark=spark)
+    d.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 8))
+    d.batch_add("t", [list(map(float, v)) for v in vecs],
+                [{"i": str(i)} for i in range(40)])
+    d.build_hnsw_index("t")
+    d.force_save()  # graph flushed for the first 40 rows
+    d.batch_add("t", [[5.0] * 8], [{"i": "tail"}])  # graph dirty, NOT flushed
+    # simulate a crash: drop in-memory state and the lock WITHOUT
+    # force_save/close — disk now has the appended parquet row but the
+    # pre-append graph artifact
+    d._indexes.clear()
+    d._lock_fh.close()
+
+    d2 = VecDB(str(tmp_path / "crashdb"), spark=spark)
+    assert d2.get_len("t") == 41
+    meta, dist = d2.search("t", [5.0] * 8, k=1)[0]
+    assert meta["i"] == "tail" and dist == pytest.approx(0.0, abs=1e-6)
+    d2.close()
