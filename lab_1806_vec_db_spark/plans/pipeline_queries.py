@@ -559,3 +559,30 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), text_col="text", id_col="doc_id",
         lang="en", min_quality=0.5,
     ).orderBy("doc_id")
+
+
+@register(
+    "text_term_freq",
+    f"""WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS n
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token LIMIT 50""",
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by frequency — the
+    building block of vocab construction / BPE corpus scans. Plan:
+    map-side explode fused into the scan, ONE hash-aggregate shuffle
+    (partial counts combine map-side, so the shuffle carries one row
+    per distinct token per task, never per occurrence), then a
+    k-bounded TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
