@@ -456,6 +456,26 @@ class VecDB:
         result.sort(key=lambda t: t[1])
         return result[:k]
 
+    def batch_search_filtered(
+        self,
+        key: str,
+        queries: DataFrame,
+        k: int,
+        pattern: dict[str, str],
+        upper_bound: float | None = None,
+    ) -> DataFrame:
+        """Batch form of :meth:`search_filtered`: the subset-match
+        predicate prunes the base table BEFORE the Arrow distance scan,
+        then the flat batch path runs over the survivors — exact
+        results within the filtered set, one k-bounded merge shuffle."""
+        meta = self._meta(key)
+        df = self.table_df(key).filter(self._pattern_pred(pattern))
+        return knn_ops.knn_batch(
+            df, queries, k, metric=meta["dist"], vec_col="vec",
+            id_col="id", qid_col="query_id", qvec_col="vec",
+            upper_bound=upper_bound,
+        )
+
     def batch_search(
         self,
         key: str,

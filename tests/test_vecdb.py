@@ -245,3 +245,14 @@ def test_hnsw_crash_window_recovery(spark, tmp_path):
     meta, dist = d2.search("t", [5.0] * 8, k=1)[0]
     assert meta["i"] == "tail" and dist == pytest.approx(0.0, abs=1e-6)
     d2.close()
+
+
+def test_batch_search_filtered(db, spark):
+    key = _tiny4d(db)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "query_id long, vec array<double>",
+    )
+    out = db.batch_search_filtered(key, queries, k=2, pattern={"content": "d"}).collect()
+    # only the 'd' row survives the filter, for BOTH queries
+    assert {r["id"] for r in out} == {3} and len(out) == 2
