@@ -387,6 +387,85 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(media).orderBy("id")
 
 
+_FEAT_BYTE_SQL = ", ".join(
+    f"CASE WHEN length(text) >= {j} THEN CAST(unicode(substr(text, {j}, 1)) AS DOUBLE) "
+    "ELSE 0.0 END"
+    for j in range(1, 9)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""SELECT doc_id AS id,
+  [CAST(length(text) AS DOUBLE),
+   floor(CAST(list_sum(list_transform(range(1, length(text)+1),
+         i -> unicode(substr(text, i, 1)))) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000 + 0.0,
+   {_FEAT_BYTE_SQL}] AS features
+FROM documents ORDER BY id""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→featurize plumbing (the shape of image/audio feature
+    extraction — reference has no media path; this is a pipeline
+    extension): blobs flow through the Arrow-batched ``extract_features``
+    ``mapInPandas`` stage (multimodal/binary_ops.py:60-95) with the
+    deterministic stand-in codec, yielding ``ARRAY<DOUBLE>`` feature
+    vectors. The codec is content-deterministic ([n_bytes, mean_byte,
+    first 8 bytes]) so DuckDB reproduces the exact feature arrays;
+    integer byte sums keep the mean IEEE-identical on both engines."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.multimodal.binary_ops import extract_features, media_table
+    from lab_1806_vec_db_spark.operators.knn import np_round_half_up
+
+    def decoder(content: bytes) -> np.ndarray:
+        buf = np.frombuffer(content, dtype=np.uint8)
+        size = float(buf.size)
+        mean = float(int(buf.sum())) / buf.size if buf.size else 0.0
+        mean = float(np_round_half_up(np.float64(mean)))
+        head = np.zeros(8, dtype=np.float64)
+        head[: min(8, buf.size)] = buf[:8].astype(np.float64)
+        return np.concatenate([[size, mean], head])
+
+    docs = _docs(spark, sf_dir)
+    media = media_table(docs, content_col="text", id_col="doc_id", media_type="text/plain")
+    return extract_features(media, decoder=decoder, feature_dim=10).orderBy("id")
+
+
+@register(
+    "multimodal_frame_index",
+    """WITH e AS (
+  SELECT doc_id AS id,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i,
+         text
+  FROM documents),
+f AS (
+  SELECT id, CAST(i AS INT) AS frame_no,
+         substr(text, CAST(i AS INT) * 64 + 1, 16) AS frame
+  FROM e)
+SELECT id, frame_no, CAST(length(frame) AS INT) AS frame_len,
+       CAST(unicode(substr(frame, 1, 1)) AS INT) AS first_byte
+FROM f ORDER BY id, frame_no""",
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (the shape of video keyframe extraction):
+    one 16-byte 'frame' every 64 bytes via the exploding ``mapInPandas``
+    sampler (multimodal/binary_ops.py:97-124), then frame length and
+    first byte computed JVM-side (hex/conv on BINARY) so the oracle can
+    compare without shipping raw bytes through the hash."""
+    from lab_1806_vec_db_spark.multimodal.binary_ops import frame_sample, media_table
+
+    docs = _docs(spark, sf_dir)
+    media = media_table(docs, content_col="text", id_col="doc_id", media_type="text/plain")
+    frames = frame_sample(media, every_n_bytes=64, frame_bytes=16)
+    return frames.select(
+        "id",
+        "frame_no",
+        F.length("frame").cast("int").alias("frame_len"),
+        F.conv(F.hex(F.expr("substring(frame, 1, 1)")), 16, 10).cast("int").alias("first_byte"),
+    ).orderBy("id", "frame_no")
+
+
 # ---- event-time windowed aggregation ---------------------------------------
 
 
