@@ -1,0 +1,126 @@
+"""Driver-contract entries that exercise the source/sink and VecDB
+DDL/DML plumbing (SURVEY §2 S1-S7, D1, W2-W3) as query-shaped,
+oracle-checkable operators.
+
+These operators are API-level (create/insert/delete/scan), not
+SQL-shaped per se — so each entry drives the real code path against a
+throwaway directory and returns a deterministic projection that DuckDB
+reproduces straight from the source parquet. A value mismatch anywhere
+in the sink → scan → ingest → delete pipeline shows up in the hash.
+
+The temp artifacts are written under ``tempfile.mkdtemp`` and kept for
+the life of the process (the returned DataFrame reads them lazily).
+Sizes are bounded by the sf0.01 contract scale (~5k × 64 f32 ≈ 1.3 MB),
+matching the documented bounded-use envelope of the single-file
+sinks (sources/binary.py write_fvecs/write_raw_bin).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.functions.distance import norm_expr
+from lab_1806_vec_db_spark.operators import knn as knn_ops
+from lab_1806_vec_db_spark.plans.entry_queries import register
+from lab_1806_vec_db_spark.session import read_table
+
+_NORM_SQL = (
+    "round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[]))), 4) + 0.0"
+)
+
+
+@register(
+    "source_binary_roundtrip",
+    f"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS id,
+  {_NORM_SQL} AS norm
+FROM embeddings ORDER BY id""",
+)
+def source_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 sink → S1/S2 scan roundtrip: embeddings → headerless
+    little-endian f32 file (vec_set.rs:184-192) → typed dynamic scan
+    (vec_set.rs:241-253) → per-vector norm. Bit-exact f32 preservation
+    through the binary format is what the hash checks; ids are
+    positional (file order == vec_id order)."""
+    from lab_1806_vec_db_spark.sources.binary import read_raw_bin, write_raw_bin
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tmp = tempfile.mkdtemp(prefix="sg_binrt_")
+    path = os.path.join(tmp, "emb.bin")
+    write_raw_bin(emb, path, data_type="float32", vec_col="embedding", id_col="vec_id")
+    scanned = read_raw_bin(spark, path, dim=dim, data_type="float32")
+    return (
+        scanned.select("id", knn_ops.round_dist(norm_expr("vec")).alias("norm"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "source_fvecs_roundtrip",
+    f"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS id,
+  CAST(len(embedding) AS INT) AS n_dims,
+  {_NORM_SQL} AS norm
+FROM embeddings ORDER BY id""",
+)
+def source_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 fvecs converter roundtrip: embeddings → fvecs (the TEXMEX
+    dim-prefixed record format the reference's loaders consume) →
+    executor-side decode → per-vector (dim, norm). Checks the record
+    framing (every row carries its dim) and f32 payload exactness."""
+    from lab_1806_vec_db_spark.sources.binary import read_fvecs, write_fvecs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="sg_fvecsrt_")
+    path = os.path.join(tmp, "emb.fvecs")
+    write_fvecs(emb, path, vec_col="embedding", id_col="vec_id")
+    scanned = read_fvecs(spark, path)
+    return (
+        scanned.select(
+            "id",
+            F.size("vec").alias("n_dims"),
+            knn_ops.round_dist(norm_expr("vec")).alias("norm"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "vecdb_lifecycle",
+    f"""SELECT vec_id, label, {_NORM_SQL} AS norm
+FROM embeddings WHERE label <> 3 ORDER BY vec_id""",
+)
+def vecdb_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL/DML lifecycle as one oracle-checked pipeline: create table
+    (database/mod.rs:331-349) → bulk insert with metadata
+    (database/mod.rs:435-450) → subset-match predicate delete
+    (metadata_vec_table.rs:163-187) → scan survivors. The oracle is the
+    anti-filter straight off the source parquet, so the hash verifies
+    ingest fidelity (vec + metadata + cached norm) AND that delete
+    removed exactly the matching rows."""
+    from lab_1806_vec_db_spark.db.vecdb import VecDB
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    dim = len(rows[0]["embedding"])
+    db = VecDB(tempfile.mkdtemp(prefix="sg_lifecycle_"), spark)
+    db.create_table_if_not_exists("t", dim, "cosine")
+    db.batch_add(
+        "t",
+        [list(r["embedding"]) for r in rows],
+        [{"vec_id": str(r["vec_id"]), "label": str(r["label"])} for r in rows],
+    )
+    db.delete("t", {"label": "3"})
+    return (
+        db.table_df("t")
+        .select(
+            F.col("metadata").getItem("vec_id").cast("bigint").alias("vec_id"),
+            F.col("metadata").getItem("label").cast("int").alias("label"),
+            knn_ops.round_dist(F.col("norm")).alias("norm"),
+        )
+        .orderBy("vec_id")
+    )
