@@ -54,3 +54,62 @@ def clean_corpus(
     return groups.join(kept.select(id_col, "quality"), id_col).select(
         id_col, "n_copies", "quality"
     )
+
+
+def word_ngrams(text_col, n: int):
+    """Per-document distinct word n-grams as ``ARRAY<STRING>`` — pure
+    Catalyst (split → sequence → slice → array_join), no Python in the
+    row path. Documents shorter than ``n`` tokens yield an empty array."""
+    toks = T.tokens(text_col)
+    n_tok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_tok - F.lit(n)),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+    )
+    return F.array_distinct(F.when(n_tok >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_join: bool = False,
+) -> DataFrame:
+    """Train/eval decontamination screen: for every document matching
+    ``eval_pred`` (the held-out/eval split), the fraction of its
+    distinct word ``n``-grams that also occur anywhere in the train
+    split (the complement). Returns ``(id, n_grams, n_hit, ratio)``;
+    rank by ``ratio`` (or threshold it) to drop contaminated eval docs
+    — the standard benchmark-leakage check an LLM training pipeline
+    runs before training.
+
+    Plan shape at 100 TB: n-gram expansion is map-only Catalyst; the
+    train-side ``distinct`` is one shuffle with map-side combine; the
+    probe is a shuffle join on the gram key (never broadcast — the
+    train gram set is the big side). ``hash_join=True`` joins on
+    ``xxhash64(gram)`` instead of the string — a much narrower
+    shuffle at a ~2^-64 per-pair false-hit risk, the right trade at
+    scale (exact strings are kept for the oracle-gated entry).
+    """
+    grams = docs.select(
+        id_col,
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+        eval_pred.alias("_is_eval"),
+    )
+    if hash_join:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"), "_is_eval")
+    train = grams.filter(~F.col("_is_eval")).select("gram").distinct()
+    ev = grams.filter(F.col("_is_eval")).select(id_col, "gram")
+    joined = ev.join(train.withColumn("_hit", F.lit(1)), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count("*"), 4
+            ).alias("ratio"),
+        )
+    )

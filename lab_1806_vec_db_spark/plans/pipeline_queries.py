@@ -641,6 +641,39 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_decontaminate",
+    """WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(0, greatest(len(toks) - 2, 0)),
+    i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+  FROM tok),
+train AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
+ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
+SELECT ev.doc_id AS doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        / count(*), 4) + 0.0 AS ratio
+FROM ev LEFT JOIN train USING (gram)
+GROUP BY ev.doc_id ORDER BY doc_id""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination screen (benchmark-leakage check):
+    ``source = 'src0'`` plays the held-out eval split; every eval doc
+    gets the fraction of its distinct word 3-grams that appear anywhere
+    in the train split (operators/corpus.py:decontaminate). Map-only
+    n-gram expansion, one distinct shuffle, one gram-keyed probe join
+    — no all-pairs anywhere; ``hash_join=True`` narrows the shuffle
+    key at cluster scale."""
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    out = decontaminate(docs, F.col("source") == "src0", n=3)
+    return out.withColumn("ratio", F.col("ratio") + F.lit(0.0)).orderBy("doc_id")
+
+
+@register(
     "text_term_freq",
     f"""WITH tok AS (
   SELECT unnest({_TOKS}) AS token FROM documents)

@@ -184,3 +184,31 @@ def test_tumbling_agg_and_sessionize(spark):
         by_user.setdefault(r["user_id"], []).append(r["session_seq"])
     assert sorted(by_user[1]) == [1, 1, 2]  # 2h gap starts a new session
     assert by_user[2] == [1]
+
+
+def test_decontaminate_hash_join_and_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate
+
+    rows = [
+        (0, "the quick brown fox jumps", "eval"),   # shares grams with doc 2
+        (1, "too short", "eval"),                    # < 3 tokens -> no grams
+        (2, "the quick brown fox sleeps", "train"),
+        (3, "completely different words here now", "train"),
+        (4, "aaa bbb ccc ddd", "eval"),              # zero overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for hj in (False, True):
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(
+                docs, F.col("source") == "eval", n=3, hash_join=hj
+            ).collect()
+        }
+        # doc 0: grams {the quick brown, quick brown fox, brown fox jumps};
+        # first two occur in doc 2's train grams
+        assert out[0]["n_grams"] == 3 and out[0]["n_hit"] == 2
+        assert abs(out[0]["ratio"] - 0.6667) < 1e-9
+        assert 1 not in out  # too short: no grams, no row
+        assert out[4]["n_hit"] == 0 and out[4]["ratio"] == 0.0
