@@ -56,6 +56,67 @@ def clean_corpus(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing — how pretraining data
+    is laid into fixed-size context windows: within each ``part_col``
+    shard, documents are concatenated in ``id_col`` order and the token
+    stream is cut every ``budget`` tokens; a document belongs to the
+    window its first token lands in (``seq_id = floor(offset/budget)``).
+    Returns one row per packed sequence: ``(part, seq_id, n_docs,
+    n_tokens)``.
+
+    Plan shape at 100 TB: ONE window pass partitioned by the shard key
+    (never a global order-by — packing is per-shard by construction, so
+    every partition packs independently) followed by one keyed
+    aggregation; both shuffles share the ``part_col`` key, so AQE
+    collapses them onto the same exchange."""
+    from pyspark.sql import Window
+
+    n_tok = T.token_count(text_col)
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    offs = docs.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(w) - n_tok).alias("offset"),
+    )
+    return (
+        offs.withColumn("seq_id", F.floor(F.col("offset") / budget).cast("bigint"))
+        .groupBy("part", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def mix_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep a document iff
+    ``hash32(id) % 100 < rates[source]`` — the reproducible,
+    shuffle-free way to hit per-source mixing ratios (seeded RNG
+    sampling is engine-specific; a content-keyed hash gate is not).
+    Map-only: the predicate fuses into the scan, no shuffle at all.
+    ``rates`` maps ``part_col`` values to keep-percentages; unlisted
+    sources fall back to ``default_pct``."""
+    rate = F.lit(int(default_pct))
+    for src, pct in sorted(rates.items()):
+        rate = F.when(F.col(part_col) == src, F.lit(int(pct))).otherwise(rate)
+    gate = F.pmod(T.hash32(F.col(id_col).cast("string")), F.lit(100)) < rate
+    return docs.filter(gate)
+
+
 def word_ngrams(text_col, n: int):
     """Per-document distinct word n-grams as ``ARRAY<STRING>`` — pure
     Catalyst (split → sequence → slice → array_join), no Python in the

@@ -124,3 +124,53 @@ def vecdb_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "vecdb_persistence_search",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        + list_dot_product(q.qv, q.qv)
+        - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS dist
+FROM embeddings e, q
+ORDER BY dist, vec_id LIMIT 10""",
+)
+def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Save/reopen durability as an oracle-gated query (S5/S6/S8 +
+    W1/Q8): bulk-insert all but the last vector, single-row ``add`` for
+    the final one (database/mod.rs:430-433), build the HNSW graph,
+    ``force_save`` (dirty-index flush, thread_save.rs:97-114), then
+    reopen the directory in a FRESH VecDB instance — table + graph must
+    reload from disk (brief.json + parquet + npz artifacts) — and
+    point-search at ef >= N, which is exact, so the brute-force SQL
+    top-10 is a hash oracle for the whole persist/reload path. Distance
+    values come from the serve kernel; ids ride the metadata attach."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.db.vecdb import VecDB
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    dim = len(rows[0]["embedding"])
+    home = tempfile.mkdtemp(prefix="sg_persist_")
+    db = VecDB(home, spark)
+    db.create_table_if_not_exists("t", dim, "l2sqr")
+    db.batch_add(
+        "t",
+        [list(r["embedding"]) for r in rows[:-1]],
+        [{"vec_id": str(r["vec_id"])} for r in rows[:-1]],
+    )
+    db.add("t", list(rows[-1]["embedding"]), {"vec_id": str(rows[-1]["vec_id"])})
+    db.build_hnsw_index("t")
+    db.close()
+
+    db2 = VecDB(home, spark)
+    n = db2.get_len("t")
+    hits = db2.search("t", list(rows[0]["embedding"]), k=10, ef=max(2 * n, 200))
+    out = [
+        (int(md["vec_id"]), float(np.floor(d * 1e4 + 0.5) / 1e4 + 0.0))
+        for md, d in hits
+    ]
+    return spark.createDataFrame(out, "vec_id long, dist double").orderBy("dist", "vec_id")

@@ -674,6 +674,51 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_sequences",
+    """WITH t AS (
+  SELECT source AS part, doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    sum(len(string_split(text, ' '))) OVER (
+      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - len(string_split(text, ' ')) AS off
+  FROM documents)
+SELECT part, CAST(floor(off / 256.0) AS BIGINT) AS seq_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY part, seq_id ORDER BY part, seq_id""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing into 256-token context
+    windows, per source shard (operators/corpus.py:pack_sequences) —
+    how pretraining batches are laid out. One shard-keyed window pass +
+    one shard-keyed rollup; no global sort anywhere."""
+    from lab_1806_vec_db_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=256, part_col="source"
+    ).orderBy("part", "seq_id")
+
+
+@register(
+    "corpus_mix_sample",
+    """SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 75 ELSE 30 END
+ORDER BY doc_id""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (operators/corpus.py:
+    mix_sample): even-numbered sources keep 75%, odd keep 30%, gated by
+    a content-keyed md5 hash — reproducible across engines (seeded RNG
+    is not), map-only, predicate fused into the scan."""
+    from lab_1806_vec_db_spark.operators.corpus import mix_sample
+
+    docs = _docs(spark, sf_dir)
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    rates = {s: 75 if int(s[3:]) % 2 == 0 else 30 for s in srcs}
+    return mix_sample(docs, rates).select("doc_id", "source").orderBy("doc_id")
+
+
+@register(
     "text_term_freq",
     f"""WITH tok AS (
   SELECT unnest({_TOKS}) AS token FROM documents)

@@ -212,3 +212,20 @@ def test_decontaminate_hash_join_and_short_docs(spark):
         assert abs(out[0]["ratio"] - 0.6667) < 1e-9
         assert 1 not in out  # too short: no grams, no row
         assert out[4]["n_hit"] == 0 and out[4]["ratio"] == 0.0
+
+
+def test_pack_sequences_window_boundaries(spark):
+    from lab_1806_vec_db_spark.operators.corpus import pack_sequences
+
+    # shard A: 3+4+5 tokens, budget 6 -> offsets 0,3,7 -> seqs 0,0,1
+    rows = [
+        (0, "a b c", "A"),
+        (1, "d e f g", "A"),
+        (2, "h i j k l", "A"),
+        (3, "x y", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["part"], r["seq_id"]): r for r in pack_sequences(docs, budget=6).collect()}
+    assert out[("A", 0)]["n_docs"] == 2 and out[("A", 0)]["n_tokens"] == 7
+    assert out[("A", 1)]["n_docs"] == 1 and out[("A", 1)]["n_tokens"] == 5
+    assert out[("B", 0)]["n_docs"] == 1 and out[("B", 0)]["n_tokens"] == 2
