@@ -83,3 +83,35 @@ def test_grouped_knn_is_single_group_shuffle(emb, qvec):
     # rank-limit pushdown: the shuffle input is already k-bounded per
     # group map-side, so the exchange never carries the full scored table
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correct):
+    return read_table(spark, sf_correct, "documents")
+
+
+def test_mix_sample_is_map_only(docs):
+    from lab_1806_vec_db_spark.operators.corpus import mix_sample
+
+    plan = _plan(mix_sample(docs, {"src0": 50}, default_pct=25))
+    assert ") Exchange" not in plan  # predicate fuses into the scan stage
+
+
+def test_decontaminate_pushes_split_predicate(docs):
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate
+
+    plan = _plan(decontaminate(docs, F.col("source") == "src0", n=3))
+    # split predicate reaches BOTH parquet scans — eval side and train side
+    assert "EqualTo(source,src0)" in plan
+    assert "Not(EqualTo(source,src0))" in plan
+
+
+def test_pack_sequences_shard_local_window(docs):
+    from lab_1806_vec_db_spark.operators.corpus import pack_sequences
+
+    plan = _plan(pack_sequences(docs, budget=256))
+    # window runs per shard key — never a global (single-partition) sort
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+    # the rollup exchange is fed by a partial aggregate (k-bounded rows)
+    assert "partial_count" in plan or "Partial" in plan
