@@ -229,3 +229,49 @@ def test_pack_sequences_window_boundaries(spark):
     assert out[("A", 0)]["n_docs"] == 2 and out[("A", 0)]["n_tokens"] == 7
     assert out[("A", 1)]["n_docs"] == 1 and out[("A", 1)]["n_tokens"] == 5
     assert out[("B", 0)]["n_docs"] == 1 and out[("B", 0)]["n_tokens"] == 2
+
+
+def test_corpus_ops_conservation_invariants(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate, pack_sequences
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))),
+         f"s{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = pack_sequences(docs, budget=32).collect()
+    # conservation: every doc lands in exactly one sequence, tokens add up
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert sum(r["n_tokens"] for r in out) == sum(len(t.split(" ")) for _, t, _ in rows)
+    # windows a doc merely spans (without starting in) carry no row, so
+    # seq_ids need not be contiguous — but each must lie inside the
+    # shard's token extent, starting at window 0
+    part_tokens = {}
+    for _, t, s in rows:
+        part_tokens[s] = part_tokens.get(s, 0) + len(t.split(" "))
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r["part"], []).append(r["seq_id"])
+    for part, seqs in by_part.items():
+        assert min(seqs) == 0
+        assert max(seqs) <= part_tokens[part] // 32
+
+    dec = decontaminate(docs, F.col("source") == "s0", n=3).collect()
+    assert all(0 <= r["n_hit"] <= r["n_grams"] for r in dec)
+    assert all(0.0 <= r["ratio"] <= 1.0 for r in dec)
+
+    # an eval doc duplicated verbatim in train must be fully contaminated
+    dup = spark.createDataFrame(
+        [(0, "a b c d e f", "eval"), (1, "a b c d e f", "train")],
+        "doc_id long, text string, source string",
+    )
+    r = decontaminate(dup, F.col("source") == "eval", n=3).collect()[0]
+    assert r["n_hit"] == r["n_grams"] and r["ratio"] == 1.0
