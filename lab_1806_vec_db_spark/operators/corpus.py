@@ -74,12 +74,20 @@ def pack_sequences(
     Plan shape at 100 TB: ONE window pass partitioned by the shard key
     (never a global order-by — packing is per-shard by construction, so
     every partition packs independently) followed by one keyed
-    aggregation; both shuffles share the ``part_col`` key, so AQE
-    collapses them onto the same exchange."""
+    aggregation; the rollup adds a second (part, seq_id) exchange, but
+    partial aggregation runs before it, so it carries one row per
+    packed sequence per task, not per document."""
     from pyspark.sql import Window
 
     n_tok = T.token_count(text_col)
-    w = Window.partitionBy(part_col).orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame sums duplicate
+    # id_col values as peers, which breaks concatenate-in-id-order
+    # semantics when ids repeat within a shard (e.g. per-file ordinals)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     offs = docs.select(
         F.col(part_col).alias("part"),
         F.col(id_col),
@@ -117,19 +125,6 @@ def mix_sample(
     return docs.filter(gate)
 
 
-def word_ngrams(text_col, n: int):
-    """Per-document distinct word n-grams as ``ARRAY<STRING>`` — pure
-    Catalyst (split → sequence → slice → array_join), no Python in the
-    row path. Documents shorter than ``n`` tokens yield an empty array."""
-    toks = T.tokens(text_col)
-    n_tok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n_tok - F.lit(n)),
-        lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
-    )
-    return F.array_distinct(F.when(n_tok >= n, grams).otherwise(F.array().cast("array<string>")))
-
-
 def decontaminate(
     docs: DataFrame,
     eval_pred,
@@ -154,9 +149,11 @@ def decontaminate(
     shuffle at a ~2^-64 per-pair false-hit risk, the right trade at
     scale (exact strings are kept for the oracle-gated entry).
     """
+    from lab_1806_vec_db_spark.operators.dedup import word_shingles
+
     grams = docs.select(
         id_col,
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
         eval_pred.alias("_is_eval"),
     )
     if hash_join:

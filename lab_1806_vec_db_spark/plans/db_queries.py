@@ -48,8 +48,8 @@ def source_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional (file order == vec_id order)."""
     from lab_1806_vec_db_spark.sources.binary import read_raw_bin, write_raw_bin
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
     tmp = tempfile.mkdtemp(prefix="sg_binrt_")
     path = os.path.join(tmp, "emb.bin")
     write_raw_bin(emb, path, data_type="float32", vec_col="embedding", id_col="vec_id")
@@ -150,6 +150,7 @@ def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from lab_1806_vec_db_spark.db.vecdb import VecDB
+    from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 
     emb = read_table(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
@@ -170,7 +171,7 @@ def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = db2.get_len("t")
     hits = db2.search("t", list(rows[0]["embedding"]), k=10, ef=max(2 * n, 200))
     out = [
-        (int(md["vec_id"]), float(np.floor(d * 1e4 + 0.5) / 1e4 + 0.0))
+        (int(md["vec_id"]), float(np_round_half_up(np.float64(d))))
         for md, d in hits
     ]
     return spark.createDataFrame(out, "vec_id long, dist double").orderBy("dist", "vec_id")

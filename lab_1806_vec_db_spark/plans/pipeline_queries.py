@@ -412,7 +412,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in codec, yielding ``ARRAY<DOUBLE>`` feature
     vectors. The codec is content-deterministic ([n_bytes, mean_byte,
     first 8 bytes]) so DuckDB reproduces the exact feature arrays;
-    integer byte sums keep the mean IEEE-identical on both engines."""
+    integer byte sums keep the mean IEEE-identical on both engines.
+    Oracle caveat (same as multimodal_byte_stats): DuckDB indexes
+    CHARACTERS, the Spark side indexes UTF-8 BYTES — equal only
+    because the documents corpus is pure ASCII."""
     import numpy as np
 
     from lab_1806_vec_db_spark.multimodal.binary_ops import extract_features, media_table
@@ -452,7 +455,9 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 16-byte 'frame' every 64 bytes via the exploding ``mapInPandas``
     sampler (multimodal/binary_ops.py:97-124), then frame length and
     first byte computed JVM-side (hex/conv on BINARY) so the oracle can
-    compare without shipping raw bytes through the hash."""
+    compare without shipping raw bytes through the hash. Oracle caveat:
+    the SQL side slices CHARACTERS — byte-equal only on the pure-ASCII
+    documents corpus (multimodal_byte_stats has the same contract)."""
     from lab_1806_vec_db_spark.multimodal.binary_ops import frame_sample, media_table
 
     docs = _docs(spark, sf_dir)

@@ -275,3 +275,15 @@ def test_corpus_ops_conservation_invariants(spark):
     )
     r = decontaminate(dup, F.col("source") == "eval", n=3).collect()[0]
     assert r["n_hit"] == r["n_grams"] and r["ratio"] == 1.0
+
+
+def test_pack_sequences_duplicate_ids_use_rows_frame(spark):
+    from lab_1806_vec_db_spark.operators.corpus import pack_sequences
+
+    # duplicate doc_id within a shard: RANGE frame would sum both peers
+    # into each other's offset; ROWS semantics packs them sequentially
+    rows = [(0, "a b c", "A"), (0, "d e f g", "A"), (1, "h i", "A")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["seq_id"]: r for r in pack_sequences(docs, budget=4).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 7  # offsets 0,3
+    assert out[1]["n_docs"] == 1 and out[1]["n_tokens"] == 2  # offset 7
