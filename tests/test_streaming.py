@@ -238,3 +238,60 @@ def test_dedup_stream_drops_dupes_across_batches(spark, tmp_path):
     batch = spark.read.schema(schema).parquet(src + "/f*")
     out = dedup_stream(batch, content_col="text").select("text").collect()
     assert sorted(r["text"] for r in out) == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_topk_matches_batch_knn(spark, tmp_path):
+    """applyInPandasWithState running top-k: after all waves are
+    processed, the carried state equals the batch flat-kNN answer over
+    the union of the waves; state stays k-bounded throughout."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+    from lab_1806_vec_db_spark.streaming.topk_stream import streaming_topk
+
+    rng = np.random.default_rng(11)
+    dim, n, k = 8, 120, 5
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    queries = {0: [float(x) for x in vecs[0]], 1: [float(x) for x in vecs[1]]}
+
+    src = str(tmp_path / "vec_stream_src")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "id long, vec array<float>",
+    )
+    # three files -> maxFilesPerTrigger=1 forces three micro-batches,
+    # so the final emission must merge state across batches
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id long, vec array<float>").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_topk(stream, queries, k=k, metric="l2sqr")
+
+    emissions = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: emissions.append((bid, bdf.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per query is the final running top-k
+    final = {}
+    for _, rows in emissions:
+        for r in rows:
+            final.setdefault(r["query_id"], {})
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+        for qid, pairs in by_q.items():
+            final[qid] = sorted(pairs, key=lambda t: (t[1], t[0]))
+
+    for qid, qv in queries.items():
+        batch = knn_ops.knn(df, qv, k=k, metric="l2sqr", vec_col="vec", id_col="id")
+        expect = [(r["id"], r["dist"]) for r in batch.collect()]
+        got = [(i, float(np.floor(d * 1e4 + 0.5) / 1e4)) for i, d in final[qid]]
+        assert [i for i, _ in got] == [i for i, _ in expect]
+        assert got[0][0] == qid and got[0][1] == 0.0  # self-hit at dist 0
+        assert len(final[qid]) == k  # state stayed k-bounded
