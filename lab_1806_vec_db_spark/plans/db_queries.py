@@ -128,8 +128,8 @@ def vecdb_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vecdb_persistence_search",
-    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id = 0)
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = (SELECT max(vec_id) FROM embeddings))
 SELECT e.vec_id AS vec_id,
   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
         + list_dot_product(q.qv, q.qv)
@@ -138,14 +138,18 @@ FROM embeddings e, q
 ORDER BY dist, vec_id LIMIT 10""",
 )
 def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Save/reopen durability as an oracle-gated query (S5/S6/S8 +
-    W1/Q8): bulk-insert all but the last vector, single-row ``add`` for
-    the final one (database/mod.rs:430-433), build the HNSW graph,
-    ``force_save`` (dirty-index flush, thread_save.rs:97-114), then
-    reopen the directory in a FRESH VecDB instance — table + graph must
-    reload from disk (brief.json + parquet + npz artifacts) — and
-    point-search at ef >= N, which is exact, so the brute-force SQL
-    top-10 is a hash oracle for the whole persist/reload path. Distance
+    """Save/reopen durability + incremental graph insert as one
+    oracle-gated query (S5/S6/S8 + W1/W4/Q8): bulk-insert all but the
+    last 5 vectors, build the HNSW graph, ``force_save`` (dirty-index
+    flush, thread_save.rs:97-114), reopen the directory in a FRESH
+    VecDB instance — table + graph must reload from disk (brief.json +
+    parquet + npz artifacts) — THEN insert the held-back 5 (single-row
+    ``add`` + ``batch_add``), which the loaded graph absorbs
+    incrementally (hnsw_index.rs:538-572; writes never clear HNSW).
+    The query vector IS the last incrementally-inserted row, so its
+    dist-0 self-hit can only come from the post-reopen graph insert.
+    Point-search at ef >= N is exact, making the brute-force SQL top-10
+    a hash oracle for persist, reload, AND incremental insert. Distance
     values come from the serve kernel; ids ride the metadata attach."""
     import numpy as np
 
@@ -160,16 +164,21 @@ def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.create_table_if_not_exists("t", dim, "l2sqr")
     db.batch_add(
         "t",
-        [list(r["embedding"]) for r in rows[:-1]],
-        [{"vec_id": str(r["vec_id"])} for r in rows[:-1]],
+        [list(r["embedding"]) for r in rows[:-5]],
+        [{"vec_id": str(r["vec_id"])} for r in rows[:-5]],
     )
-    db.add("t", list(rows[-1]["embedding"]), {"vec_id": str(rows[-1]["vec_id"])})
     db.build_hnsw_index("t")
     db.close()
 
     db2 = VecDB(home, spark)
+    db2.add("t", list(rows[-5]["embedding"]), {"vec_id": str(rows[-5]["vec_id"])})
+    db2.batch_add(
+        "t",
+        [list(r["embedding"]) for r in rows[-4:]],
+        [{"vec_id": str(r["vec_id"])} for r in rows[-4:]],
+    )
     n = db2.get_len("t")
-    hits = db2.search("t", list(rows[0]["embedding"]), k=10, ef=max(2 * n, 200))
+    hits = db2.search("t", list(rows[-1]["embedding"]), k=10, ef=max(2 * n, 200))
     out = [
         (int(md["vec_id"]), float(np_round_half_up(np.float64(d))))
         for md, d in hits
