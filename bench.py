@@ -290,7 +290,39 @@ def run_sf_suite(spark) -> dict:
         "ms_per_query": {k_: round(v / max(n_q, 1) * 1000.0, 4) for k_, v in timings.items()},
         "recall_at_10": {k_: round(v, 4) for k_, v in recalls.items()},
         "build_sec": {k_: round(v, 3) for k_, v in build_sec.items()},
+        "pipeline": run_pipeline_suite(spark),
     }
+
+
+def run_pipeline_suite(spark) -> dict:
+    """Absolute wall-clock (sec, best-of-RUNS) for the LLM-pipeline
+    operators over the documents table at SF_DIR — no reference
+    baseline exists for these, so they are reported as timings + output
+    cardinality, not ratios."""
+    from lab_1806_vec_db_spark.operators.corpus import (
+        clean_corpus, decontaminate, mix_sample, pack_sequences,
+    )
+    from lab_1806_vec_db_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = read_table(spark, SF_DIR, "documents").cache()
+    n_docs = docs.count()
+    out: dict[str, dict[str, float]] = {}
+
+    def bench_op(name, fn):
+        t, rows = _timed(lambda: fn().collect())
+        out[name] = {"sec": round(t, 3), "rows": len(rows)}
+
+    bench_op("corpus_clean", lambda: clean_corpus(docs))
+    bench_op("decontaminate_3gram",
+             lambda: decontaminate(docs, F.col("source") == "src0", n=3))
+    bench_op("pack_sequences_2048",
+             lambda: pack_sequences(docs, budget=2048))
+    bench_op("mix_sample", lambda: mix_sample(docs, {"src0": 75}, default_pct=30))
+    bench_op("minhash_lsh_dedup",
+             lambda: minhash_dedup_pairs(docs, threshold=0.7, num_hashes=16, bands=8))
+    docs.unpersist()
+    out["n_docs"] = n_docs
+    return out
 
 
 # ---------------------------------------------------------------------------

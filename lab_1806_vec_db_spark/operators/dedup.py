@@ -106,27 +106,15 @@ def ngram_jaccard_pairs(
 # ---- MinHash + LSH ---------------------------------------------------------
 
 
-def minhash_signature(
-    text: Column | str, n: int = 3, num_hashes: int = 16
-) -> Column:
-    """MinHash signature: permutation j is the md5-prefix hash of
-    ``"j_" + shingle``; signature[j] = min over shingles. Empty docs
-    get an all--1 sentinel signature. Map-only, no shuffle."""
-    sh = word_shingles(text, n)
+#: affine-permutation constants for MinHash: sig_j = min over shingles
+#: of (A_j·h + B_j) mod P, with h = hash32(shingle). P is the first
+#: prime above 2^32, so A_j·h + B_j < 2^21·2^32 + 2^32 < 2^63 — exact
+#: in BIGINT on both Spark and DuckDB (no wraparound, no float).
+MINHASH_P = 4294967311
 
-    def perm_hasher(j: int):
-        # NB: a closure, NOT `lambda s, j=j` — PySpark counts lambda
-        # parameters to pick the (element) vs (element, index) calling
-        # convention, so a defaulted second arg silently becomes the
-        # element index.
-        prefix = f"{j}_"
-        return lambda s: hash32(F.concat(F.lit(prefix), s))
 
-    sigs = []
-    for j in range(num_hashes):
-        hashed = F.transform(sh, perm_hasher(j))
-        sigs.append(F.coalesce(F.array_min(hashed), F.lit(-1).cast("bigint")))
-    return F.array(*sigs)
+def minhash_perm_consts(j: int) -> tuple[int, int]:
+    return 1 + 103_969 * j, 12_345 + 791 * j
 
 
 def minhash_signatures(
@@ -136,7 +124,35 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    return df.select(F.col(id_col), minhash_signature(text_col, n, num_hashes).alias("sig"))
+    """MinHash signatures, the scalable shape: explode shingles (map
+    only), hash each shingle ONCE (md5-prefix), then every permutation
+    is a cheap affine map computed as ``min`` aggregates in a single
+    keyed pass — 1 cryptographic hash per shingle instead of
+    ``num_hashes`` (the classic a·h+b universal-hash construction).
+
+    Plan at 100 TB: one groupBy(id) shuffle whose map-side partial
+    aggregation collapses each task's rows to ≤num_hashes values per
+    doc — the shuffle carries signatures, not shingles. Empty docs
+    (fewer than n tokens) get the all--1 sentinel via the left join."""
+    grams = df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_s"))
+    hashed = grams.select(id_col, hash32(F.col("_s")).alias("_h"))
+    aggs = []
+    for j in range(num_hashes):
+        a_j, b_j = minhash_perm_consts(j)
+        aggs.append(
+            F.min((F.lit(a_j) * F.col("_h") + F.lit(b_j)) % F.lit(MINHASH_P)).alias(f"_s{j}")
+        )
+    sig = (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[F.col(f"_s{j}") for j in range(num_hashes)]).alias("sig"))
+    )
+    sentinel = F.array(*[F.lit(-1).cast("bigint") for _ in range(num_hashes)])
+    return (
+        df.select(F.col(id_col))
+        .join(sig, id_col, "left")
+        .select(id_col, F.coalesce(F.col("sig"), sentinel).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(

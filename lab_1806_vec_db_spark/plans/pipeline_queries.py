@@ -58,11 +58,18 @@ def _shingles_sql(n: int = 3) -> str:
 
 
 def _minhash_sig_sql(n: int, num_hashes: int, sh: str = "sh") -> str:
-    """[sig_0, ..., sig_{p-1}] (mirrors dedup.minhash_signature)."""
-    parts = [
-        f"coalesce(list_min(list_transform({sh}, s -> {_hash32_sql(chr(39) + str(j) + '_' + chr(39) + ' || s')})), CAST(-1 AS BIGINT))"
-        for j in range(num_hashes)
-    ]
+    """[sig_0, ..., sig_{p-1}] (mirrors dedup.minhash_signatures:
+    sig_j = min (A_j·hash32(s) + B_j) mod P — affine permutations of
+    one md5-prefix hash per shingle; exact in BIGINT on both engines)."""
+    from lab_1806_vec_db_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    parts = []
+    for j in range(num_hashes):
+        a_j, b_j = minhash_perm_consts(j)
+        parts.append(
+            f"coalesce(list_min(list_transform({sh}, "
+            f"s -> ({a_j} * {_hash32_sql('s')} + {b_j}) % {MINHASH_P})), CAST(-1 AS BIGINT))"
+        )
     return "[" + ", ".join(parts) + "]"
 
 
