@@ -242,7 +242,31 @@ def simhash32(text: Column | str) -> Column:
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    """Scalable twin of :func:`simhash32`: explode tokens, hash each
+    ONCE, and compute the 32 signed bit-sums as ``sum`` aggregates in a
+    single keyed pass — 1 md5 per token instead of 32 (same shape as
+    the MinHash rewrite; bit-for-bit equal output, gated by the
+    dedup_simhash oracle). One groupBy(id) shuffle whose map-side
+    partials carry 32 ints per doc per task."""
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    hashed = toked.select(id_col, hash32(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
+        for b in range(32)
+    ]
+    agg = hashed.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("bigint")
+    for b in range(32):
+        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    sig = agg.select(id_col, sim.alias("simhash"))
+    # split("", " ") == [""] so every doc has >=1 token and a sig row;
+    # the left join guards hypothetical empty-array inputs (simhash 0,
+    # matching simhash32's all-zero-sums result)
+    return (
+        df.select(F.col(id_col))
+        .join(sig, id_col, "left")
+        .select(id_col, F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
