@@ -393,6 +393,59 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_probe(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.1,
+    planes: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ingestion-time near-dup screen: for each NEW vector, does the
+    existing corpus already contain a near-duplicate? Returns one row
+    per new vector: ``(id, n_matches, min_dist)`` — ``n_matches = 0``
+    (min_dist = -1) means novel, keep it; threshold the rest away.
+    The incremental form of :func:`embedding_neardup_pairs` — a batch
+    joins against the corpus instead of the corpus against itself.
+
+    ``planes=None`` compares exactly (documented-quadratic: bound the
+    batch size). With ``planes`` the comparison runs inside shared
+    hyperplane buckets — at 100 TB the corpus side is bucketed once
+    (cacheable), each new batch is map-only bucketed and shuffle-joins
+    on the bucket key; vectors missing every shared bucket are novel
+    by construction (LSH recall caveat applies)."""
+    a = new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    b = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vb"))
+    if planes is None:
+        joined = a.crossJoin(b)
+    else:
+        ab = embedding_lsh_buckets(new_df, planes, vec_col, id_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("va"), "bucket"
+        )
+        bb = embedding_lsh_buckets(corpus_df, planes, vec_col, id_col).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("vb"), "bucket"
+        )
+        joined = ab.join(bb, "bucket").drop("bucket")
+        a = ab.select("id", "va")
+    hits = (
+        joined.select(
+            "id", round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist")
+        )
+        .filter(F.col("dist") <= threshold)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_matches"), F.min("dist").alias("min_dist"))
+    )
+    return (
+        a.select("id").distinct()
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.coalesce("min_dist", F.lit(-1.0)).alias("min_dist"),
+        )
+    )
+
+
 def embedding_lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

@@ -259,6 +259,34 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_lsh(emb, planes, threshold=0.95).orderBy("id_a", "id_b")
 
 
+@register(
+    "embedding_neardup_probe",
+    f"""WITH a AS (SELECT vec_id AS id, {_dd('embedding')} AS va FROM embeddings WHERE label = 0),
+b AS (SELECT {_dd('embedding')} AS vb FROM embeddings WHERE label <> 0),
+d AS (SELECT a.id, {_cos_pair_sql('a.va', 'b.vb')} AS dist FROM a, b),
+h AS (SELECT id, count(*) AS n_matches, min(dist) AS min_dist
+      FROM d WHERE dist <= 0.7 GROUP BY id)
+SELECT a.id AS id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+       coalesce(h.min_dist, -1.0) + 0.0 AS min_dist
+FROM a LEFT JOIN h USING (id) ORDER BY id""",
+)
+def embedding_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup screen (operators/dedup.py:
+    embedding_neardup_probe): the label-0 rows play an incoming batch,
+    the rest the existing corpus; each new vector reports how many
+    corpus near-dups it has and its closest distance (-1 = novel). The
+    oracle runs the bounded exact path; the ``planes`` argument is the
+    bucketed scale path (tested in test_dedup_text.py)."""
+    emb = _emb(spark, sf_dir)
+    new = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    return (
+        D.embedding_neardup_probe(new, corpus, threshold=0.7)
+        .withColumnRenamed("id", "id")
+        .orderBy("id")
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 _SW = "['the','a','of','and','to','in','is','that']"

@@ -287,3 +287,27 @@ def test_pack_sequences_duplicate_ids_use_rows_frame(spark):
     out = {r["seq_id"]: r for r in pack_sequences(docs, budget=4).collect()}
     assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 7  # offsets 0,3
     assert out[1]["n_docs"] == 1 and out[1]["n_tokens"] == 2  # offset 7
+
+
+def test_embedding_neardup_probe_exact_and_lsh(spark):
+    from lab_1806_vec_db_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0]),   # near-dup of corpus 0
+         (11, [0.6, 0.6, 0.52])],    # novel
+        "vec_id long, embedding array<float>",
+    )
+    exact = {r["id"]: r for r in
+             D.embedding_neardup_probe(new, corpus, threshold=0.1).collect()}
+    assert exact[10]["n_matches"] == 1 and 0 <= exact[10]["min_dist"] <= 0.1
+    assert exact[11]["n_matches"] == 0 and exact[11]["min_dist"] == -1.0
+
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    lsh = {r["id"]: r for r in
+           D.embedding_neardup_probe(new, corpus, threshold=0.1, planes=planes).collect()}
+    assert lsh[10]["n_matches"] == 1      # shares bucket '1x' with corpus 0
+    assert lsh[11]["n_matches"] == 0      # novel stays novel
