@@ -130,28 +130,31 @@ def minhash_signatures(
     keyed pass — 1 cryptographic hash per shingle instead of
     ``num_hashes`` (the classic a·h+b universal-hash construction).
 
+    ``id_col`` is the document KEY: rows sharing an id are fingerprinted
+    as one merged document (like every keyed operator here) — feed a
+    unique id per document.
+
     Plan at 100 TB: one groupBy(id) shuffle whose map-side partial
     aggregation collapses each task's rows to ≤num_hashes values per
     doc — the shuffle carries signatures, not shingles. Empty docs
-    (fewer than n tokens) get the all--1 sentinel via the left join."""
-    grams = df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_s"))
+    (fewer than n tokens) keep one NULL row through ``explode_outer``,
+    so the all--1 sentinel falls out of the same single pass (min over
+    NULL → NULL → coalesce), no second join."""
+    grams = df.select(F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("_s"))
     hashed = grams.select(id_col, hash32(F.col("_s")).alias("_h"))
     aggs = []
     for j in range(num_hashes):
         a_j, b_j = minhash_perm_consts(j)
         aggs.append(
-            F.min((F.lit(a_j) * F.col("_h") + F.lit(b_j)) % F.lit(MINHASH_P)).alias(f"_s{j}")
+            F.coalesce(
+                F.min((F.lit(a_j) * F.col("_h") + F.lit(b_j)) % F.lit(MINHASH_P)),
+                F.lit(-1).cast("bigint"),
+            ).alias(f"_s{j}")
         )
-    sig = (
+    return (
         hashed.groupBy(id_col)
         .agg(*aggs)
         .select(id_col, F.array(*[F.col(f"_s{j}") for j in range(num_hashes)]).alias("sig"))
-    )
-    sentinel = F.array(*[F.lit(-1).cast("bigint") for _ in range(num_hashes)])
-    return (
-        df.select(F.col(id_col))
-        .join(sig, id_col, "left")
-        .select(id_col, F.coalesce(F.col("sig"), sentinel).alias("sig"))
     )
 
 
@@ -231,7 +234,9 @@ def simhash32(text: Column | str) -> Column:
     hashes = F.transform(toks, hash32)
 
     def bit_merger(b: int):
-        # closure (see minhash_signature): 2-param lambdas only
+        # NB: a closure, NOT `lambda acc, h, b=b: ...` — PySpark counts
+        # lambda parameters to pick the calling convention, so a
+        # defaulted third arg would silently change the merge signature
         return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
 
     out = F.lit(0).cast("bigint")
@@ -247,8 +252,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     single keyed pass — 1 md5 per token instead of 32 (same shape as
     the MinHash rewrite; bit-for-bit equal output, gated by the
     dedup_simhash oracle). One groupBy(id) shuffle whose map-side
-    partials carry 32 ints per doc per task."""
-    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    partials carry 32 ints per doc per task. ``id_col`` is the document
+    KEY (rows sharing an id merge — see minhash_signatures); empty
+    token arrays keep one NULL row via ``explode_outer`` (sum over NULL
+    → NULL → simhash 0, matching simhash32's all-zero-sums result) —
+    no second join."""
+    toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t"))
     hashed = toked.select(id_col, hash32(F.col("_t")).alias("_h"))
     aggs = [
         F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
@@ -258,15 +267,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     sim = F.lit(0).cast("bigint")
     for b in range(32):
         sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
-    sig = agg.select(id_col, sim.alias("simhash"))
-    # split("", " ") == [""] so every doc has >=1 token and a sig row;
-    # the left join guards hypothetical empty-array inputs (simhash 0,
-    # matching simhash32's all-zero-sums result)
-    return (
-        df.select(F.col(id_col))
-        .join(sig, id_col, "left")
-        .select(id_col, F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash"))
-    )
+    return agg.select(id_col, sim.alias("simhash"))
 
 
 def simhash_near_pairs(

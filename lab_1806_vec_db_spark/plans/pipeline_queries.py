@@ -280,11 +280,7 @@ def embedding_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     new = emb.filter(F.col("label") == 0)
     corpus = emb.filter(F.col("label") != 0)
-    return (
-        D.embedding_neardup_probe(new, corpus, threshold=0.7)
-        .withColumnRenamed("id", "id")
-        .orderBy("id")
-    )
+    return D.embedding_neardup_probe(new, corpus, threshold=0.7).orderBy("id")
 
 
 # ---- text analysis ---------------------------------------------------------

@@ -31,14 +31,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from lab_1806_vec_db_spark.operators.knn import np_round_half_up
+
 OUTPUT_SCHEMA = "query_id long, vec_id long, dist double"
 STATE_SCHEMA = "ids array<long>, dists array<double>"
 
 
 def _batch_dists(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     if metric == "l2sqr":
-        # algebraic form, matching functions/distance.py l2sqr_expr
-        return (mat * mat).sum(axis=1) + float(q @ q) - 2.0 * (mat @ q)
+        # direct sum-of-squared-diffs, the same form as the batch
+        # operator's l2sqr_expr — the algebraic |v|²+|q|²-2v·q form can
+        # cancel to tiny NEGATIVE values for exact duplicates, which the
+        # batch path never emits
+        diff = mat - q[None, :]
+        return (diff * diff).sum(axis=1)
     if metric == "cosine":
         qn = float(np.sqrt(q @ q))
         mn = np.sqrt((mat * mat).sum(axis=1))
@@ -77,7 +83,11 @@ def streaming_topk(
             if pdf.empty:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            nd = _batch_dists(mat, q, metric)
+            # 4-dp half-up BEFORE the merge: k-boundary membership and
+            # tie-breaks must be decided on the same rounded values the
+            # batch operator orders by (the repo-wide determinism
+            # contract), not on raw floats that round to equal
+            nd = np_round_half_up(_batch_dists(mat, q, metric))
             ids = np.concatenate([ids, pdf[id_col].to_numpy(np.int64)])
             dists = np.concatenate([dists, nd])
             if ids.size > k:
