@@ -125,6 +125,51 @@ def mix_sample(
     return docs.filter(gate)
 
 
+def hashing_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text embeddings (the hashing-trick vectorizer):
+    token t increments bucket ``hash32(t) % dim``; the count vector is
+    L2-normalized. Deterministic, vocabulary-free, engine-portable —
+    the standard cheap embedder for near-dup screens and clustering
+    when no model embeddings exist (and the plumbing twin of a real
+    embedding UDF: same schema, same downstream operators).
+
+    Built in the aggregate shape (explode → one hash per token →
+    groupBy), NOT as ``dim`` filtered scans of the token array — the
+    same duplicated-lambda pathology fixed in minhash_signatures.
+    Plan: two keyed shuffles; the second carries ≤dim entries per doc.
+    ``id_col`` is the document key (rows sharing an id merge)."""
+    toked = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("_t"))
+    counts = (
+        toked.select(id_col, F.pmod(T.hash32(F.col("_t")), F.lit(dim)).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    vecs = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)),
+            ).alias("_raw"),
+        )
+    )
+    norm = F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda a, x: a + x * x))
+    return vecs.select(
+        id_col,
+        F.transform(
+            F.col("_raw"),
+            lambda x: F.round(x / F.greatest(norm, F.lit(1e-10)), 4) + F.lit(0.0),
+        ).alias("embedding"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_pred,

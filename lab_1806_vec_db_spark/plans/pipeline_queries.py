@@ -709,6 +709,60 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ratio", F.col("ratio") + F.lit(0.0)).orderBy("doc_id")
 
 
+_HASH_EMB_SQL = """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+v AS (SELECT doc_id, list_transform(range(0, 16),
+        i -> CAST(len(list_filter(toks,
+               s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 16 = i)) AS DOUBLE)) AS raw
+      FROM t),
+e AS (SELECT doc_id, list_transform(raw,
+        x -> round(x / greatest(sqrt(list_dot_product(raw, raw)), 1e-10), 4) + 0.0) AS embedding
+      FROM v)"""
+
+
+@register(
+    "text_hash_embedding",
+    f"""{_HASH_EMB_SQL}
+SELECT doc_id, embedding FROM e ORDER BY doc_id""",
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (operators/corpus.py:
+    hashing_embeddings, dim=16): vocabulary-free hashing-trick
+    vectorizer, L2-normalized, bit-identical across engines — the
+    plumbing twin of a model-embedding UDF (same schema, same
+    downstream ANN/near-dup operators)."""
+    from lab_1806_vec_db_spark.operators.corpus import hashing_embeddings
+
+    return hashing_embeddings(_docs(spark, sf_dir), dim=16).orderBy("doc_id")
+
+
+@register(
+    "corpus_semantic_neardup",
+    f"""{_HASH_EMB_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(1 - list_dot_product(a.embedding, b.embedding) / greatest(
+    sqrt(list_dot_product(a.embedding, a.embedding))
+    * sqrt(list_dot_product(b.embedding, b.embedding)), 1e-10), 4) + 0.0 AS dist
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE round(1 - list_dot_product(a.embedding, b.embedding) / greatest(
+    sqrt(list_dot_product(a.embedding, a.embedding))
+    * sqrt(list_dot_product(b.embedding, b.embedding)), 1e-10), 4) + 0.0 <= 0.005
+ORDER BY id_a, id_b""",
+)
+def corpus_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup, text-to-pairs in ONE composed plan: hash
+    embeddings (two keyed shuffles) → exact cosine pairs at 0.005
+    (bounded; the hyperplane-LSH path in embedding_neardup_lsh is the
+    scale form) — the end-to-end shape of embedding-based dedup when
+    no model embeddings exist."""
+    from lab_1806_vec_db_spark.operators.corpus import hashing_embeddings
+    from lab_1806_vec_db_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = hashing_embeddings(_docs(spark, sf_dir), dim=16)
+    return embedding_neardup_pairs(
+        emb, threshold=0.005, vec_col="embedding", id_col="doc_id"
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "corpus_pack_sequences",
     """WITH t AS (

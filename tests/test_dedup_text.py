@@ -311,3 +311,22 @@ def test_embedding_neardup_probe_exact_and_lsh(spark):
            D.embedding_neardup_probe(new, corpus, threshold=0.1, planes=planes).collect()}
     assert lsh[10]["n_matches"] == 1      # shares bucket '1x' with corpus 0
     assert lsh[11]["n_matches"] == 0      # novel stays novel
+
+
+def test_hashing_embeddings_invariants(spark):
+    import math
+
+    from lab_1806_vec_db_spark.operators.corpus import hashing_embeddings
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, "a b c a"), (2, "z z z z z")],
+        "doc_id long, text string, source string".replace(", source string", ""),
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hashing_embeddings(docs, dim=8).collect()}
+    assert all(len(v) == 8 for v in out.values())
+    # identical docs -> identical embeddings; unit norm (to 4dp rounding)
+    assert out[0] == out[1]
+    for v in out.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    # single-token doc -> one-hot
+    assert sorted(out[2]) == [0.0] * 7 + [1.0]
