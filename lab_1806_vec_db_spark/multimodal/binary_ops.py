@@ -123,6 +123,40 @@ def frame_sample(
     )
 
 
+def resize_bytes(
+    df: DataFrame,
+    target_bytes: int,
+    media_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic 'resize': nearest-sample the blob down/up to
+    ``target_bytes`` (index i reads source byte ``i*n // target``) —
+    the plumbing shape of image resize / audio resample (real impl: a
+    codec kernel). Map-only ``mapInPandas``; output
+    ``(id, media BINARY)`` keeps the MEDIA_SCHEMA contract so resized
+    blobs flow through the same downstream extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_media = [], []
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                buf = np.frombuffer(bytes(b), dtype=np.uint8)
+                if buf.size:
+                    idx = np.arange(target_bytes, dtype=np.int64) * buf.size // target_bytes
+                    resized = buf[idx].tobytes()
+                else:
+                    resized = b""
+                out_ids.append(i)
+                out_media.append(resized)
+            yield pd.DataFrame({id_col: out_ids, "media": out_media})
+
+    return df.select(F.col(id_col).alias(id_col), media_col).mapInPandas(
+        run, schema=f"{id_col} long, media binary"
+    )
+
+
 def byte_stats(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
     """Per-blob byte statistics ``(id, n_bytes, mean_byte, first_byte)``
     — the decode-free part of the feature extractor, exact and

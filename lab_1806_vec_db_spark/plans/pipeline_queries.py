@@ -502,6 +502,43 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "frame_no")
 
 
+@register(
+    "multimodal_resize",
+    """WITH r AS (
+  SELECT doc_id AS id,
+    list_transform(range(0, 32),
+      i -> unicode(substr(text, CAST(i * length(text) // 32 AS INT) + 1, 1))) AS bytes
+  FROM documents)
+SELECT id, CAST(32 AS INT) AS n_bytes,
+  CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+  CAST(bytes[1] AS INT) AS first_byte
+FROM r ORDER BY id""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (the shape of image resize / audio resample):
+    nearest-sample each blob to 32 bytes through the map-only
+    ``mapInPandas`` resizer (multimodal/binary_ops.py:resize_bytes),
+    then re-extract byte stats through the SAME downstream extractor —
+    the resized blob stays a first-class MEDIA column. Oracle mirrors
+    the index arithmetic (i·n // 32) exactly; ASCII-corpus caveat as
+    in multimodal_byte_stats."""
+    from lab_1806_vec_db_spark.multimodal.binary_ops import (
+        byte_stats, media_table, resize_bytes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = media_table(docs, content_col="text", id_col="doc_id", media_type="text/plain")
+    resized = resize_bytes(media, target_bytes=32)
+    stats = byte_stats(resized)
+    return stats.select(
+        "id", "n_bytes",
+        # mean_byte is 4dp-rounded: x32 is within 0.0016 of the true
+        # integer sum, so round (not truncate) recovers it exactly
+        F.round(F.col("mean_byte") * 32, 0).cast("bigint").alias("byte_sum"),
+        "first_byte",
+    ).orderBy("id")
+
+
 # ---- event-time windowed aggregation ---------------------------------------
 
 

@@ -63,3 +63,13 @@ def test_frame_sample(media):
     assert bytes(by_id[1][0]["frame"]) == b"\xff" * 10
     assert len(by_id[0]) == 1
     assert 2 not in by_id  # empty blob yields no frames
+
+
+def test_resize_bytes_nearest_sampling(spark):
+    from lab_1806_vec_db_spark.multimodal.binary_ops import media_table, resize_bytes
+
+    df = spark.createDataFrame([(0, "abcdefgh"), (1, "xy")], "id long, content string")
+    media = media_table(df, content_col="content", id_col="id", media_type="text/plain")
+    out = {r["id"]: bytes(r["media"]) for r in resize_bytes(media, target_bytes=4).collect()}
+    assert out[0] == b"aceg"   # downsample: indices 0,2,4,6
+    assert out[1] == b"xxyy"   # upsample: indices 0,0,1,1
