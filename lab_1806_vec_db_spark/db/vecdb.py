@@ -599,6 +599,35 @@ class VecDB:
                 from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
                 idx[kind] = ShardedHNSWIndex.load(self.spark, path)
+                wm = idx[kind].max_committed_id
+                if wm >= -1:
+                    # crash-window repair, watermark form: candidates are
+                    # every row above the last durably committed id;
+                    # absorb_tail membership-checks per target shard, so
+                    # a crash BETWEEN shard flushes and the root-meta
+                    # flush (shards ahead of recorded counts) cannot
+                    # double-insert. Count-based tail repair can (the
+                    # flushed shard already holds some of the largest
+                    # ids), hence the different shape from the plain
+                    # branch below.
+                    import numpy as np
+
+                    cand = (
+                        self.table_df(key)
+                        .filter(F.col("id") > int(wm))
+                        .select("id", "vec")
+                        .collect()
+                    )
+                    if cand:
+                        idx[kind].absorb_tail(
+                            np.asarray([r["id"] for r in cand], dtype=np.int64),
+                            np.asarray([[float(x) for x in r["vec"]] for r in cand],
+                                       dtype=np.float64),
+                            seed=43 + int(self._meta(key)["next_id"]),
+                        )
+                    return idx[kind]
+                # legacy artifact without a watermark: fall back to the
+                # count heuristic shared with the plain branch
                 rows_indexed = sum(idx[kind].shard_counts.values())
             else:
                 from lab_1806_vec_db_spark.index.hnsw import HNSWIndex

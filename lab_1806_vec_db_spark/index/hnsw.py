@@ -1214,9 +1214,12 @@ class HNSWIndex:
             **{f"counts{g}": arr for g, arr in enumerate(self.graph.counts)},
         )
         with open(os.path.join(path, "meta.json"), "w") as f:
+            # "n" guarantees the meta bytes change on every append
+            # flush — the sharded tier's executor cache keys on this
+            # file's content hash (sharded.py:_cached_graph)
             json.dump({"metric": self.metric, "id_col": self.id_col, "m": self.graph.M,
                        "entry": int(self.graph.entry), "max_level": int(self.graph.max_level),
-                       "n_levels": len(self.graph.links),
+                       "n_levels": len(self.graph.links), "n": int(len(self.ids)),
                        "ef_construction": self.ef_construction}, f)
         self.dirty = False
 

@@ -199,6 +199,14 @@ class IVFPQIndex:
             )
         enc = self._assign_encode(df_new, self.model, self.pq,
                                   self.vec_col, self.id_col)
+        # materialize the encoded batch ONCE (executor-memory
+        # checkpoint), then both the durable write and the in-memory
+        # union read the same materialized rows: no re-running the
+        # assign+encode mapInPandas lineage on every subsequent query
+        # between compactions, and no silent divergence between what
+        # was written and what is served if df_new's source is
+        # non-deterministic
+        enc = enc.localCheckpoint(eager=True)
         if self.path is not None:
             enc.write.mode("append").partitionBy("cluster_id").parquet(
                 os.path.join(self.path, "codes")
@@ -318,7 +326,7 @@ class IVFPQIndex:
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
-            return spark.createDataFrame([], f"query_id long, {self.id_col} long, dist double")
+            return spark.createDataFrame([], f"{qid_col} long, {self.id_col} long, dist double")
         if len(qrows) > max_queries:
             raise ValueError(
                 f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
@@ -431,4 +439,7 @@ class IVFPQIndex:
                 schema=f"query_id long, {id_col} long, dist double",
             )
         )
-        return _topk_per_query(rer, int(k), id_col, upper_bound)
+        out = _topk_per_query(rer, int(k), id_col, upper_bound)
+        if qid_col != "query_id":
+            out = out.withColumnRenamed("query_id", qid_col)
+        return out

@@ -59,16 +59,25 @@ _GRAPH_CACHE_CAP = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "2"))
 
 def _cached_graph(shard_dir: str) -> HNSWIndex:
     # version-aware key: a flushed append rewrites the shard's meta.json,
-    # so its mtime invalidates whatever a long-lived worker cached —
-    # without this, workers would serve pre-append graphs forever
-    ver = int(os.path.getmtime(os.path.join(shard_dir, "meta.json")) * 1e9)
+    # so its CONTENT invalidates whatever a long-lived worker cached.
+    # Content hash, not mtime: several shared filesystems report
+    # whole-second mtimes, and a load + flush inside the same second
+    # would leave the worker serving the pre-append graph forever.
+    # (meta.json carries entry/max_level/n_levels, which change with
+    # every graph-altering flush; it is tens of bytes, so hashing it
+    # per call is free next to the graph load it guards.)
+    import hashlib
+
+    with open(os.path.join(shard_dir, "meta.json"), "rb") as f:
+        ver = hashlib.md5(f.read()).hexdigest()
     key = (shard_dir, ver)
     idx = _GRAPH_CACHE.get(key)
     if idx is None:
         idx = HNSWIndex.load(None, shard_dir)
-        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
-            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-        _GRAPH_CACHE[key] = idx
+        if _GRAPH_CACHE_CAP > 0:
+            while len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
+                _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+            _GRAPH_CACHE[key] = idx
     return idx
 
 
@@ -88,6 +97,7 @@ class ShardedHNSWIndex:
         m: int = 16,
         ef_construction: int = 200,
         shard_counts: dict[int, int] | None = None,
+        max_committed_id: int = -1,
     ) -> None:
         self.model = model
         self.path = path
@@ -96,6 +106,10 @@ class ShardedHNSWIndex:
         self.m = m
         self.ef_construction = int(ef_construction)
         self.shard_counts = dict(shard_counts or {})
+        #: largest id covered by the last durable root-meta flush —
+        #: crash-recovery scans only ids above it (absorb_tail)
+        self.max_committed_id = int(max_committed_id)
+        self._meta_dirty = False
         #: driver-side lazily-loaded shards (point-serve path + appends)
         self._driver_shards: dict[int, HNSWIndex] = {}
 
@@ -148,16 +162,19 @@ class ShardedHNSWIndex:
             shard = HNSWIndex(ids, vecs, graph, met, base=None, id_col=icol,
                               ef_construction=efc)
             shard.save(_shard_dir(p, sid))
-            return pd.DataFrame({"shard_id": [sid], "n": [len(ids)]})
+            return pd.DataFrame({"shard_id": [sid], "n": [len(ids)],
+                                 "mx": [int(ids.max()) if len(ids) else -1]})
 
         stats = (
             assigned.groupBy("shard_id")
-            .applyInPandas(build_shard, schema="shard_id int, n long")
+            .applyInPandas(build_shard, schema="shard_id int, n long, mx long")
             .collect()
         )
         shard_counts = {int(r["shard_id"]): int(r["n"]) for r in stats}
+        max_id = max((int(r["mx"]) for r in stats), default=-1)
         obj = cls(model, path, metric, id_col=id_col, m=m,
-                  ef_construction=ef_construction, shard_counts=shard_counts)
+                  ef_construction=ef_construction, shard_counts=shard_counts,
+                  max_committed_id=max_id)
         obj._save_meta()
         return obj
 
@@ -173,7 +190,9 @@ class ShardedHNSWIndex:
                 "id_col": self.id_col, "m": self.m,
                 "ef_construction": self.ef_construction,
                 "shard_counts": {str(k): v for k, v in self.shard_counts.items()},
+                "max_committed_id": self.max_committed_id,
             }, f)
+        self._meta_dirty = False
 
     def save(self, path: str | None = None) -> None:
         """Flush root metadata plus any dirty driver-loaded shard
@@ -188,7 +207,7 @@ class ShardedHNSWIndex:
 
     @property
     def dirty(self) -> bool:
-        return any(s.dirty for s in self._driver_shards.values())
+        return self._meta_dirty or any(s.dirty for s in self._driver_shards.values())
 
     @classmethod
     def load(cls, spark: SparkSession | None, path: str,
@@ -200,7 +219,8 @@ class ShardedHNSWIndex:
                             metric=meta["metric"])
         return cls(model, path, meta["metric"], id_col=meta["id_col"],
                    m=meta["m"], ef_construction=meta["ef_construction"],
-                   shard_counts={int(k): v for k, v in meta["shard_counts"].items()})
+                   shard_counts={int(k): v for k, v in meta["shard_counts"].items()},
+                   max_committed_id=int(meta.get("max_committed_id", -2)))
 
     # ---- serve: point (driver-side latency path) -------------------------
 
@@ -307,17 +327,53 @@ class ShardedHNSWIndex:
             serve, schema=f"{qid_col} long, {id_col} long, dist double"
         )
 
-        from pyspark.sql import Window
+        from lab_1806_vec_db_spark.operators.knn import _topk_per_query
 
-        w = Window.partitionBy(qid_col).orderBy("dist", id_col)
-        out = (
-            per_shard.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k_)
-            .drop("__rn")
-        )
-        if upper_bound is not None:
-            out = out.filter(F.col("dist") <= float(upper_bound))
-        return out
+        return _topk_per_query(per_shard, k_, id_col, upper_bound, qid_col=qid_col)
+
+    def absorb_tail(self, cand_ids: np.ndarray, cand_vecs: np.ndarray,
+                    seed: int = 43) -> int:
+        """Crash-window repair: given every table row with id above the
+        last durably committed watermark, insert exactly the ones whose
+        target shard does NOT already contain them (a crash between
+        shard flushes and the root-meta flush leaves some shards ahead
+        of the recorded counts — membership-checking prevents the
+        double-insert a count-based repair would do). Also reconciles
+        ``shard_counts`` with the loaded artifacts. Returns the number
+        of rows actually inserted."""
+        cand_ids = np.asarray(cand_ids, dtype=np.int64)
+        cand_vecs = np.asarray(cand_vecs, dtype=np.float64)
+        if cand_ids.size == 0:
+            return 0
+        labels = self.model.assign(cand_vecs)
+        miss_ids, miss_vecs = [], []
+        for sid in np.unique(labels):
+            mask = labels == sid
+            sid = int(sid)
+            if os.path.isdir(_shard_dir(self.path, sid)) or sid in self._driver_shards:
+                shard = self._driver_shard(sid)
+                present = np.isin(cand_ids[mask], shard.ids)
+                if self.shard_counts.get(sid, 0) != len(shard.ids):
+                    # artifact is ahead of the recorded count (the
+                    # crash window): trust the artifact
+                    self.shard_counts[sid] = len(shard.ids)
+                    self._meta_dirty = True
+            else:
+                present = np.zeros(int(mask.sum()), dtype=bool)
+            if (~present).any():
+                miss_ids.append(cand_ids[mask][~present])
+                miss_vecs.append(cand_vecs[mask][~present])
+        n_inserted = 0
+        if miss_ids:
+            ins_ids = np.concatenate(miss_ids)
+            self.add_batch(ins_ids, np.concatenate(miss_vecs), seed=seed)
+            n_inserted = int(ins_ids.size)
+        if cand_ids.size:
+            new_max = int(cand_ids.max())
+            if new_max > self.max_committed_id:
+                self.max_committed_id = new_max
+                self._meta_dirty = True
+        return n_inserted
 
     # ---- incremental add (W4 on the sharded tier) ------------------------
 
@@ -348,3 +404,6 @@ class ShardedHNSWIndex:
                 self._driver_shard(sid).add_batch(new_ids[mask], new_vecs[mask],
                                                   seed=seed)
             self.shard_counts[sid] = self.shard_counts.get(sid, 0) + int(mask.sum())
+        if new_ids.size:
+            self.max_committed_id = max(self.max_committed_id, int(new_ids.max()))
+            self._meta_dirty = True

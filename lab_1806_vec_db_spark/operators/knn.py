@@ -241,9 +241,13 @@ def knn_batch(
 
 
 def _topk_per_query(
-    scored: DataFrame, k: int, id_col: str, upper_bound: float | None
+    scored: DataFrame, k: int, id_col: str, upper_bound: float | None,
+    qid_col: str = "query_id",
 ) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    """The shared k-bounded per-query merge (window rank + optional
+    threshold) every batch tier funnels through — flat, PQ, IVF,
+    IVF+PQ, and sharded-HNSW all share this one contract."""
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     out = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -251,7 +255,7 @@ def _topk_per_query(
     )
     if upper_bound is not None:
         out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
-    return out.orderBy("query_id", F.col("dist").asc(), F.col(id_col).asc())
+    return out.orderBy(qid_col, F.col("dist").asc(), F.col(id_col).asc())
 
 
 def range_search(

@@ -43,4 +43,22 @@ def dedup_stream(
             raise ValueError("streaming dedup needs an event-time column for the watermark")
         out = out.withWatermark(ts_col, horizon)
         return out.dropDuplicatesWithinWatermark([key_col])
-    return out.dropDuplicates([key_col])
+    # batch mode: deterministic winner per key — dropDuplicates keeps an
+    # ARBITRARY row (partitioning-dependent), which breaks re-run
+    # reproducibility; rank by event time (when given) with the full
+    # row as tiebreak, the min-id shape of operators/dedup.exact_dedup
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] if ts_col is not None else []
+    atomic = [c for c, t in df.dtypes
+              if c != content_col and c != ts_col
+              and not t.startswith(("array<", "map<", "struct<"))]
+    order += [F.col(c).asc() for c in atomic]
+    w = Window.partitionBy(key_col).orderBy(*order) if order else None
+    if w is None:
+        return out.dropDuplicates([key_col])
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -159,11 +159,16 @@ def session_agg(
     to the key's partition); map-side partials don't apply to session
     merge, but state is bounded per key and watermark-evicted.
     """
-    ts = F.col(ts_col)
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
         ts = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
+    elif dt == "timestamp_ntz":
+        # keep NTZ native: session_window handles it without a tz
+        # conversion — casting to TIMESTAMP would shift wall times
+        # through the session timezone and corrupt gaps across DST
+        ts = F.col(ts_col)
     else:
-        ts = ts.cast("timestamp")
+        ts = F.col(ts_col).cast("timestamp")
     df = df.withColumn("__ts", ts)
     if watermark is not None:
         df = df.withWatermark("__ts", watermark)
@@ -199,17 +204,31 @@ def sessionize(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
-    prev_ts = F.lag(ts_col).over(w)
-    # Epoch-seconds for gap arithmetic. TIMESTAMP_NTZ can't cast to
-    # BIGINT directly, so go via TIMESTAMP; for an already-numeric
-    # column long→timestamp→long is an identity round-trip, so this
-    # one expression is type-robust. Gaps are differences, so the tz
-    # offset the NTZ→TIMESTAMP cast introduces cancels out.
-    secs = F.col(ts_col).cast("timestamp").cast("long")
-    prev_secs = prev_ts.cast("timestamp").cast("long")
+    # Epoch-seconds for gap arithmetic, type-robust AND timezone-proof:
+    # numeric columns pass through; TIMESTAMP holds an instant, so
+    # cast-to-long is exact; TIMESTAMP_NTZ is naive wall time, so
+    # derive a NAIVE epoch arithmetically (days-since-epoch·86400 +
+    # time-of-day) — routing NTZ through a TIMESTAMP cast would shift
+    # it by the session tz offset, which does NOT cancel in gap
+    # differences when a DST transition falls inside the gap.
+    dt = dict(df.dtypes).get(ts_col)
+    c = F.col(ts_col)
+    if dt in ("bigint", "int", "long", "double"):
+        secs_expr = c.cast("bigint")
+    elif dt == "timestamp_ntz":
+        secs_expr = (
+            F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("bigint") * 86400
+            + F.hour(c).cast("bigint") * 3600
+            + F.minute(c).cast("bigint") * 60
+            + F.second(c).cast("bigint")
+        )
+    else:
+        secs_expr = c.cast("timestamp").cast("long")
+    df = df.withColumn("__secs", secs_expr)
+    prev_secs = F.lag("__secs").over(w)
     new_sess = (
-        F.when(prev_ts.isNull(), 1)
-        .when(secs - prev_secs > gap_minutes * 60, 1)
+        F.when(prev_secs.isNull(), 1)
+        .when(F.col("__secs") - prev_secs > gap_minutes * 60, 1)
         .otherwise(0)
     )
-    return df.withColumn("session_seq", F.sum(new_sess).over(w))
+    return df.withColumn("session_seq", F.sum(new_sess).over(w)).drop("__secs")

@@ -207,3 +207,51 @@ def test_batch_serve_sees_appends_and_new_shards(spark, tmp_path):
     q2 = spark.createDataFrame([(1, probe2)], "query_id long, vec array<double>")
     rows2 = idx.search_batch(q2, k=2, ef=64, n_probes=2).collect()
     assert {r["id"] for r in rows2} >= {0, 501} or any(r["id"] == 501 for r in rows2)
+
+
+def test_crash_window_recovery_no_double_insert(spark, tmp_path):
+    """Simulate the worst crash ordering: shard graphs flushed with the
+    appended rows but the root meta (counts + watermark) still stale.
+    The membership-checked absorb_tail must insert nothing, reconcile
+    counts from the artifacts, and serve each appended id exactly once."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex, _shard_dir
+
+    rng = np.random.default_rng(5)
+    n, dim = 80, 8
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "sharded_crash")
+    idx = ShardedHNSWIndex.build(df, path, n_shards=2, metric="l2sqr",
+                                 vec_col="vec", id_col="id", train_size=40)
+    new_vecs = rng.normal(size=(5, dim))
+    new_ids = np.arange(n, n + 5, dtype=np.int64)
+    idx.add_batch(new_ids, new_vecs)
+    # crash simulation: shards flushed, root meta NOT rewritten
+    for sid, shard in idx._driver_shards.items():
+        if shard.dirty:
+            shard.save(_shard_dir(idx.path, sid))
+
+    idx2 = ShardedHNSWIndex.load(None, path)
+    assert idx2.max_committed_id == n - 1  # stale watermark, as after a crash
+    cand_ids = new_ids
+    inserted = idx2.absorb_tail(cand_ids, new_vecs)
+    assert inserted == 0  # every candidate already in a flushed shard
+    assert sum(idx2.shard_counts.values()) == n + 5  # counts reconciled
+    # each appended vector is served exactly once at its own position
+    for i, q in enumerate(new_vecs):
+        ids, dists = idx2.search_np(q, k=5, ef=200, n_probes=2)
+        assert list(ids).count(n + i) == 1 and dists[list(ids).index(n + i)] == 0.0
+
+    # opposite ordering: NOTHING flushed (shards stale too) -> absorb
+    # must insert all candidates
+    idx3 = ShardedHNSWIndex.build(df, str(tmp_path / "sharded_crash2"), n_shards=2,
+                                  metric="l2sqr", vec_col="vec", id_col="id",
+                                  train_size=40)
+    idx3b = ShardedHNSWIndex.load(None, str(tmp_path / "sharded_crash2"))
+    assert idx3b.absorb_tail(new_ids, new_vecs) == 5
+    assert sum(idx3b.shard_counts.values()) == n + 5
