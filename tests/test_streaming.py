@@ -295,3 +295,23 @@ def test_streaming_topk_matches_batch_knn(spark, tmp_path):
         assert [i for i, _ in got] == [i for i, _ in expect]
         assert got[0][0] == qid and got[0][1] == 0.0  # self-hit at dist 0
         assert len(final[qid]) == k  # state stayed k-bounded
+
+
+def test_dedup_stream_batch_winner_is_deterministic(spark):
+    """Batch mode must keep the FIRST-seen (min event-time) row per
+    content key regardless of partitioning — dropDuplicates picks an
+    arbitrary row, which broke re-run reproducibility."""
+    from lab_1806_vec_db_spark.streaming.dedup_stream import dedup_stream
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (5, base + datetime.timedelta(minutes=9), "alpha"),
+        (0, base, "alpha"),
+        (3, base + datetime.timedelta(minutes=3), "beta"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    for parts in (1, 4):  # same winner under different partitionings
+        df = spark.createDataFrame(rows, schema).repartition(parts)
+        out = {r["text"]: r["doc_id"]
+               for r in dedup_stream(df, content_col="text", ts_col="ts").collect()}
+        assert out == {"alpha": 0, "beta": 3}
