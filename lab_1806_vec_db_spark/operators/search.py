@@ -1,0 +1,107 @@
+"""Full-text relevance search: BM25 top-k over a document corpus.
+
+The reference engine is vector-only (SURVEY §2.4: its read path is
+kNN / range search); lexical relevance search is a north-star
+extension — the retrieval twin of `operators/knn.py` for the text
+modality, and the standard first-stage retriever in LLM data
+pipelines (hard-negative mining, retrieval-augmented filtering,
+benchmark contamination probes by query).
+
+Plan shape (designed for the 100 TB corpus, verified in
+tests/test_plans.py):
+
+- tokenization is a map-only ``explode`` fused into the scan; the
+  document length travels WITH each token row (computed as a map-only
+  ``size(filter(split(...)))`` projection before the explode), so no
+  separate doc-length shuffle or join against the full corpus exists;
+- the query-term filter applies BEFORE the only wide shuffle, so the
+  per-(doc, term) aggregation shuffles only rows whose token is one of
+  the (few) query terms — shuffle volume is O(matching tokens), not
+  O(corpus tokens);
+- document frequencies are a ≤|terms|-row aggregate of that same
+  frame, broadcast back (BroadcastHashJoin — never a big-big join);
+- corpus stats (N, avgdl) are a 1-row aggregate cross-joined in;
+- the final top-k is ``ORDER BY score LIMIT k`` → Catalyst plans
+  TakeOrderedAndProject: per-partition bounded heaps, k-bounded driver
+  merge, no global sort.
+
+Determinism contract (driver oracle): avgdl is computed as
+exact-integer ``sum(dl)/n_docs`` (not a float running mean), scores
+are rounded half-up to 4 decimals before the ordering, and ties break
+by doc_id — identical in the DuckDB oracle
+(plans/pipeline_queries.py:text_bm25_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to the bag of query
+    ``terms`` (Robertson idf: ``ln(1 + (N - df + .5)/(df + .5))``).
+
+    Returns (id_col, score, n_terms_hit) ordered by rounded score
+    descending, id ascending.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+
+    # corpus stats from the map-only (id, dl) projection — dl is a
+    # per-document constant, so first() per doc == the projection
+    dl_frame = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl_frame.agg(
+        F.count("*").alias("n_docs"),
+        # exact integer sum, one double division — engine-portable
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    tf = (
+        base.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_frame = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_frame), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -870,3 +870,117 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(50)
     )
+
+
+# ---- full-text relevance search (BM25) -------------------------------------
+
+
+_BM25_TERMS = ("spark", "vector", "customer", "window")
+_NETOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "text_bm25_topk",
+    f"""WITH tok AS (
+  SELECT doc_id, len({_NETOKS}) AS dl, unnest({_NETOKS}) AS term
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_NETOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id AS doc_id,
+    round(sum(ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+          * tf.tf * 2.2
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) + 0.0 AS score,
+    count(*) AS n_terms_hit
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, n_terms_hit FROM sc
+ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a 4-term query (operators/search.py:bm25_topk)
+    — the lexical first-stage retriever next to the vector kNN path.
+    Plan: map-only tokenize (dl travels with the token rows, no
+    doc-length join), query-term filter BEFORE the one (doc, term)
+    shuffle, ≤|terms|-row df broadcast, 1-row stats cross-join,
+    TakeOrderedAndProject top-k."""
+    from lab_1806_vec_db_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), terms=_BM25_TERMS, k=20)
+
+
+# ---- events: ranked windows, retention, quantiles --------------------------
+
+
+@register(
+    "events_topn_per_window",
+    """WITH a AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type, count(*) AS n_events,
+    round(sum(value), 4) + 0.0 AS sum_value
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY window_start ORDER BY sum_value DESC, event_type) AS INTEGER) AS rnk
+  FROM a)
+SELECT window_start, event_type, n_events, sum_value, rnk
+FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""",
+)
+def events_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour ranked by summed value
+    (operators/events.py:topn_per_window): the rollup's one keyed
+    shuffle + a rank window over per-window key rows (one row per
+    (window, type), never per event). Rank uses the ROUNDED sum with
+    the type as tiebreak — deterministic across engines."""
+    from lab_1806_vec_db_spark.operators.events import topn_per_window
+
+    return topn_per_window(_events(spark, sf_dir), n=3).orderBy("window_start", "rnk")
+
+
+@register(
+    "events_retention",
+    """WITH b AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id, user_id
+  FROM events)
+SELECT a.hour_id AS hour_id, count(*) AS n_users,
+  CAST(count(b2.user_id) AS BIGINT) AS n_retained,
+  round(CAST(count(b2.user_id) AS DOUBLE) / count(*), 4) + 0.0 AS retention
+FROM b a LEFT JOIN b b2
+  ON b2.hour_id = a.hour_id + 1 AND b2.user_id = a.user_id
+GROUP BY 1 ORDER BY 1""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour user retention (operators/events.py:
+    hourly_retention): distinct (epoch-hour, user) pairs → keyed
+    self-join on (hour+1, user) → per-hour rollup. Never all-pairs;
+    hour_id is integer floor division, timezone-free."""
+    from lab_1806_vec_db_spark.operators.events import hourly_retention
+
+    return hourly_retention(_events(spark, sf_dir)).orderBy("hour_id")
+
+
+@register(
+    "events_value_quantiles",
+    """SELECT event_type, count(*) AS n,
+  round(quantile_cont(value, 0.25), 4) + 0.0 AS p25,
+  round(quantile_cont(value, 0.50), 4) + 0.0 AS p50,
+  round(quantile_cont(value, 0.75), 4) + 0.0 AS p75,
+  round(quantile_cont(value, 0.95), 4) + 0.0 AS p95
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (operators/events.py:
+    value_quantiles) — PERCENTILE_CONT linear interpolation, the same
+    definition DuckDB's quantile_cont implements; one keyed shuffle
+    with a per-group sort. approx_percentile is the documented 100 TB
+    fallback when sketch error is acceptable."""
+    from lab_1806_vec_db_spark.operators.events import value_quantiles
+
+    return value_quantiles(_events(spark, sf_dir)).orderBy("event_type")

@@ -1,0 +1,130 @@
+"""BM25 full-text search and events analytics (topN / retention /
+quantiles): semantic gates on tiny hand-checkable frames plus
+plan-shape gates for the 100 TB design."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_1806_vec_db_spark.operators.events import (
+    hourly_retention,
+    topn_per_window,
+    value_quantiles,
+)
+from lab_1806_vec_db_spark.operators.search import bm25_topk
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark spark table"),
+        (1, "spark join"),
+        (2, "table join window window"),
+        (3, "filler filler filler filler filler filler"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_hand_computed(tiny_docs):
+    out = bm25_topk(tiny_docs, terms=("spark",), k=10).collect()
+    # docs 0 and 1 contain 'spark' → df=2; doc 0's tf=2 saturation
+    # still beats doc 1's shorter length
+    assert [r["doc_id"] for r in out] == [0, 1]
+    n, avgdl = 4, (3 + 2 + 4 + 6) / 4.0
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def w(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[0]["score"] == pytest.approx(round(w(2, 3), 4), abs=1e-9)
+    assert out[1]["score"] == pytest.approx(round(w(1, 2), 4), abs=1e-9)
+    assert all(r["n_terms_hit"] == 1 for r in out)
+
+
+def test_bm25_multi_term_accumulates(tiny_docs):
+    out = {r["doc_id"]: r for r in
+           bm25_topk(tiny_docs, terms=("spark", "join"), k=10).collect()}
+    assert out[1]["n_terms_hit"] == 2          # spark + join
+    assert out[0]["n_terms_hit"] == 1
+    assert 3 not in out                        # no query term → absent
+
+
+def test_bm25_plan_shape(tiny_docs):
+    plan = _plan(bm25_topk(tiny_docs, terms=("spark",), k=5))
+    # k-bounded top-k, df/stats broadcast back — never a big-big join
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    # two hour buckets; users 1,2 in h0; users 2,3 in h1
+    h0, h1 = 3600 * 10**9, 7200 * 10**9
+    rows = [
+        (0, h0 + 1, 1, "a", 1.0),
+        (1, h0 + 2, 2, "a", 2.0),
+        (2, h0 + 3, 2, "b", 10.0),
+        (3, h1 + 1, 2, "a", 5.0),
+        (4, h1 + 2, 3, "c", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, user_id bigint, event_type string, value double"
+    )
+
+
+def test_topn_ranks_by_rounded_sum(tiny_events):
+    out = topn_per_window(tiny_events, n=1).collect()
+    by_w = {r["window_start"]: r for r in out}
+    assert len(by_w) == 2
+    first = by_w[min(by_w)]
+    assert first["event_type"] == "b" and first["sum_value"] == 10.0
+    assert first["rnk"] == 1
+
+
+def test_retention_counts(tiny_events):
+    out = {r["hour_id"]: r for r in hourly_retention(tiny_events).collect()}
+    assert out[1]["n_users"] == 2 and out[1]["n_retained"] == 1
+    assert out[1]["retention"] == 0.5
+    assert out[2]["n_users"] == 2 and out[2]["n_retained"] == 0
+
+
+def test_retention_timestamp_dtype(tiny_events):
+    ts_df = tiny_events.withColumn(
+        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+    a = sorted(map(tuple, hourly_retention(tiny_events).collect()))
+    b = sorted(map(tuple, hourly_retention(ts_df).collect()))
+    assert a == b
+
+
+def test_quantiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)], "event_type string, value double"
+    )
+    row = value_quantiles(df).collect()[0]
+    # percentile_cont over 1..5: p25=2.0, p50=3.0, p75=4.0, p95=4.8
+    assert (row["p25"], row["p50"], row["p75"], row["p95"]) == (2.0, 3.0, 4.0, 4.8)
+    assert row["n"] == 5
+
+
+def test_topn_window_partition_is_post_agg(tiny_events):
+    plan = _plan(topn_per_window(tiny_events, n=3))
+    # the rank window runs over the rollup output (one row per
+    # (window, type)), not over raw events: exactly two exchanges —
+    # the rollup shuffle and the window repartition — and the rank
+    # limit is pushed map-side (WindowGroupLimit Partial before the
+    # second exchange)
+    assert plan.count("+- Exchange") == 2
+    assert "WindowGroupLimit" in plan
