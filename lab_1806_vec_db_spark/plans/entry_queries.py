@@ -293,3 +293,4 @@ def knn_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 from lab_1806_vec_db_spark.plans import index_queries  # noqa: E402,F401
 from lab_1806_vec_db_spark.plans import pipeline_queries  # noqa: E402,F401
 from lab_1806_vec_db_spark.plans import db_queries  # noqa: E402,F401
+from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
