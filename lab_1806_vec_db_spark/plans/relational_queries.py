@@ -114,3 +114,121 @@ def tpch_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
+
+
+# ---- as-of join, grouping sets, set operations (SURVEY §2.8 categories) ----
+
+
+@register(
+    "events_asof_attribution",
+    """WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
+         max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts_sec AS ts_sec,
+       c.ts_sec AS click_ts, c.click_event_id AS click_event_id
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+ORDER BY event_id""",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touchpoint attribution: every purchase matched to the SAME
+    user's latest prior (or simultaneous) click — a true as-of join
+    (operators/asof.py, union-tag + ignore-nulls window: ONE keyed
+    shuffle, no range explosion). Oracle is DuckDB's native ASOF LEFT
+    JOIN. Clicks pre-aggregate to unique (user, second) so the match
+    is well-defined on both engines."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.asof import asof_join
+    from lab_1806_vec_db_spark.operators.events import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_sec", _epoch_seconds(ev, "ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    return asof_join(
+        p, c, key_cols=("user_id",), ts_col="ts_sec",
+        right_payload=("click_event_id",), right_ts_alias="click_ts",
+    ).orderBy("event_id")
+
+
+@register(
+    "events_rollup",
+    """SELECT event_type,
+  CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS BIGINT) AS hod,
+  count(*) AS n_events,
+  round(sum(value), 4) + 0.0 AS sum_value,
+  CAST(GROUPING(event_type, (epoch_us(ts) // 1000000 // 3600) % 24) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, (epoch_us(ts) // 1000000 // 3600) % 24)
+ORDER BY gid, event_type, hod""",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type, hour-of-day) with subtotal and
+    grand-total rows plus the GROUPING bitmask — the grouping-sets
+    category from SURVEY §2.8. One shuffle: Spark expands the grouping
+    sets map-side and aggregates all levels in a single pass."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.events import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "hod", ((_epoch_seconds(ev, "ts") / 3600).cast("bigint") % 24)
+    )
+    return (
+        ev.rollup("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("event_type", "hod", "n_events", "sum_value", "gid")
+        .orderBy("gid", "event_type", "hod")
+    )
+
+
+@register(
+    "events_user_overlap",
+    """(SELECT DISTINCT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id
+  FROM events WHERE event_type = 'click'
+ INTERSECT
+ SELECT DISTINCT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id
+  FROM events WHERE event_type = 'purchase')
+EXCEPT
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id
+  FROM events WHERE event_type = 'error'
+ORDER BY user_id, hour_id""",
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.8) at user-hour granularity: hours in
+    which a user both clicked AND purchased without a same-hour error
+    — INTERSECT then EXCEPT, each a keyed distinct aggregation (Spark
+    plans them as left-semi / left-anti hash joins over distinct
+    (user, hour) keys; user-level sets are degenerate in this corpus
+    because every synthetic user emits every event type)."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.events import _epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "hour_id", (_epoch_seconds(ev, "ts") / 3600).cast("bigint")
+    )
+
+    def uh(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id", "hour_id")
+
+    return (
+        uh("click").intersect(uh("purchase")).subtract(uh("error"))
+    ).orderBy("user_id", "hour_id")
