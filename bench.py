@@ -291,6 +291,7 @@ def run_sf_suite(spark) -> dict:
         "recall_at_10": {k_: round(v, 4) for k_, v in recalls.items()},
         "build_sec": {k_: round(v, 3) for k_, v in build_sec.items()},
         "pipeline": run_pipeline_suite(spark),
+        "relational": run_relational_suite(spark),
     }
 
 
@@ -322,6 +323,30 @@ def run_pipeline_suite(spark) -> dict:
              lambda: minhash_dedup_pairs(docs, threshold=0.7, num_hashes=16, bands=8))
     docs.unpersist()
     out["n_docs"] = n_docs
+    return out
+
+
+def run_relational_suite(spark) -> dict:
+    """Absolute wall-clock (sec, best-of-RUNS) for the relational /
+    temporal analytics suite (TPC-H-shaped joins, BM25, as-of join,
+    rollup) at SF_DIR — timings + output cardinality; the reference
+    has no comparable surface."""
+    from lab_1806_vec_db_spark.plans import relational_queries as RQ
+    from lab_1806_vec_db_spark.plans.pipeline_queries import text_bm25_topk
+
+    out: dict[str, dict[str, float]] = {}
+
+    def bench_op(name, fn):
+        t, rows = _timed(lambda: fn().collect())
+        out[name] = {"sec": round(t, 3), "rows": len(rows)}
+
+    bench_op("tpch_q1_pricing", lambda: RQ.tpch_pricing_summary(spark, SF_DIR))
+    bench_op("tpch_q3_topk", lambda: RQ.tpch_shipping_priority(spark, SF_DIR))
+    bench_op("tpch_q5_regional", lambda: RQ.tpch_regional_volume(spark, SF_DIR))
+    bench_op("bm25_topk", lambda: text_bm25_topk(spark, SF_DIR))
+    bench_op("asof_attribution",
+             lambda: RQ.events_asof_attribution(spark, SF_DIR))
+    bench_op("events_rollup", lambda: RQ.events_rollup(spark, SF_DIR))
     return out
 
 

@@ -1205,14 +1205,30 @@ class HNSWIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(path, "graph.npz"),
-            ids=self.ids,
-            vecs=self.vecs,  # stored at native precision — f64 round-trips
-            levels=self.graph.levels,
-            **{f"links{g}": arr for g, arr in enumerate(self.graph.links)},
-            **{f"counts{g}": arr for g, arr in enumerate(self.graph.counts)},
-        )
+        # vectors live in their OWN .npy so load() can mmap them:
+        # executor-side shard caches (sharded.py:_cached_graph) then
+        # page vectors on demand through the OS page cache — shared
+        # across worker processes, near-zero reload after eviction —
+        # instead of decompressing the whole matrix per cache miss.
+        # Writes go to a temp file + os.replace so a reader mapping
+        # the old inode is never torn mid-write; meta.json (written
+        # last, below) stays the durability commit point.
+        vecs_tmp = os.path.join(path, "vecs.npy.tmp")
+        with open(vecs_tmp, "wb") as f:  # file handle: np.save would
+            np.save(f, self.vecs)  # append ".npy" to a bare tmp path
+        os.replace(vecs_tmp, os.path.join(path, "vecs.npy"))
+        graph_tmp = os.path.join(path, "graph.npz.tmp")
+        with open(graph_tmp, "wb") as f:
+            # uncompressed: link/level ints decompress poorly anyway,
+            # and the zip-inflate was the dominant shard-load cost
+            np.savez(
+                f,
+                ids=self.ids,
+                levels=self.graph.levels,
+                **{f"links{g}": arr for g, arr in enumerate(self.graph.links)},
+                **{f"counts{g}": arr for g, arr in enumerate(self.graph.counts)},
+            )
+        os.replace(graph_tmp, os.path.join(path, "graph.npz"))
         with open(os.path.join(path, "meta.json"), "w") as f:
             # "n" guarantees the meta bytes change on every append
             # flush — the sharded tier's executor cache keys on this
@@ -1229,7 +1245,13 @@ class HNSWIndex:
             meta = json.load(f)
         npz = np.load(os.path.join(path, "graph.npz"), allow_pickle=True)
         ids = npz["ids"]
-        vecs = np.asarray(npz["vecs"])
+        vecs_path = os.path.join(path, "vecs.npy")
+        if os.path.exists(vecs_path):
+            # mmap: queries page in only the vectors the beam visits;
+            # the OS page cache shares them across executor workers
+            vecs = np.load(vecs_path, mmap_mode="r")
+        else:  # pre-round-6 artifact: vectors inline in the npz
+            vecs = np.asarray(npz["vecs"])
         g = _Graph(len(ids), meta["m"])
         g.levels = npz["levels"]
         g.links = [npz[f"links{i}"] for i in range(meta["n_levels"])]

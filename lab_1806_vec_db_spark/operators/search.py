@@ -105,3 +105,149 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+class TextIndex:
+    """Persisted inverted index for BM25: the postings table
+    (doc, term, tf, dl) written ``partitionBy(bucket)`` where
+    ``bucket = pmod(xxhash64(term), n_buckets)`` — so a query reads
+    ONLY its terms' bucket directories (Spark partition pruning, the
+    lexical twin of the IVF cluster layout in ``index/ivf.py``) and
+    the term equality filter pushes into the parquet scan.
+
+    Build cost: the same single (doc, term) shuffle the ad-hoc
+    ``bm25_topk`` pays once per query, paid once ever; df (per-term
+    document frequency) and the (n_docs, avgdl) stats persist beside
+    the postings. Serving reads O(postings of the query terms) bytes
+    regardless of corpus size.
+
+    Results are bit-identical to ``bm25_topk`` on the same corpus
+    (same formula, same exact-integer avgdl, same rounding and tie
+    rule) — gated in tests/test_search_events.py.
+    """
+
+    def __init__(self, path: str, n_docs: int, sum_dl: int, n_buckets: int):
+        self.path = path
+        self.n_docs = n_docs
+        self.sum_dl = sum_dl
+        self.n_buckets = n_buckets
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> "TextIndex":
+        import json
+        import os
+
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        base = docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        tf = (
+            base.groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        )
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        spark = docs.sparkSession
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        df_frame = postings.groupBy("term", "bucket").agg(
+            F.count("*").alias("df")
+        )
+        df_frame.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "df")
+        )
+        row = docs.select(
+            F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
+        ).first()
+        meta = {"n_docs": int(row["n"]), "sum_dl": int(row["s"]),
+                "n_buckets": n_buckets, "id_col": id_col}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(path, meta["n_docs"], meta["sum_dl"], n_buckets)
+
+    @classmethod
+    def load(cls, path: str) -> "TextIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(path, meta["n_docs"], meta["sum_dl"], meta["n_buckets"])
+        idx.id_col = meta["id_col"]
+        return idx
+
+    def search(
+        self,
+        spark,
+        terms: tuple[str, ...],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        import os
+
+        id_col = id_col or getattr(self, "id_col", "doc_id")
+        term_list = list(terms)
+        # bucket pruning predicate: Catalyst folds pmod(xxhash64(lit))
+        # to constants, so the scan shows PartitionFilters: bucket IN (…)
+        bucket_of = {
+            t: r["b"]
+            for t, r in zip(
+                term_list,
+                spark.createDataFrame([(t,) for t in term_list], "term string")
+                .select(F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b"))
+                .collect(),
+            )
+        }
+        buckets = sorted({int(b_) for b_ in bucket_of.values()})
+        postings = (
+            spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(term_list))
+        )
+        df_frame = (
+            spark.read.parquet(os.path.join(self.path, "df"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(term_list))
+            .select("term", "df")
+        )
+        avgdl = float(self.sum_dl) / self.n_docs
+        scored = (
+            postings.join(F.broadcast(df_frame), "term")
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(self.n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            .withColumn(
+                "w",
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .groupBy(id_col)
+            .agg(
+                (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
+                F.count("*").alias("n_terms_hit"),
+            )
+        )
+        return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

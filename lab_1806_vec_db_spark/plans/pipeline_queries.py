@@ -984,3 +984,46 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.events import value_quantiles
 
     return value_quantiles(_events(spark, sf_dir)).orderBy("event_type")
+
+
+_BM25_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, len({_NETOKS}) AS dl, unnest({_NETOKS}) AS term
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_NETOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id AS doc_id,
+    round(sum(ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+          * tf.tf * 2.2
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) + 0.0 AS score,
+    count(*) AS n_terms_hit
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, n_terms_hit FROM sc
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+@register("text_bm25_indexed", _BM25_ORACLE)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the PERSISTED inverted index (operators/search.py:
+    TextIndex): postings partitioned by term-hash bucket so the query
+    reads only its terms' directories (PartitionFilters — the lexical
+    twin of IVF cluster pruning) with the term equality pushed into
+    the scan. Build → save → LOAD from disk → search; results are
+    bit-identical to the ad-hoc text_bm25_topk, so the same oracle
+    gates both the index build and the pruned serve path."""
+    import tempfile
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    tmp = tempfile.mkdtemp(prefix="sg_textidx_")
+    TextIndex.build(_docs(spark, sf_dir), tmp, n_buckets=16)
+    idx = TextIndex.load(tmp)
+    return idx.search(spark, terms=_BM25_TERMS, k=20)

@@ -232,3 +232,38 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         uh("click").intersect(uh("purchase")).subtract(uh("error"))
     ).orderBy("user_id", "hour_id")
+
+
+@register(
+    "events_json_props",
+    """SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (the SURVEY §2.8 JSON
+    category): ``from_json`` parses the props column with an explicit
+    schema INSIDE whole-stage codegen — a typed Catalyst expression,
+    not a UDF — then a plain keyed rollup. At 100 TB the parse is
+    map-only and fuses with the scan; pin the schema (as here) rather
+    than schema_of_json sampling."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    ev = ev.withColumn("k", k)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("bigint").alias("n_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -128,3 +128,38 @@ def test_topn_window_partition_is_post_agg(tiny_events):
     # second exchange)
     assert plan.count("+- Exchange") == 2
     assert "WindowGroupLimit" in plan
+
+
+def test_text_index_matches_adhoc(spark, tiny_docs, tmp_path):
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    TextIndex.build(tiny_docs, str(tmp_path / "ti"), n_buckets=8)
+    idx = TextIndex.load(str(tmp_path / "ti"))
+    a = [tuple(r) for r in bm25_topk(tiny_docs, ("spark", "join"), k=10).collect()]
+    b = [tuple(r) for r in idx.search(spark, ("spark", "join"), k=10).collect()]
+    assert a == b
+
+
+def test_text_index_prunes_partitions(spark, sf_correct, tmp_path):
+    from lab_1806_vec_db_spark.session import read_table
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    TextIndex.build(read_table(spark, sf_correct, "documents"),
+                    str(tmp_path / "ti"), n_buckets=16)
+    idx = TextIndex.load(str(tmp_path / "ti"))
+    plan = _plan(idx.search(spark, ("spark", "vector"), k=5))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # the postings scan reads only the query terms' bucket directories
+    assert pf and "bucket" in pf[0] and (" IN " in pf[0] or "in(" in pf[0].lower())
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "term" in pushed[0]
+
+
+def test_text_index_unknown_term_absent(spark, tiny_docs, tmp_path):
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    TextIndex.build(tiny_docs, str(tmp_path / "ti"), n_buckets=8)
+    idx = TextIndex.load(str(tmp_path / "ti"))
+    out = idx.search(spark, ("spark", "zzz_not_a_term"), k=10).collect()
+    assert {r["doc_id"] for r in out} == {0, 1}
+    assert all(r["n_terms_hit"] == 1 for r in out)
