@@ -315,3 +315,52 @@ def test_dedup_stream_batch_winner_is_deterministic(spark):
         out = {r["text"]: r["doc_id"]
                for r in dedup_stream(df, content_col="text", ts_col="ts").collect()}
         assert out == {"alpha": 0, "beta": 3}
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join: a streaming event feed enriched with a
+    static dimension (broadcast per micro-batch — Spark re-plans the
+    static side under the hood) then rolled up per (window, segment).
+    The identical composition on the batch read must match row-for-row
+    — the unified-model contract the rest of the streaming suite
+    relies on, extended to joins."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=11 * i), i % 5, float(i))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "ev_src")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(rows, schema).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dim = spark.createDataFrame(
+        [(u, "vip" if u < 2 else "std") for u in range(5)],
+        "user_id long, segment string",
+    )
+
+    def pipeline(ev, **wm):
+        joined = ev.join(F.broadcast(dim), "user_id")
+        return tumbling_agg(joined, keys=("segment",), **wm)
+
+    batch_rows = sorted(tuple(r) for r in pipeline(spark.read.parquet(src)).collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        pipeline(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM enrich_test").collect()
+    )
+    assert stream_rows == batch_rows
+    assert {r[1] for r in batch_rows} == {"vip", "std"}
