@@ -267,3 +267,72 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "tpch_active_customers",
+    """SELECT c.c_mktsegment AS c_mktsegment,
+  count(*) AS n_active
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1""",
+)
+def tpch_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (SURVEY §2.8): customers with ≥1 order in 1999,
+    counted per market segment. The semi join shuffles only the
+    distinct custkeys of the filtered orders — no order payload
+    columns move, and duplicate orders never multiply customers."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.relational import _lit_ts, _ts
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o99 = o.filter(
+        (_ts(o, "o_orderdate") >= _lit_ts("1999-01-01"))
+        & (_ts(o, "o_orderdate") < _lit_ts("2000-01-01"))
+    ).select("o_custkey")
+    return (
+        c.join(o99, c.c_custkey == o99.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "tpch_dormant_customers",
+    """SELECT c.c_mktsegment AS c_mktsegment,
+  count(*) AS n_dormant
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1""",
+)
+def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (SURVEY §2.8): customers with NO order in 1999,
+    per segment — the NOT-EXISTS dual of tpch_active_customers; same
+    shuffle economics (distinct keys only)."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.relational import _lit_ts, _ts
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o99 = o.filter(
+        (_ts(o, "o_orderdate") >= _lit_ts("1999-01-01"))
+        & (_ts(o, "o_orderdate") < _lit_ts("2000-01-01"))
+    ).select("o_custkey")
+    return (
+        c.join(o99, c.c_custkey == o99.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_dormant"))
+        .orderBy("c_mktsegment")
+    )

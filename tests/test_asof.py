@@ -74,3 +74,31 @@ def test_asof_single_shuffle_plan(frames):
     # union + ONE window exchange on the key; no join operator at all
     assert plan.count("+- Exchange") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("seed", [0, 7, 21])
+def test_asof_matches_bruteforce_random(spark, seed):
+    """Randomized cross-check: asof_join == per-row brute-force max
+    over eligible right rows (keys with duplicates, ties, gaps, and
+    keys present on only one side)."""
+    import random
+
+    rng = random.Random(seed)
+    lrows = [(rng.randrange(4), rng.randrange(30), i) for i in range(60)]
+    rrows = [(rng.randrange(5), rng.randrange(30), 1000 + i) for i in range(40)]
+    # unique (k, ts) on the right — the documented well-defined regime
+    seen, runiq = set(), []
+    for k, ts, p in rrows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            runiq.append((k, ts, p))
+    left = spark.createDataFrame(lrows, "k bigint, ts bigint, lid bigint")
+    right = spark.createDataFrame(runiq, "k bigint, ts bigint, payload bigint")
+    got = {
+        r["lid"]: (r["matched_ts"], r["payload"])
+        for r in asof_join(left, right, ("k",), "ts", ("payload",)).collect()
+    }
+    for k, ts, lid in lrows:
+        elig = [(rts, p) for rk, rts, p in runiq if rk == k and rts <= ts]
+        want = max(elig) if elig else (None, None)
+        assert got[lid] == want, (seed, k, ts, lid, got[lid], want)
