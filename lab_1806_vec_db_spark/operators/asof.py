@@ -52,6 +52,15 @@ def asof_join(
     keys = list(key_cols)
     lcols = left.columns
     carry = [right_ts_alias, *right_payload]
+    clash = [c for c in carry if c in lcols]
+    if clash:
+        raise ValueError(
+            f"asof_join: carried right columns {clash} collide with left "
+            f"columns — alias them (right_ts_alias / rename the payload)"
+        )
+    missing = [c for c in (*keys, ts_col) if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join: right side lacks {missing}")
 
     lt = left.select(
         *[F.col(c) for c in lcols],

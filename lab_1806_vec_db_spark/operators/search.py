@@ -251,3 +251,42 @@ class TextIndex:
             )
         )
         return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of k-bounded ranked lists: score(d) =
+    Σ_systems 1/(c + rank_d) — the standard hybrid-search combiner
+    (lexical + semantic retrieval). Each input frame must carry
+    (id_col, rank) with rank already assigned 1..k_i by that system's
+    own deterministic ordering; inputs are top-k cuts (tiny by
+    construction), so the union + rollup here is driver-scale work no
+    matter how large the corpus that produced them. Ties on the fused
+    score break by id."""
+    tagged = None
+    for f in ranked:
+        part = f.select(F.col(id_col), F.col("rank"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = (
+        tagged.withColumn("contrib", F.lit(1.0) / (F.lit(float(c)) + F.col("rank")))
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum("contrib"), 4) + F.lit(0.0)).alias("rrf_score"),
+            F.count("*").alias("n_systems"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def with_rank(df: DataFrame, order_cols: list, id_col: str = "doc_id") -> DataFrame:
+    """Attach 1-based rank by the given ordering. Single-partition
+    window — ONLY for k-bounded frames (top-k outputs), where the
+    global sort is a handful of rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("rank", F.row_number().over(w))

@@ -1027,3 +1027,90 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TextIndex.build(_docs(spark, sf_dir), tmp, n_buckets=16)
     idx = TextIndex.load(tmp)
     return idx.search(spark, terms=_BM25_TERMS, k=20)
+
+
+_QTEXT = " ".join(_BM25_TERMS)
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""WITH tok AS (
+  SELECT doc_id, len({_NETOKS}) AS dl, unnest({_NETOKS}) AS term
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_NETOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id AS doc_id,
+    round(sum(ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+          * tf.tf * 2.2
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) + 0.0 AS score,
+    count(*) AS n_terms_hit
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+bm AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dv AS (SELECT doc_id, list_transform(range(0, 16),
+        i -> CAST(len(list_filter(toks,
+               s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 16 = i)) AS DOUBLE)) AS raw
+      FROM dt),
+de AS (SELECT doc_id, list_transform(raw,
+        x -> round(x / greatest(sqrt(list_dot_product(raw, raw)), 1e-10), 4) + 0.0) AS embedding
+      FROM dv),
+qt AS (SELECT string_split('{_QTEXT}', ' ') AS toks),
+qv AS (SELECT list_transform(range(0, 16),
+        i -> CAST(len(list_filter(toks,
+               s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 16 = i)) AS DOUBLE)) AS raw
+      FROM qt),
+qe AS (SELECT list_transform(raw,
+        x -> round(x / greatest(sqrt(list_dot_product(raw, raw)), 1e-10), 4) + 0.0) AS qemb
+      FROM qv),
+sem AS (
+  SELECT de.doc_id AS doc_id,
+    round(1 - list_dot_product(de.embedding, qe.qemb) / greatest(
+      sqrt(list_dot_product(de.embedding, de.embedding))
+      * sqrt(list_dot_product(qe.qemb, qe.qemb)), 1e-10), 4) + 0.0 AS dist
+  FROM de CROSS JOIN qe),
+sem_t AS (SELECT doc_id, dist FROM sem ORDER BY dist, doc_id LIMIT 20),
+sem_r AS (SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rank FROM sem_t),
+u AS (SELECT doc_id, rank FROM bm_r UNION ALL SELECT doc_id, rank FROM sem_r),
+f AS (SELECT doc_id, round(sum(1.0 / (60 + rank)), 4) + 0.0 AS rrf_score,
+             count(*) AS n_systems
+      FROM u GROUP BY doc_id)
+SELECT doc_id, rrf_score, n_systems FROM f
+ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) + hash-embedding cosine
+    top-20 (semantic) fused by reciprocal-rank fusion
+    (operators/search.py:rrf_fuse, score = Σ 1/(60+rank)) — the
+    standard two-tower first-stage retriever composition. Both legs
+    are k-bounded before fusion, so the fuse itself is driver-scale
+    regardless of corpus size; ranks are integers, making the whole
+    pipeline exactly SQL-reproducible."""
+    from lab_1806_vec_db_spark.operators.corpus import hashing_embeddings
+    from lab_1806_vec_db_spark.operators.search import bm25_topk, rrf_fuse, with_rank
+
+    docs = _docs(spark, sf_dir)
+    bm = with_rank(
+        bm25_topk(docs, _BM25_TERMS, k=20),
+        [F.col("score").desc(), F.col("doc_id")],
+    )
+    emb = hashing_embeddings(docs, dim=16)
+    qdf = spark.createDataFrame([(0, _QTEXT)], "doc_id bigint, text string")
+    q_vec = [float(x) for x in hashing_embeddings(qdf, dim=16).first()["embedding"]]
+    sem = with_rank(
+        knn_ops.knn(emb, q_vec, k=20, metric="cosine",
+                    vec_col="embedding", id_col="doc_id"),
+        [F.col("dist").asc(), F.col("doc_id")],
+    )
+    return rrf_fuse([bm, sem], k=10).orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )

@@ -102,3 +102,13 @@ def test_asof_matches_bruteforce_random(spark, seed):
         elig = [(rts, p) for rk, rts, p in runiq if rk == k and rts <= ts]
         want = max(elig) if elig else (None, None)
         assert got[lid] == want, (seed, k, ts, lid, got[lid], want)
+
+
+def test_asof_rejects_column_clash(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("payload", "lbl"),
+                  ("k",), "ts", ("lbl",))
+    with pytest.raises(ValueError, match="lacks"):
+        asof_join(left, right.withColumnRenamed("ts", "when"),
+                  ("k",), "ts", ("payload",))
