@@ -336,3 +336,44 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dormant"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "events_value_bands",
+    """WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 50.0),
+         ('mid', 50.0, 200.0), ('large', 200.0, 1e18))
+SELECT b.band AS band, count(*) AS n_events,
+  round(sum(e.value), 4) + 0.0 AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1 ORDER BY 1""",
+)
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range-predicate) join against a band table — the
+    interval-classification shape (SURVEY §2.8 theta joins). The band
+    side is tiny, so Spark plans a broadcast join with the BETWEEN
+    predicate evaluated stream-side — each event row tests 4 bands,
+    no shuffle of the fact table. For band tables too big to
+    broadcast, the scalable rewrite is bucketize-the-point +
+    equi-join on bucket (the LSH/IVF trick), documented in
+    docs/SCALE.md."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 50.0),
+         ("mid", 50.0, 200.0), ("large", 200.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
