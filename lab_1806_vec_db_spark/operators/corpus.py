@@ -216,3 +216,73 @@ def decontaminate(
             ).alias("ratio"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the embedding-prep step of a
+    RAG / training pipeline: each document becomes overlapping
+    ``chunk_tokens``-token windows with ``overlap`` tokens shared
+    between neighbors (stride = chunk_tokens - overlap; the final
+    window may be shorter, every token is covered).
+
+    Pure Catalyst: tokenize → ``sequence`` of window starts →
+    ``posexplode`` → ``slice`` — map-only, zero shuffle, fuses into
+    the scan at any corpus size. Output: (id, chunk_id, chunk_text,
+    n_tokens), chunk_id 0-based in document order.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out = (
+        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            id_col,
+            F.posexplode("__starts").alias("chunk_id", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__toks")) - F.col("__start"), F.lit(chunk_tokens)
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return out
+
+
+def bigram_stats(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top adjacent-token pair frequencies over the corpus — the
+    counting step of BPE-style vocabulary induction and collocation
+    mining. Map-side pair expansion (zip the token list with its own
+    tail — pure Catalyst), ONE hash-aggregate shuffle with map-side
+    partial counts, k-bounded TakeOrdered."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+    )

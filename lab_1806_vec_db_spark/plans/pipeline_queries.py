@@ -1114,3 +1114,48 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, sem], k=10).orderBy(
         F.col("rrf_score").desc(), F.col("doc_id")
     )
+
+
+@register(
+    "corpus_chunks",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+  CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens
+FROM s ORDER BY doc_id, chunk_id""",
+)
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking, 64-token windows / 16-token overlap
+    (operators/corpus.py:chunk_documents) — the embedding-prep step of
+    a RAG/training pipeline. Map-only sequence+posexplode+slice, zero
+    shuffle, fuses into the scan."""
+    from lab_1806_vec_db_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "text_bigram_freq",
+    f"""WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(toks) - 1, 0) + 1),
+    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t)
+SELECT pair, count(*) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token pairs (operators/corpus.py:bigram_stats)
+    — the BPE-merge counting step. Map-side zip-with-tail pair
+    expansion, ONE hash aggregation with map-side partials,
+    TakeOrdered cut."""
+    from lab_1806_vec_db_spark.operators.corpus import bigram_stats
+
+    return bigram_stats(_docs(spark, sf_dir), top_k=50)

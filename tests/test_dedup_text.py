@@ -330,3 +330,41 @@ def test_hashing_embeddings_invariants(spark):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
     # single-token doc -> one-hot
     assert sorted(out[2]) == [0.0] * 7 + [1.0]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from lab_1806_vec_db_spark.operators.corpus import chunk_documents
+
+    toks = [f"t{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16).orderBy("chunk_id").collect()
+    # stride 48 over 150 tokens → starts 0, 48, 96, 144
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in out] == [64, 64, 54, 6]
+    c0, c1 = out[0]["chunk_text"].split(" "), out[1]["chunk_text"].split(" ")
+    assert c0 == toks[0:64] and c1 == toks[48:112]
+    assert c0[48:] == c1[:16]          # the 16-token overlap
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(toks)        # every token appears in some chunk
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from lab_1806_vec_db_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_bigram_stats_hand_counted(spark):
+    from lab_1806_vec_db_spark.operators.corpus import bigram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id bigint, text string"
+    )
+    out = {r["pair"]: r["n"] for r in bigram_stats(df, top_k=10).collect()}
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
