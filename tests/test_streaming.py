@@ -364,3 +364,56 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     )
     assert stream_rows == batch_rows
     assert {r[1] for r in batch_rows} == {"vip", "std"}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Native stream-stream inner join with watermarks and a time-range
+    predicate: each purchase joined to the same user's clicks in the
+    preceding 30 minutes — Spark buffers both sides in state bounded
+    by the watermark + interval. Must equal the identical batch join."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    clicks = [
+        (i, base + datetime.timedelta(minutes=3 * i), i % 4) for i in range(40)
+    ]
+    purchases = [
+        (100 + i, base + datetime.timedelta(minutes=10 * i), i % 4)
+        for i in range(12)
+    ]
+    cs, ps = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cschema = "click_id long, cts timestamp, user_id long"
+    pschema = "purch_id long, pts timestamp, user_id long"
+    spark.createDataFrame(clicks, cschema).repartition(2).write.parquet(cs)
+    spark.createDataFrame(purchases, pschema).repartition(2).write.parquet(ps)
+
+    def join(c, p):
+        return p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (c.cts >= p.pts - F.expr("INTERVAL 30 MINUTES"))
+            & (c.cts <= p.pts),
+        ).select("purch_id", "click_id")
+
+    batch = sorted(
+        tuple(r) for r in join(
+            spark.read.parquet(cs), spark.read.parquet(ps)
+        ).collect()
+    )
+    assert len(batch) > 10  # the interval predicate actually matches
+
+    cstream = spark.readStream.schema(cschema).parquet(cs).withWatermark("cts", "1 hour")
+    pstream = spark.readStream.schema(pschema).parquet(ps).withWatermark("pts", "1 hour")
+    q = (
+        join(cstream, pstream)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = sorted(tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect())
+    assert stream == batch
