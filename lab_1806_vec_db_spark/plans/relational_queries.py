@@ -377,3 +377,24 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_SQL_SURFACE = """SELECT c_mktsegment,
+  count(*) AS n_customers,
+  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+  CAST(min(c_custkey) AS BIGINT) AS first_custkey
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment"""
+
+
+@register("sql_surface_segments", _SQL_SURFACE)
+def sql_surface_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY §2.8 'SQL parser'): the ONE query
+    string is executed verbatim by BOTH engines — Spark parses it with
+    its ANSI SQL parser over a registered temp view, DuckDB runs it as
+    the oracle. Dialect-portable by construction (exact-cents floor
+    arithmetic, no engine-specific functions); Catalyst plans the same
+    map-combined hash aggregate the DataFrame API would."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_SURFACE)
