@@ -286,3 +286,39 @@ def bigram_stats(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition signal — the corpus-cleaning filter
+    that catches boilerplate/spam: fraction of the document's word
+    ``n``-grams that are repeats (1 - distinct/total). Pure Catalyst
+    array expressions per row — zero shuffle, fuses into the scan.
+    Returns (id, n_grams, n_distinct, rep_ratio); docs shorter than
+    ``n`` tokens report 0 grams and ratio 0.0."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs must map
+    # to an empty gram list explicitly
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_total = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_total > 0,
+        F.round(F.lit(1.0) - n_dist.cast("double") / n_total, 4) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_total.cast("bigint").alias("n_grams"),
+        n_dist.cast("bigint").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )

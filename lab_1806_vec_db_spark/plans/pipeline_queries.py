@@ -1159,3 +1159,30 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.corpus import bigram_stats
 
     return bigram_stats(_docs(spark, sf_dir), top_k=50)
+
+
+@register(
+    "corpus_repetition",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN list_transform(
+      range(1, len(toks) - 2 + 1),
+      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+    ELSE [] END AS grams
+  FROM t)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+  CASE WHEN len(grams) > 0
+    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) + 0.0
+    ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id""",
+)
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document 3-gram repetition ratio (operators/corpus.py:
+    repetition_stats) — the boilerplate/spam screen of corpus
+    cleaning. Pure per-row Catalyst array math, zero shuffle."""
+    from lab_1806_vec_db_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=3).orderBy("doc_id")

@@ -368,3 +368,18 @@ def test_bigram_stats_hand_counted(spark):
     )
     out = {r["pair"]: r["n"] for r in bigram_stats(df, top_k=10).collect()}
     assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_repetition_stats_hand_counted(spark):
+    from lab_1806_vec_db_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),   # grams: ab a, ba b, ab a, ba b → 4 total, 2 distinct
+         (2, "x y z w"),       # 2 grams, both distinct
+         (3, "q r")],          # shorter than n → 0 grams
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_distinct"], out[1]["rep_ratio"]) == (4, 2, 0.5)
+    assert (out[2]["n_grams"], out[2]["n_distinct"], out[2]["rep_ratio"]) == (2, 2, 0.0)
+    assert (out[3]["n_grams"], out[3]["n_distinct"], out[3]["rep_ratio"]) == (0, 0, 0.0)
