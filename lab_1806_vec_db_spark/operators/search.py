@@ -145,16 +145,7 @@ class TextIndex:
         import os
 
         toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-        base = docs.select(
-            F.col(id_col),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        tf = (
-            base.groupBy(id_col, "term")
-            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-        )
+        tf = _textindex_tf(docs, text_col, id_col, n_buckets)
         tf.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(path, "postings")
         )
@@ -290,3 +281,89 @@ def with_rank(df: DataFrame, order_cols: list, id_col: str = "doc_id") -> DataFr
 
     w = Window.orderBy(*order_cols)
     return df.withColumn("rank", F.row_number().over(w))
+
+
+def _textindex_tf(docs: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int) -> DataFrame:
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return (
+        base.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+
+
+def textindex_add_documents(
+    idx: "TextIndex",
+    docs: DataFrame,
+    text_col: str = "text",
+) -> "TextIndex":
+    """O(batch) incremental append to a persisted ``TextIndex`` — the
+    lexical twin of the IVF+PQ partitioned append (`index/ivfpq.py:
+    add_batch`): new postings APPEND into their bucket directories
+    (no existing file is rewritten), per-term document frequencies
+    merge for the TOUCHED buckets only (dynamic partition overwrite —
+    untouched bucket directories are not written), and the (n_docs,
+    sum_dl) stats update in meta.json. Caller contract (as with
+    ``VecDB.batch_add``): new ids are distinct from indexed ones.
+
+    After the append, ``search`` over the index is bit-identical to
+    ``bm25_topk`` over the unioned corpus (gated in
+    tests/test_search_events.py)."""
+    import json
+    import os
+
+    id_col = getattr(idx, "id_col", "doc_id")
+    spark = docs.sparkSession
+    new_tf = _textindex_tf(docs, text_col, id_col, idx.n_buckets)
+    new_tf.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(idx.path, "postings")
+    )
+
+    delta = new_tf.groupBy("term", "bucket").agg(F.count("*").alias("df_new"))
+    touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
+    old_df = (
+        spark.read.parquet(os.path.join(idx.path, "df"))
+        .filter(F.col("bucket").isin(touched))
+    )
+    merged = (
+        old_df.join(delta, ["term", "bucket"], "full_outer")
+        .select(
+            "term", "bucket",
+            (F.coalesce(F.col("df"), F.lit(0))
+             + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # localCheckpoint: the merged frame READS the df table it is
+        # about to overwrite — materialize before the write truncates
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(idx.path, "df")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    row = docs.select(
+        F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
+    ).first()
+    idx.n_docs += int(row["n"])
+    idx.sum_dl += int(row["s"] or 0)
+    meta = {"n_docs": idx.n_docs, "sum_dl": idx.sum_dl,
+            "n_buckets": idx.n_buckets, "id_col": id_col}
+    tmp = os.path.join(idx.path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(idx.path, "meta.json"))
+    return idx
+
+
+TextIndex.add_documents = textindex_add_documents

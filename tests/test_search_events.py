@@ -163,3 +163,25 @@ def test_text_index_unknown_term_absent(spark, tiny_docs, tmp_path):
     out = idx.search(spark, ("spark", "zzz_not_a_term"), k=10).collect()
     assert {r["doc_id"] for r in out} == {0, 1}
     assert all(r["n_terms_hit"] == 1 for r in out)
+
+
+def test_text_index_incremental_append(spark, tiny_docs, tmp_path):
+    """Append parity: build on half the corpus, add_documents the
+    rest → search equals bm25_topk over the FULL corpus, and equals a
+    from-scratch index."""
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    first = tiny_docs.filter(F.col("doc_id") < 2)
+    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    TextIndex.build(first, str(tmp_path / "ti"), n_buckets=8)
+    idx = TextIndex.load(str(tmp_path / "ti"))
+    idx.add_documents(rest)
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+    assert got == want
+    # reopen sees the appended state (meta committed atomically)
+    idx2 = TextIndex.load(str(tmp_path / "ti"))
+    assert idx2.n_docs == 4
+    got2 = [tuple(r) for r in idx2.search(spark, terms, k=10).collect()]
+    assert got2 == want
