@@ -321,6 +321,10 @@ def run_pipeline_suite(spark) -> dict:
     bench_op("mix_sample", lambda: mix_sample(docs, {"src0": 75}, default_pct=30))
     bench_op("minhash_lsh_dedup",
              lambda: minhash_dedup_pairs(docs, threshold=0.7, num_hashes=16, bands=8))
+    from lab_1806_vec_db_spark.operators.corpus import chunk_documents, repetition_stats
+
+    bench_op("chunk_64_16", lambda: chunk_documents(docs, 64, 16))
+    bench_op("repetition_3gram", lambda: repetition_stats(docs, n=3))
     docs.unpersist()
     out["n_docs"] = n_docs
     return out
@@ -347,6 +351,27 @@ def run_relational_suite(spark) -> dict:
     bench_op("asof_attribution",
              lambda: RQ.events_asof_attribution(spark, SF_DIR))
     bench_op("events_rollup", lambda: RQ.events_rollup(spark, SF_DIR))
+
+    def bm25_indexed():
+        import shutil
+        import tempfile
+
+        from lab_1806_vec_db_spark.operators.search import TextIndex
+        from lab_1806_vec_db_spark.plans.pipeline_queries import _BM25_TERMS
+
+        tmp = tempfile.mkdtemp(prefix="sg_bench_ti_")
+        try:
+            TextIndex.build(read_table(spark, SF_DIR, "documents"), tmp,
+                            n_buckets=16)
+            idx = TextIndex.load(tmp)
+            t, rows = _timed(
+                lambda: idx.search(spark, _BM25_TERMS, k=20).collect()
+            )
+            out["bm25_indexed_serve"] = {"sec": round(t, 3), "rows": len(rows)}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    bm25_indexed()
     return out
 
 
