@@ -62,12 +62,23 @@ def asof_join(
     if missing:
         raise ValueError(f"asof_join: right side lacks {missing}")
 
+    # carry the whole right ROW as one struct, not per-column lasts: a
+    # NULL payload value in the matching right row must surface as
+    # NULL, not be skipped for a stale value from an older row (and
+    # per-column carries could even mix fields of different rows). The
+    # struct itself is non-null for every right row, so
+    # last(ignorenulls) always lands on the latest right ROW.
+    rstruct_type = (
+        "struct<" + ",".join(
+            [f"`{right_ts_alias}`:{dict(right.dtypes)[ts_col]}"]
+            + [f"`{c}`:{dict(right.dtypes)[c]}" for c in right_payload]
+        ) + ">"
+    )
     lt = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__rord"),
-        *[F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(right_ts_alias)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_payload],
+        F.lit(None).cast(rstruct_type).alias("__rrow"),
     )
     rord = (F.col(right_order) if right_order is not None else F.lit(0)).cast("long")
     rt = right.select(
@@ -77,10 +88,12 @@ def asof_join(
           for c in lcols if c not in keys and c != ts_col],
         F.lit(0).alias("__side"),
         rord.alias("__rord"),
-        F.col(ts_col).alias(right_ts_alias),
-        *[F.col(c) for c in right_payload],
+        F.struct(
+            F.col(ts_col).alias(right_ts_alias),
+            *[F.col(c) for c in right_payload],
+        ).cast(rstruct_type).alias("__rrow"),
     ).select(  # align column order with lt for unionByName safety
-        *lcols, "__side", "__rord", *carry
+        *lcols, "__side", "__rord", "__rrow"
     )
 
     u = lt.unionByName(rt)
@@ -89,13 +102,12 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: dict[str, Column] = {
-        c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        for c in carry
-    }
+    carried_row: Column = F.last(
+        F.when(F.col("__side") == 0, F.col("__rrow")), ignorenulls=True
+    ).over(w)
     out = u.select(
         *lcols, F.col("__side"),
-        *[carried[c].alias(c) for c in carry],
+        *[carried_row[c].alias(c) for c in carry],
     ).filter(F.col("__side") == 1)
 
     if tolerance is not None:

@@ -36,10 +36,20 @@ from pyspark.sql import functions as F
 from lab_1806_vec_db_spark.streaming.windows import tumbling_agg
 
 
+def _floor_div(col: F.Column, divisor: int) -> F.Column:
+    """True floor division on integral columns — Spark's ``div`` and
+    integer casts truncate toward zero, which disagrees with the
+    DuckDB oracles' ``//`` for negative (pre-1970) timestamps. pmod is
+    always non-negative, so (x - pmod(x, d)) / d floors exactly."""
+    d = F.lit(divisor)
+    return ((col - F.pmod(col, d)) / d).cast("bigint")
+
+
 def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
-    """Event time as epoch seconds regardless of the writer's type."""
+    """Event time as epoch seconds regardless of the writer's type
+    (floor semantics — pre-1970 nanos land in the earlier second)."""
     if dict(df.dtypes)[ts_col] == "bigint":
-        return F.expr(f"{ts_col} div 1000000000")
+        return _floor_div(F.col(ts_col), 1_000_000_000)
     # TIMESTAMP_NTZ can't cast to long directly; go via TIMESTAMP
     # (session tz is pinned UTC by session.py, so this is stable)
     return F.col(ts_col).cast("timestamp").cast("long")
@@ -84,7 +94,7 @@ def hourly_retention(
     """
     hours = (
         df.select(
-            (_epoch_seconds(df, ts_col) / 3600).cast("bigint").alias("hour_id"),
+            _floor_div(_epoch_seconds(df, ts_col), 3600).alias("hour_id"),
             F.col(user_col).alias("u"),
         )
         .distinct()
@@ -111,12 +121,21 @@ def value_quantiles(
     """Exact per-key value quantiles (linear interpolation between
     order statistics — the PERCENTILE_CONT definition both Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` implement)."""
+    def label(p: float) -> str:
+        # round, don't truncate: int(0.29*100) is 28 on IEEE doubles;
+        # keep fractional percentiles distinct (p97_5 for 0.975)
+        s = f"{p * 100:.10g}"
+        return "p" + s.replace(".", "_").replace("-", "m")
+
+    labels = [label(p) for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from probs={probs}")
     pct = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
     out = df.groupBy(key_col).agg(
         F.count("*").alias("n"),
         *[
-            (F.round(F.get(pct, i), 4) + F.lit(0.0)).alias(f"p{int(p * 100)}")
-            for i, p in enumerate(probs)
+            (F.round(F.get(pct, i), 4) + F.lit(0.0)).alias(labels[i])
+            for i in range(len(probs))
         ],
     )
     return out

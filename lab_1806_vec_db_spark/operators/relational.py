@@ -9,10 +9,13 @@ billing rollups, join-enriched provenance, per-region volume — and
 because they exercise the two join strategies the 100 TB design
 leans on:
 
-- **dimension joins broadcast**: customer/supplier/nation/region are
-  size-bounded; every plan below broadcasts them (BroadcastHashJoin,
-  gated in tests/test_search_events.py) so the fact table never
-  shuffles for a dim lookup;
+- **dimension joins broadcast when the dim is broadcast-sized**:
+  nation/region are constant-size at every SF and always broadcast;
+  customer/supplier scale linearly with SF, so their broadcast is a
+  default (right at bench scale, BroadcastHashJoin gated in
+  tests/test_relational.py) behind a ``broadcast_dims`` switch —
+  above the broadcast threshold the same plan degrades to a shuffle
+  join AQE sizes, with only the constant dims broadcast;
 - **fact-fact joins shuffle on the join key exactly once**:
   lineitem ⋈ orders co-partitions on orderkey; at cluster scale the
   same plan holds with bucketed tables (docs/SCALE.md).
@@ -50,9 +53,12 @@ def _avg4(total: Column, n: Column) -> Column:
 
 
 def _ts(df: DataFrame, col: str) -> Column:
-    """Timestamp column as a comparable TIMESTAMP regardless of dtype."""
+    """Timestamp column as a comparable TIMESTAMP regardless of dtype.
+    Nanos convert at MICROSECOND precision (not whole seconds) so
+    sub-second boundary rows classify exactly as the DuckDB oracle's
+    native TIMESTAMP comparison does."""
     if dict(df.dtypes)[col] == "bigint":
-        return F.timestamp_seconds(F.expr(f"{col} div 1000000000"))
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
     return F.col(col).cast("timestamp")
 
 
@@ -72,7 +78,10 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     return (
         lf.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            # round-to-nearest BEFORE the bigint cast: Spark's double→
+            # bigint cast truncates while DuckDB's rounds — explicit
+            # round() makes both engines agree for non-integral sums
+            F.round(F.sum("l_quantity"), 0).cast("bigint").alias("sum_qty"),
             F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
             F.sum(cents(disc)).alias("sum_disc_cents"),
             F.sum(cents(charge)).alias("sum_charge_cents"),
@@ -89,13 +98,18 @@ def shipping_priority(
     segment: str = "BUILDING",
     pivot: str = "1998-06-30",
     k: int = 10,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """TPC-H Q3 shape: top-``k`` open orders of one market segment by
     outstanding revenue. The segment-filtered customer keys broadcast
-    into the orders scan (dim join, no fact shuffle); the surviving
-    orders join lineitem on orderkey — the one fact-fact shuffle; the
-    final cut is a k-bounded TakeOrderedAndProject on the EXACT cents
-    revenue with orderkey tiebreak."""
+    into the orders scan (dim join, no fact shuffle) while customer
+    fits the broadcast threshold — it scales with SF, so
+    ``broadcast_dims=False`` demotes it to a shuffle join at extreme
+    scale; the surviving orders join lineitem on orderkey — the one
+    fact-fact shuffle; the final cut is a k-bounded
+    TakeOrderedAndProject on the EXACT cents revenue with orderkey
+    tiebreak."""
+    maybe_bc = F.broadcast if broadcast_dims else (lambda d: d)
     c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     o = orders.filter(_ts(orders, "o_orderdate") < _lit_ts(pivot)).select(
         "o_orderkey", "o_custkey",
@@ -108,7 +122,7 @@ def shipping_priority(
     )
     return (
         l.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            o.join(maybe_bc(c), o.o_custkey == c.c_custkey).select(
                 "o_orderkey", "o_date", "o_orderpriority"
             ),
             l.l_orderkey == F.col("o_orderkey"),
@@ -130,15 +144,19 @@ def regional_volume(
     region_name: str = "ASIA",
     year_start: str = "1996-01-01",
     year_end: str = "1997-01-01",
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue per nation where the supplier and the
     ordering customer share that nation, one region, one order year.
-    region ⋈ nation ⋈ customer and region ⋈ nation ⋈ supplier are
-    broadcast chains; lineitem ⋈ orders is the single fact shuffle on
-    orderkey; the supplier probe joins on (suppkey) against a
-    broadcast 100-row side carrying its nation, and the
-    customer-nation == supplier-nation constraint applies post-join
-    as a cheap filter."""
+    nation/region (25 / 5 rows at every SF) always broadcast;
+    customer and supplier broadcast only under ``broadcast_dims`` —
+    they scale linearly with SF, so above the broadcast threshold
+    (~TPC-H SF100 for customer) pass ``broadcast_dims=False`` and the
+    probe becomes a shuffle join that AQE sizes (docs/SCALE.md).
+    lineitem ⋈ orders is the single mandatory fact shuffle on
+    orderkey; the customer-nation == supplier-nation constraint
+    applies post-join as a cheap filter."""
+    maybe_bc = F.broadcast if broadcast_dims else (lambda d: d)
     nr = nation.join(
         F.broadcast(region.filter(F.col("r_name") == region_name)),
         nation.n_regionkey == region.r_regionkey,
@@ -159,8 +177,8 @@ def regional_volume(
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(maybe_bc(c), F.col("o_custkey") == c.c_custkey)
+        .join(maybe_bc(s), F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("c_nkey") == F.col("s_nkey"))
         .groupBy("n_name")
         .agg(F.sum("rev").alias("revenue_cents"))

@@ -126,11 +126,13 @@ class TextIndex:
     rule) — gated in tests/test_search_events.py.
     """
 
-    def __init__(self, path: str, n_docs: int, sum_dl: int, n_buckets: int):
+    def __init__(self, path: str, n_docs: int, sum_dl: int, n_buckets: int,
+                 id_col: str = "doc_id"):
         self.path = path
         self.n_docs = n_docs
         self.sum_dl = sum_dl
         self.n_buckets = n_buckets
+        self.id_col = id_col
 
     @classmethod
     def build(
@@ -164,18 +166,62 @@ class TextIndex:
                 "n_buckets": n_buckets, "id_col": id_col}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return cls(path, meta["n_docs"], meta["sum_dl"], n_buckets)
+        return cls(path, meta["n_docs"], meta["sum_dl"], n_buckets,
+                   id_col=id_col)
 
     @classmethod
     def load(cls, path: str) -> "TextIndex":
         import json
         import os
 
+        pending = os.path.join(path, "pending_append.json")
+        if os.path.exists(pending):
+            # a crashed add_documents left postings ahead of df/meta —
+            # rebuild both from the postings table (the ground truth)
+            cls._repair(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        idx = cls(path, meta["n_docs"], meta["sum_dl"], meta["n_buckets"])
-        idx.id_col = meta["id_col"]
-        return idx
+        return cls(path, meta["n_docs"], meta["sum_dl"], meta["n_buckets"],
+                   id_col=meta["id_col"])
+
+    @classmethod
+    def _repair(cls, path: str) -> None:
+        """Crash-window repair: df counts and (n_docs, sum_dl) are pure
+        functions of the postings table, so recompute both from it and
+        clear the pending marker. Requires an active SparkSession."""
+        import json
+        import os
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "TextIndex repair needs an active SparkSession "
+                f"(pending append marker at {path})"
+            )
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        df_frame = postings.groupBy("term", "bucket").agg(F.count("*").alias("df"))
+        df_frame = df_frame.localCheckpoint(eager=True)
+        df_frame.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "df")
+        )
+        # note: documents with zero non-empty tokens have no postings
+        # row, so a repair undercounts them in n_docs (their dl is 0,
+        # so avgdl's numerator is unaffected) — an accepted skew only
+        # for empty documents
+        stats = postings.groupBy(meta["id_col"]).agg(F.first("dl").alias("dl")).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).first()
+        meta["n_docs"] = int(stats["n"])
+        meta["sum_dl"] = int(stats["s"] or 0)
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+        os.remove(os.path.join(path, "pending_append.json"))
 
     def search(
         self,
@@ -258,6 +304,8 @@ def rrf_fuse(
     construction), so the union + rollup here is driver-scale work no
     matter how large the corpus that produced them. Ties on the fused
     score break by id."""
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked input")
     tagged = None
     for f in ranked:
         part = f.select(F.col(id_col), F.col("rank"))
@@ -320,7 +368,18 @@ def textindex_add_documents(
 
     id_col = getattr(idx, "id_col", "doc_id")
     spark = docs.sparkSession
+    # crash-window marker: if we die between the postings append and
+    # the meta commit, the next load() sees this file and rebuilds
+    # df + stats from the postings table (TextIndex._repair)
+    pending = os.path.join(idx.path, "pending_append.json")
+    with open(pending, "w") as f:
+        json.dump({"reason": "append in flight"}, f)
+
+    # materialize ONCE: the same frame feeds the postings write, the
+    # df delta, and the stats update — one tokenize pass, and no risk
+    # of lineage recomputation diverging between the three uses
     new_tf = _textindex_tf(docs, text_col, id_col, idx.n_buckets)
+    new_tf = new_tf.localCheckpoint(eager=True)
     new_tf.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(idx.path, "postings")
     )
@@ -351,11 +410,16 @@ def textindex_add_documents(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    # stats over the raw batch (not new_tf): docs with zero non-empty
+    # tokens have no postings row but MUST count in n_docs to stay
+    # bit-identical with the ad-hoc bm25_topk over the union corpus.
+    # This is a cheap map-only size(filter(split)) pass, not a second
+    # explode.
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     row = docs.select(
         F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
     ).first()
-    idx.n_docs += int(row["n"])
+    idx.n_docs += int(row["n"] or 0)
     idx.sum_dl += int(row["s"] or 0)
     meta = {"n_docs": idx.n_docs, "sum_dl": idx.sum_dl,
             "n_buckets": idx.n_buckets, "id_col": id_col}
@@ -363,6 +427,7 @@ def textindex_add_documents(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(idx.path, "meta.json"))
+    os.remove(pending)
     return idx
 
 

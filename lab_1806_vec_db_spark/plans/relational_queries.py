@@ -33,7 +33,7 @@ _CENTS_CHARGE = (
 @register(
     "tpch_pricing_summary",
     f"""SELECT l_returnflag, l_linestatus,
-  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+  CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
   CAST(sum({_CENTS_BASE}) AS BIGINT) AS sum_base_cents,
   CAST(sum({_CENTS_DISC}) AS BIGINT) AS sum_disc_cents,
   CAST(sum({_CENTS_CHARGE}) AS BIGINT) AS sum_charge_cents,
@@ -183,8 +183,10 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.events import _epoch_seconds
 
     ev = _t(spark, sf_dir, "events")
+    from lab_1806_vec_db_spark.operators.events import _floor_div
+
     ev = ev.withColumn(
-        "hod", ((_epoch_seconds(ev, "ts") / 3600).cast("bigint") % 24)
+        "hod", _floor_div(_epoch_seconds(ev, "ts"), 3600) % 24
     )
     return (
         ev.rollup("event_type", "hod")
@@ -222,8 +224,10 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.events import _epoch_seconds
 
     ev = _t(spark, sf_dir, "events")
+    from lab_1806_vec_db_spark.operators.events import _floor_div
+
     ev = ev.withColumn(
-        "hour_id", (_epoch_seconds(ev, "ts") / 3600).cast("bigint")
+        "hour_id", _floor_div(_epoch_seconds(ev, "ts"), 3600)
     )
 
     def uh(t: str) -> DataFrame:

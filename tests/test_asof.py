@@ -112,3 +112,15 @@ def test_asof_rejects_column_clash(frames):
     with pytest.raises(ValueError, match="lacks"):
         asof_join(left, right.withColumnRenamed("ts", "when"),
                   ("k",), "ts", ("payload",))
+
+
+def test_asof_null_payload_not_skipped(spark):
+    """A NULL payload in the MATCHING right row must surface as NULL —
+    not be replaced by a stale value from an older right row (DuckDB's
+    native ASOF JOIN semantics)."""
+    left = spark.createDataFrame([(1, 10, "x")], "k bigint, ts bigint, lbl string")
+    right = spark.createDataFrame(
+        [(1, 1, 10), (1, 5, None)], "k bigint, ts bigint, payload bigint"
+    )
+    row = asof_join(left, right, ("k",), "ts", ("payload",)).collect()[0]
+    assert row["matched_ts"] == 5 and row["payload"] is None

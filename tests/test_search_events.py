@@ -185,3 +185,45 @@ def test_text_index_incremental_append(spark, tiny_docs, tmp_path):
     assert idx2.n_docs == 4
     got2 = [tuple(r) for r in idx2.search(spark, terms, k=10).collect()]
     assert got2 == want
+
+
+def test_text_index_append_crash_repair(spark, tiny_docs, tmp_path):
+    """Crash simulation: postings appended but df/meta never committed
+    (the pending marker is still on disk) → load() rebuilds df and
+    stats from the postings table and search matches the full-corpus
+    ad-hoc BM25."""
+    import json
+    import os
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex, _textindex_tf
+
+    path = str(tmp_path / "ti")
+    first = tiny_docs.filter(F.col("doc_id") < 2)
+    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    TextIndex.build(first, path, n_buckets=8)
+    # mimic add_documents dying right after the postings append
+    with open(os.path.join(path, "pending_append.json"), "w") as f:
+        json.dump({"reason": "append in flight"}, f)
+    _textindex_tf(rest, "text", "doc_id", 8).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+
+    idx = TextIndex.load(path)   # triggers repair
+    assert not os.path.exists(os.path.join(path, "pending_append.json"))
+    assert idx.n_docs == 4
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+    assert got == want
+
+
+def test_quantile_labels_round_not_truncate(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], "event_type string, value double"
+    )
+    out = value_quantiles(df, probs=(0.29, 0.975))
+    assert out.columns == ["event_type", "n", "p29", "p97_5"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        value_quantiles(df, probs=(0.05, 0.05))
