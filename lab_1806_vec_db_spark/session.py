@@ -75,5 +75,16 @@ def get_spark(app_name: str = "lab_1806_vec_db_spark", cpus: int | None = None) 
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver-provided parquet tables for scale factor dir."""
+    """Read one of the driver-provided parquet tables for scale factor dir.
+
+    Defensively pins the two session confs every entry depends on —
+    the harness may hand us a session built WITHOUT our defaults
+    (the round-4 events_sessionize regression was exactly this class
+    of drift): ``nanosAsLong`` so TIMESTAMP(NANOS) columns read
+    instead of erroring, and UTC so formatted window/date strings are
+    timezone-stable against the DuckDB oracle. Both are runtime-
+    settable SQL confs; setting them per read is idempotent and free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
