@@ -1186,3 +1186,47 @@ def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir), n=3).orderBy("doc_id")
+
+
+@register(
+    "dedup_neardup_screen",
+    f"""WITH h AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> {_hash32_sql('x')}) AS hs
+  FROM documents),
+s AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM h),
+b AS (
+  SELECT doc_id, simhash, unnest(range(0, 2)) AS band_id FROM s),
+bv AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> (band_id * 16)) & 65535 AS band_val
+  FROM b),
+r AS (
+  SELECT doc_id, simhash,
+    CASE WHEN row_number() OVER (
+      PARTITION BY band_id, band_val ORDER BY doc_id) = 1
+    THEN 1 ELSE 0 END AS first_holder
+  FROM bv),
+d AS (
+  SELECT doc_id, simhash, sum(first_holder) AS n_new
+  FROM r GROUP BY doc_id, simhash)
+SELECT strftime(to_timestamp((doc_id * 60 // 600) * 600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       doc_id, simhash
+FROM d WHERE n_new = 2 ORDER BY doc_id""",
+)
+def dedup_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING SimHash near-dup screen
+    (streaming/dedup_stream.py:neardup_stream): a doc is unique iff it
+    is the first (by event time, id) holder of both 16-bit halves of
+    its SimHash (band_bits=16 — on this shared-vocabulary synthetic
+    corpus 8-bit bands collide for ~98% of docs, which is the LSH
+    sensitivity/specificity dial, not a defect). Event time is synthesized as doc_id minutes so the
+    windowing is deterministic; the same code runs on ``readStream``
+    with per-(band, value) dropDuplicatesWithinWatermark state
+    (parity gated in tests/test_streaming.py)."""
+    from lab_1806_vec_db_spark.streaming.dedup_stream import neardup_stream
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") * 60)
+    )
+    return neardup_stream(docs, ts_col="ts", band_bits=16).orderBy("doc_id")

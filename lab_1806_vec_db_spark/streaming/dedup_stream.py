@@ -62,3 +62,98 @@ def dedup_stream(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def neardup_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    horizon: str = "1 hour",
+    band_bits: int = 8,
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming NEAR-dup screen — the online form of the banded
+    SimHash path (operators/dedup.py:simhash_near_pairs): a document
+    is emitted as unique iff EVERY band of its 32-bit SimHash is
+    unseen within the horizon; sharing any band with a recent doc
+    (hamming distance < #bands) marks it a near-dup and it is
+    suppressed.
+
+    Streaming plan (two watermark-friendly stateful ops, a pipeline
+    Spark ≥3.5 supports): map-only ``simhash32`` fingerprint (no
+    aggregation — streaming-safe) → band explode → per-(band, value)
+    ``dropDuplicatesWithinWatermark`` (state = one entry per live band
+    key, evicted past the horizon) → tumbling-window count per doc →
+    keep docs whose surviving-band count equals the band total.
+    Emits (window_start, id, simhash) in append mode once the
+    watermark closes the window.
+
+    Batch twin (same columns): a doc is unique iff it is the FIRST
+    (by event time, id) holder of every one of its band values —
+    deterministic, and equal to the stream when arrivals respect
+    event-time order within the horizon.
+
+    Same-microbatch caveat: when two near-dups land in one trigger,
+    exactly one is suppressed but WHICH follows arrival order inside
+    the batch; feed order-sensitive tests one file per trigger.
+    """
+    from lab_1806_vec_db_spark.operators.dedup import simhash32
+
+    n_bands = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    sig = df.select(
+        F.col(id_col), F.col(ts_col), simhash32(F.col(text_col)).alias("simhash")
+    )
+    banded = sig.select(
+        id_col, ts_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(id_col, ts_col, "simhash", "bb.band_id", "bb.band_val")
+
+    if df.isStreaming:
+        first_bands = (
+            banded.withWatermark(ts_col, horizon)
+            .dropDuplicatesWithinWatermark(["band_id", "band_val"])
+        )
+        counted = (
+            first_bands.groupBy(
+                F.window(F.col(ts_col), window).alias("__w"),
+                F.col(id_col),
+                F.col("simhash"),
+            )
+            .agg(F.count("*").alias("__n_new"))
+        )
+        return counted.filter(F.col("__n_new") == n_bands).select(
+            F.date_format(F.col("__w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            id_col, "simhash",
+        )
+
+    # batch twin: first (ts, id) holder per band value
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band_id", "band_val").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    flagged = banded.withColumn("__rn", F.row_number().over(w))
+    per_doc = (
+        flagged.groupBy(id_col, ts_col, "simhash")
+        .agg(F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__n_new"))
+    )
+    secs = {"10 minutes": 600}.get(window, 600)
+    return per_doc.filter(F.col("__n_new") == n_bands).select(
+        F.date_format(
+            F.timestamp_seconds(
+                (F.col(ts_col).cast("long") / secs).cast("bigint") * secs
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        id_col, "simhash",
+    )

@@ -417,3 +417,62 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     stream = sorted(tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect())
     assert stream == batch
+
+
+def test_neardup_stream_suppresses_and_matches_batch(spark, tmp_path):
+    """Streaming SimHash near-dup: the near-copy of doc 0 is
+    suppressed, distinct docs survive, and the stream (one file per
+    trigger, event-time order) equals the batch twin."""
+    import datetime
+
+    from lab_1806_vec_db_spark.streaming.dedup_stream import neardup_stream
+
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+    d0 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d1 = d0 + " again"                     # near-dup of d0 (most bands equal)
+    d2 = "completely different content about distributed spark query engines and columnar execution"
+    waves = [
+        [(0, base, d0)],
+        [(1, base + datetime.timedelta(minutes=1), d1)],
+        [(2, base + datetime.timedelta(minutes=2), d2)],
+        # sentinel: pushes the watermark past the earlier windows so
+        # append mode finalizes them; its own window stays open and is
+        # excluded from the comparison
+        [(99, base + datetime.timedelta(hours=3), "sentinel flush doc xyz")],
+    ]
+    src = str(tmp_path / "nd_src")
+    schema = "doc_id long, ts timestamp, text string"
+    import os
+
+    os.makedirs(src)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch_rows = sorted(
+        tuple(r) for r in neardup_stream(spark.read.parquet(src)).collect()
+        if r["doc_id"] != 99
+    )
+    batch_ids = {r[1] for r in batch_rows}
+    assert 0 in batch_ids and 2 in batch_ids and 1 not in batch_ids
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        neardup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM neardup_test").collect()
+        if r["doc_id"] != 99
+    )
+    assert stream_rows == batch_rows
