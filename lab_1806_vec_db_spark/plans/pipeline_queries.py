@@ -1230,3 +1230,102 @@ def dedup_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.timestamp_seconds(F.col("doc_id") * 60)
     )
     return neardup_stream(docs, ts_col="ts", band_bits=16).orderBy("doc_id")
+
+
+# ---- end-to-end RAG-prep composition ---------------------------------------
+
+_CHUNK_TOKS = "list_filter(ctoks, t -> t <> '')"
+
+
+@register(
+    "corpus_rag_pipeline",
+    f"""WITH h AS (
+  SELECT doc_id, text,
+    {', '.join(f'{_hits_sql(T.LANG_STOPWORDS[lang])} AS hits_{lang}' for lang in sorted(T.LANG_STOPWORDS))}
+  FROM documents),
+s AS (
+  SELECT doc_id, text, {_LANG_CASE} AS lang_pred,
+    round((least(CAST(len({_TOKS}) AS DOUBLE)/50.0, 1.0)
+           + (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) >= 3.0
+                    AND CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) <= 10.0
+              THEN 1.0 ELSE 0.5 END)
+           + least(CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS}) * 5.0, 1.0)
+          ) / 3.0, 4) + 0.0 AS quality
+  FROM h),
+kept AS (
+  SELECT doc_id, text FROM s
+  WHERE lang_pred = 'en' AND quality >= 0.5),
+g AS (SELECT md5(text) AS chash, min(doc_id) AS cid FROM kept GROUP BY 1),
+canon AS (SELECT k.doc_id, k.text FROM kept k JOIN g ON g.cid = k.doc_id),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM canon),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM tk),
+ck AS (
+  SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+         list_slice(toks, start + 1, start + 64) AS ctoks
+  FROM st),
+cv AS (
+  SELECT doc_id, chunk_id, list_transform(range(0, 16),
+    i -> CAST(len(list_filter({_CHUNK_TOKS},
+           s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 16 = i)) AS DOUBLE)) AS raw
+  FROM ck),
+ce AS (
+  SELECT doc_id, chunk_id, list_transform(raw,
+    x -> round(x / greatest(sqrt(list_dot_product(raw, raw)), 1e-10), 4) + 0.0) AS emb
+  FROM cv),
+qt AS (SELECT string_split('{_QTEXT}', ' ') AS toks),
+qv AS (SELECT list_transform(range(0, 16),
+        i -> CAST(len(list_filter(toks,
+               s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT) % 16 = i)) AS DOUBLE)) AS raw
+      FROM qt),
+qe AS (SELECT list_transform(raw,
+        x -> round(x / greatest(sqrt(list_dot_product(raw, raw)), 1e-10), 4) + 0.0) AS qemb
+      FROM qv),
+d AS (
+  SELECT ce.doc_id AS doc_id, ce.chunk_id AS chunk_id,
+    round(1 - list_dot_product(ce.emb, qe.qemb) / greatest(
+      sqrt(list_dot_product(ce.emb, ce.emb))
+      * sqrt(list_dot_product(qe.qemb, qe.qemb)), 1e-10), 4) + 0.0 AS dist
+  FROM ce CROSS JOIN qe)
+SELECT doc_id, chunk_id, dist FROM d
+ORDER BY dist, doc_id, chunk_id LIMIT 5""",
+)
+def corpus_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RAG-prep composition in ONE declarative plan — the
+    end-to-end path a retrieval corpus takes: clean (lang + quality
+    filter, exact-dedup canonical) → sliding-window chunk (64/16) →
+    feature-hash embed each chunk → cosine top-5 chunks for the
+    query. Every stage reuses an operator with its own oracle
+    (corpus_clean, corpus_chunks, text_hash_embedding, knn_flat_*);
+    this entry gates the COMPOSITION. Plan: the cleaning filter fuses
+    into the scan, one content-hash shuffle (dedup), map-only chunk +
+    embed, TakeOrdered top-5 — no extra wide stage beyond the dedup
+    the pipeline semantically requires."""
+    from lab_1806_vec_db_spark.operators.corpus import (
+        chunk_documents,
+        clean_corpus,
+        hashing_embeddings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    canon = clean_corpus(docs, lang="en", min_quality=0.5).select("doc_id")
+    canon_docs = canon.join(docs, "doc_id").select("doc_id", "text")
+    chunks = chunk_documents(canon_docs, chunk_tokens=64, overlap=16)
+    chunks = chunks.withColumn(
+        "chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_id")
+    )
+    emb = hashing_embeddings(
+        chunks, dim=16, text_col="chunk_text", id_col="chunk_uid"
+    )
+    qdf = spark.createDataFrame([(0, _QTEXT)], "doc_id bigint, text string")
+    q_vec = [float(x) for x in hashing_embeddings(qdf, dim=16).first()["embedding"]]
+    top = knn_ops.knn(
+        emb, q_vec, k=5, metric="cosine", vec_col="embedding", id_col="chunk_uid"
+    )
+    return top.select(
+        (F.col("chunk_uid") / 10000).cast("bigint").alias("doc_id"),
+        (F.col("chunk_uid") % 10000).alias("chunk_id"),
+        "dist",
+    ).orderBy("dist", "doc_id", "chunk_id")
