@@ -1299,10 +1299,12 @@ def corpus_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-hash embed each chunk → cosine top-5 chunks for the
     query. Every stage reuses an operator with its own oracle
     (corpus_clean, corpus_chunks, text_hash_embedding, knn_flat_*);
-    this entry gates the COMPOSITION. Plan: the cleaning filter fuses
-    into the scan, one content-hash shuffle (dedup), map-only chunk +
-    embed, TakeOrdered top-5 — no extra wide stage beyond the dedup
-    the pipeline semantically requires."""
+    this entry gates the COMPOSITION. Plan (audited): the cleaning
+    filter fuses into the scan; wide stages are the dedup's
+    content-hash shuffle and the embedder's per-chunk keyed aggregate
+    (3 exchanges total, joins broadcast, final cut
+    TakeOrderedAndProject) — each one the pipeline semantically
+    requires."""
     from lab_1806_vec_db_spark.operators.corpus import (
         chunk_documents,
         clean_corpus,

@@ -383,3 +383,27 @@ def test_repetition_stats_hand_counted(spark):
     assert (out[1]["n_grams"], out[1]["n_distinct"], out[1]["rep_ratio"]) == (4, 2, 0.5)
     assert (out[2]["n_grams"], out[2]["n_distinct"], out[2]["rep_ratio"]) == (2, 2, 0.0)
     assert (out[3]["n_grams"], out[3]["n_distinct"], out[3]["rep_ratio"]) == (0, 0, 0.0)
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("chunk,overlap,n", [(8, 2, 20), (5, 0, 13), (16, 15, 40), (4, 1, 3)])
+def test_chunk_documents_invariants(spark, chunk, overlap, n):
+    """Invariants across parameter combos: chunk ids dense from 0,
+    every token covered, each chunk ≤ chunk_tokens, consecutive chunks
+    share exactly `overlap` tokens (except a short tail)."""
+    from lab_1806_vec_db_spark.operators.corpus import chunk_documents
+
+    toks = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).orderBy("chunk_id").collect()
+    stride = chunk - overlap
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    covered = []
+    for i, r in enumerate(out):
+        ct = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(ct) <= chunk and r["n_tokens"] == len(ct)
+        assert ct == toks[i * stride: i * stride + chunk]
+        covered.extend(ct)
+    assert set(covered) == set(toks)
