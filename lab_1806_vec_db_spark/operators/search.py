@@ -432,3 +432,101 @@ def textindex_add_documents(
 
 
 TextIndex.add_documents = textindex_add_documents
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qterms_col: str = "terms",
+) -> DataFrame:
+    """Batch BM25: many queries share ONE corpus pass — the lexical
+    twin of ``operators/knn.py:knn_batch``. ``queries`` carries
+    (query_id, terms array<string>).
+
+    Plan: the query set explodes to (query_id, term) rows and
+    BROADCASTS into the token stream (queries are small by contract,
+    like the vector batch's query block), so the corpus-side explode
+    is filtered to the union of all query terms before the single
+    (doc, term) shuffle; df/stats come back as broadcasts exactly as
+    in the single-query path; per-(query, doc) scores roll up in the
+    same aggregation, and the final cut is a rank window partitioned
+    by query — k-bounded rows per query out of the shuffle.
+
+    Determinism matches ``bm25_topk`` exactly (same formula, rounding,
+    (score desc, id) tie rule), so per-query results equal the
+    single-query operator's — gated in tests/test_search_events.py.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    qterms = queries.select(
+        F.col(qid_col), F.explode(F.col(qterms_col)).alias("term")
+    ).distinct()
+
+    dl_frame = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl_frame.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    # corpus tokens ⋈ broadcast query terms: keeps only matching tokens
+    # (and fans a token out to every query using it), then ONE keyed
+    # shuffle on (query, doc, term)
+    tf = (
+        base.join(F.broadcast(qterms), "term")
+        .groupBy(qid_col, id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    # df is per (term) over the whole corpus — independent of query;
+    # derive from the distinct (doc, term) pairs to avoid counting a
+    # term once per query using it
+    df_frame = (
+        tf.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_frame), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(qid_col, id_col)
+        .agg(
+            (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

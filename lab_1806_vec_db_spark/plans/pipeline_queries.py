@@ -1331,3 +1331,64 @@ def corpus_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chunk_uid") % 10000).alias("chunk_id"),
         "dist",
     ).orderBy("dist", "doc_id", "chunk_id")
+
+
+_BM25_BATCH_QUERIES = [
+    (0, ["spark", "vector"]),
+    (1, ["customer", "window", "join"]),
+    (2, ["table"]),
+]
+
+
+@register(
+    "text_bm25_batch",
+    f"""WITH q(query_id, terms) AS (VALUES
+    (0, ['spark', 'vector']),
+    (1, ['customer', 'window', 'join']),
+    (2, ['table'])),
+qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+tok AS (
+  SELECT doc_id, len({_NETOKS}) AS dl, unnest({_NETOKS}) AS term
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_NETOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT qt.query_id, tok.doc_id, tok.term,
+         count(*) AS tf, min(tok.dl) AS dl
+  FROM tok JOIN qt USING (term)
+  GROUP BY 1, 2, 3),
+dfx AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+sc AS (
+  SELECT tf.query_id AS query_id, tf.doc_id AS doc_id,
+    round(sum(ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+          * tf.tf * 2.2
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) + 0.0 AS score,
+    count(*) AS n_terms_hit
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM sc)
+SELECT query_id, doc_id, score, n_terms_hit FROM r
+WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""",
+)
+def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 — many queries, ONE corpus pass
+    (operators/search.py:bm25_topk_batch, the lexical twin of
+    knn_batch): the query-term set broadcasts into the token stream,
+    one (query, doc, term) shuffle, df derived once per term, rank
+    window partitioned by query for the per-query top-10."""
+    from lab_1806_vec_db_spark.operators.search import bm25_topk_batch
+
+    qdf = spark.createDataFrame(
+        [(int(i), terms) for i, terms in _BM25_BATCH_QUERIES],
+        "query_id int, terms array<string>",
+    )
+    return bm25_topk_batch(_docs(spark, sf_dir), qdf, k=10).orderBy(
+        "query_id", F.col("score").desc(), "doc_id"
+    )

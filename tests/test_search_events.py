@@ -227,3 +227,23 @@ def test_quantile_labels_round_not_truncate(spark):
 
     with _pytest.raises(ValueError, match="duplicate"):
         value_quantiles(df, probs=(0.05, 0.05))
+
+
+def test_bm25_batch_equals_single_query(spark, tiny_docs):
+    from lab_1806_vec_db_spark.operators.search import bm25_topk_batch
+
+    qdf = spark.createDataFrame(
+        [(0, ["spark"]), (1, ["spark", "join"]), (2, ["window", "table"])],
+        "query_id int, terms array<string>",
+    )
+    batch = bm25_topk_batch(tiny_docs, qdf, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["n_terms_hit"])
+        )
+    for qid, terms in [(0, ("spark",)), (1, ("spark", "join")), (2, ("window", "table"))]:
+        single = [(r["doc_id"], r["score"], r["n_terms_hit"])
+                  for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+        got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert got == single, qid
