@@ -402,3 +402,35 @@ def sql_surface_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined hash aggregate the DataFrame API would."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SQL_SURFACE)
+
+
+@register(
+    "events_cube",
+    """SELECT event_type,
+  CAST(user_id % 4 AS BIGINT) AS cohort,
+  count(*) AS n_events,
+  round(sum(value), 4) + 0.0 AS sum_value,
+  CAST(GROUPING(event_type, user_id % 4) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE(event_type, user_id % 4)
+ORDER BY gid, event_type, cohort""",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, user cohort): all four grouping
+    sets — detail, each one-dimension subtotal, grand total — with the
+    GROUPING bitmask, in a single-pass grouping-sets aggregation
+    (completes the §2.8 family next to events_rollup's hierarchy)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("cohort", (F.col("user_id") % 4).cast("bigint"))
+    return (
+        ev.cube("event_type", "cohort")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("event_type", "cohort", "n_events", "sum_value", "gid")
+        .orderBy("gid", "event_type", "cohort")
+    )
