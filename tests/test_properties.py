@@ -93,3 +93,34 @@ def test_pairwise_dist_matches_naive(n, seed):
     assert np.allclose(d, naive, atol=1e-8)
     dc = _pairwise_dist(x, c, "cosine")
     assert (dc >= -1e-9).all() and (dc <= 2.0 + 1e-9).all()
+
+
+@given(st.floats(min_value=0.01, max_value=1e7, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_cents_rounding_portable_python_vs_duckdb(x):
+    """The exact-cents contract (operators/relational.py:cents) relies
+    on floor(x*100 + 0.5) evaluating identically on IEEE doubles in
+    every engine; cross-check Python's C-double arithmetic against
+    DuckDB's for random prices."""
+    import duckdb
+
+    py = math.floor(x * 100 + 0.5)
+    db = duckdb.sql(
+        f"SELECT CAST(floor(CAST({x!r} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    ).fetchone()[0]
+    assert py == db
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\x00"), max_size=24))
+@settings(max_examples=100, deadline=None)
+def test_hash32_portable_python_vs_duckdb(s):
+    """The md5-prefix 32-bit hash that keys MinHash/LSH/fingerprints
+    must agree across engines for arbitrary token content."""
+    import duckdb
+    import hashlib
+
+    py = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    db = duckdb.execute(
+        "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT)", [s]
+    ).fetchone()[0]
+    assert py == db
