@@ -530,3 +530,45 @@ def bm25_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def textindex_compact(idx: "TextIndex", buckets: list[int] | None = None) -> int:
+    """Compact the small files repeated appends leave in the postings
+    bucket directories: rewrite each (given or all) bucket partition
+    as one file via dynamic partition overwrite — one bucket at a
+    time, so concurrent readers of OTHER buckets are untouched and
+    the unit of work is bounded by a single bucket's postings.
+    Returns the number of buckets rewritten. Results are unchanged
+    (pure file-layout maintenance); df/meta are not touched."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("textindex_compact needs an active SparkSession")
+    root = os.path.join(idx.path, "postings")
+    if buckets is None:
+        buckets = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("bucket=")
+        )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for b in buckets:
+            part = (
+                spark.read.parquet(root)
+                .filter(F.col("bucket") == b)
+                .localCheckpoint(eager=True)  # materialize before overwrite
+            )
+            part.coalesce(1).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(buckets)
+
+
+TextIndex.compact = textindex_compact

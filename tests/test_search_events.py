@@ -247,3 +247,29 @@ def test_bm25_batch_equals_single_query(spark, tiny_docs):
                   for r in bm25_topk(tiny_docs, terms, k=10).collect()]
         got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
         assert got == single, qid
+
+
+def test_text_index_compact_preserves_results(spark, tiny_docs, tmp_path):
+    import glob
+    import os
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    path = str(tmp_path / "ti")
+    TextIndex.build(tiny_docs.filter(F.col("doc_id") < 2), path, n_buckets=4)
+    idx = TextIndex.load(path)
+    # several appends → many small files per bucket
+    for lo, hi in [(2, 3), (3, 4)]:
+        idx.add_documents(
+            tiny_docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+    terms = ("spark", "join", "window")
+    before = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    files_before = len(glob.glob(os.path.join(path, "postings", "bucket=*", "*.parquet")))
+    n = idx.compact()
+    files_after = len(glob.glob(os.path.join(path, "postings", "bucket=*", "*.parquet")))
+    assert n >= 1 and files_after < files_before
+    after = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    assert after == before
+    # results also match the from-scratch ad-hoc computation
+    assert after == [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
