@@ -83,9 +83,12 @@ def pack_sequences(
     # explicit ROWS frame: the default RANGE frame sums duplicate
     # id_col values as peers, which breaks concatenate-in-id-order
     # semantics when ids repeat within a shard (e.g. per-file ordinals)
+    # tiebreak on (token count, text) after id: with duplicate ids the
+    # ROWS frame needs a TOTAL order or peer order (and thus offsets /
+    # seq assignment) follows partition layout — nondeterministic
     w = (
         Window.partitionBy(part_col)
-        .orderBy(id_col)
+        .orderBy(F.col(id_col).asc(), n_tok.asc(), F.col(text_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offs = docs.select(
@@ -196,24 +199,39 @@ def decontaminate(
     """
     from lab_1806_vec_db_spark.operators.dedup import word_shingles
 
+    # explode_outer: an eval doc SHORTER than n tokens has no grams
+    # but must still report (id, 0, 0, 0.0) — a silently missing row
+    # reads as "unchecked" downstream
     grams = docs.select(
         id_col,
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+        F.explode_outer(word_shingles(text_col, n)).alias("gram"),
         eval_pred.alias("_is_eval"),
     )
     if hash_join:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"), "_is_eval")
+        # keep NULL (the no-grams sentinel) NULL: xxhash64(NULL) is the
+        # SEED, which would collide with a train-side null-hash
+        grams = grams.select(
+            id_col,
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram"),
+            "_is_eval",
+        )
     train = grams.filter(~F.col("_is_eval")).select("gram").distinct()
     ev = grams.filter(F.col("_is_eval")).select(id_col, "gram")
     joined = ev.join(train.withColumn("_hit", F.lit(1)), "gram", "left")
     return (
         joined.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
+            # count(gram), not count(*): the explode_outer sentinel row
+            # of a short doc must read as ZERO grams, not one
+            F.count("gram").alias("n_grams"),
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
-                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count("*"), 4
-            ).alias("ratio"),
+            F.when(
+                F.count("gram") > 0,
+                F.round(
+                    F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                    / F.count("gram"), 4
+                ),
+            ).otherwise(F.lit(0.0)).alias("ratio"),
         )
     )
 

@@ -38,6 +38,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _nonempty_toks(text_col: str):
+    """Whitespace tokens with empties removed — THE tokenizer every
+    BM25 path shares (single definition keeps the bit-identical
+    contract between ad-hoc, indexed, and batch scoring)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def _bm25_scored(tf_with_stats: DataFrame, group_cols: list, k1: float, b: float) -> DataFrame:
+    """Shared scoring tail: input carries (tf, dl, df, n_docs, avgdl);
+    output is (group_cols..., score, n_terms_hit) with the repo-wide
+    rounding. ONE definition — the single-query, indexed, and batch
+    paths all call this, so the formula cannot drift between them."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf * F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf_with_stats.withColumn("__w", w)
+        .groupBy(*group_cols)
+        .agg(
+            (F.round(F.sum("__w"), 4) + F.lit(0.0)).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: tuple[str, ...],
@@ -53,7 +86,7 @@ def bm25_topk(
     Returns (id_col, score, n_terms_hit) ordered by rounded score
     descending, id ascending.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = _nonempty_toks(text_col)
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
@@ -76,33 +109,9 @@ def bm25_topk(
     )
     df_frame = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    scored = (
-        tf.join(F.broadcast(df_frame), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * F.col("tf")
-            * F.lit(k1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
-            F.count("*").alias("n_terms_hit"),
-        )
+    scored = _bm25_scored(
+        tf.join(F.broadcast(df_frame), "term").crossJoin(F.broadcast(stats)),
+        [id_col], k1, b,
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -146,7 +155,7 @@ class TextIndex:
         import json
         import os
 
-        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        toks = _nonempty_toks(text_col)
         tf = _textindex_tf(docs, text_col, id_col, n_buckets)
         tf.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(path, "postings")
@@ -162,7 +171,7 @@ class TextIndex:
         row = docs.select(
             F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
         ).first()
-        meta = {"n_docs": int(row["n"]), "sum_dl": int(row["s"]),
+        meta = {"n_docs": int(row["n"] or 0), "sum_dl": int(row["s"] or 0),
                 "n_buckets": n_buckets, "id_col": id_col}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -215,13 +224,33 @@ class TextIndex:
         stats = postings.groupBy(meta["id_col"]).agg(F.first("dl").alias("dl")).agg(
             F.count("*").alias("n"), F.sum("dl").alias("s")
         ).first()
-        meta["n_docs"] = int(stats["n"])
+        meta["n_docs"] = int(stats["n"] or 0)
         meta["sum_dl"] = int(stats["s"] or 0)
         tmp = os.path.join(path, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(path, "meta.json"))
-        os.remove(os.path.join(path, "pending_append.json"))
+        # Decide the crashed batch's fate: the postings job commits
+        # atomically, so ONE present batch id implies the whole batch
+        # landed. If it landed, keep the id list as the ABSORBED
+        # marker — a later retry of that same batch detects it and
+        # no-ops instead of double-appending. If it never landed,
+        # drop the marker so the retry re-appends normally.
+        pending_path = os.path.join(path, "pending_append.json")
+        with open(pending_path) as f:
+            pend = json.load(f)
+        probe_ids = (pend.get("batch_ids") or [])[:20]
+        landed = bool(probe_ids) and (
+            postings.filter(
+                F.col(meta["id_col"]).isin(probe_ids)
+            ).limit(1).count() > 0
+        )
+        if landed:
+            os.replace(
+                pending_path, os.path.join(path, "absorbed_append.json")
+            )
+        else:
+            os.remove(pending_path)
 
     def search(
         self,
@@ -259,33 +288,18 @@ class TextIndex:
             .filter(F.col("term").isin(term_list))
             .select("term", "df")
         )
+        if self.n_docs == 0:
+            # empty index: no postings, no division — empty result with
+            # the contract schema
+            return spark.createDataFrame(
+                [], f"`{id_col}` bigint, score double, n_terms_hit bigint"
+            )
         avgdl = float(self.sum_dl) / self.n_docs
-        scored = (
+        scored = _bm25_scored(
             postings.join(F.broadcast(df_frame), "term")
-            .withColumn(
-                "idf",
-                F.log(
-                    F.lit(1.0)
-                    + (F.lit(self.n_docs) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ),
-            )
-            .withColumn(
-                "w",
-                F.col("idf")
-                * F.col("tf")
-                * F.lit(k1 + 1.0)
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                ),
-            )
-            .groupBy(id_col)
-            .agg(
-                (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
-                F.count("*").alias("n_terms_hit"),
-            )
+            .withColumn("n_docs", F.lit(self.n_docs))
+            .withColumn("avgdl", F.lit(avgdl)),
+            [id_col], k1, b,
         )
         return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -333,7 +347,7 @@ def with_rank(df: DataFrame, order_cols: list, id_col: str = "doc_id") -> DataFr
 
 def _textindex_tf(docs: DataFrame, text_col: str, id_col: str,
                   n_buckets: int) -> DataFrame:
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = _nonempty_toks(text_col)
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
@@ -368,12 +382,36 @@ def textindex_add_documents(
 
     id_col = getattr(idx, "id_col", "doc_id")
     spark = docs.sparkSession
-    # crash-window marker: if we die between the postings append and
-    # the meta commit, the next load() sees this file and rebuilds
-    # df + stats from the postings table (TextIndex._repair)
+    batch_ids = sorted(
+        int(r[0]) for r in docs.select(id_col).distinct().collect()
+    )
+    # crash-window marker WITH the batch's ids: if we die between the
+    # postings append and the meta commit, the next load() rebuilds
+    # df + stats from the postings table (TextIndex._repair) — and a
+    # RETRY of the same batch is detected here and becomes a no-op
+    # repair instead of a double-append (the postings job commits
+    # atomically, so after a crash the batch is either fully absent or
+    # fully present; repair handles both).
     pending = os.path.join(idx.path, "pending_append.json")
-    with open(pending, "w") as f:
-        json.dump({"reason": "append in flight"}, f)
+    absorbed = os.path.join(idx.path, "absorbed_append.json")
+    if os.path.exists(pending):
+        # a prior append crashed and was never repaired: repair now
+        # (renames the marker to absorbed_append.json) and refresh
+        TextIndex._repair(idx.path)
+        reloaded = TextIndex.load(idx.path)
+        idx.n_docs, idx.sum_dl = reloaded.n_docs, reloaded.sum_dl
+    if os.path.exists(absorbed):
+        with open(absorbed) as f:
+            prior = json.load(f)
+        if prior.get("batch_ids") == batch_ids:
+            # RETRY of the crashed-then-absorbed batch: its postings
+            # are already in (the postings job commits atomically and
+            # repair rebuilt df/meta over them) — appending again
+            # would double-count, so no-op
+            return idx
+    with open(pending + ".tmp", "w") as f:
+        json.dump({"batch_ids": batch_ids}, f)
+    os.replace(pending + ".tmp", pending)
 
     # materialize ONCE: the same frame feeds the postings write, the
     # df delta, and the stats update — one tokenize pass, and no risk
@@ -398,24 +436,21 @@ def textindex_add_documents(
              + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
         )
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # localCheckpoint: the merged frame READS the df table it is
-        # about to overwrite — materialize before the write truncates
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(idx.path, "df")
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # localCheckpoint: the merged frame READS the df table it is
+    # about to overwrite — materialize before the write truncates.
+    # The dynamic-overwrite mode is a PER-WRITE option, not a session
+    # conf mutation, so concurrent writers keep their own semantics.
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(os.path.join(idx.path, "df"))
 
     # stats over the raw batch (not new_tf): docs with zero non-empty
     # tokens have no postings row but MUST count in n_docs to stay
     # bit-identical with the ad-hoc bm25_topk over the union corpus.
     # This is a cheap map-only size(filter(split)) pass, not a second
     # explode.
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = _nonempty_toks(text_col)
     row = docs.select(
         F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
     ).first()
@@ -428,6 +463,8 @@ def textindex_add_documents(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(idx.path, "meta.json"))
     os.remove(pending)
+    if os.path.exists(absorbed):
+        os.remove(absorbed)  # a NEW batch landed — the old memory is stale
     return idx
 
 
@@ -462,7 +499,7 @@ def bm25_topk_batch(
     (score desc, id) tie rule), so per-query results equal the
     single-query operator's — gated in tests/test_search_events.py.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    toks = _nonempty_toks(text_col)
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
@@ -494,31 +531,9 @@ def bm25_topk_batch(
         .groupBy("term").agg(F.count("*").alias("df"))
     )
 
-    scored = (
-        tf.join(F.broadcast(df_frame), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "w",
-            F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy(qid_col, id_col)
-        .agg(
-            (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("score"),
-            F.count("*").alias("n_terms_hit"),
-        )
+    scored = _bm25_scored(
+        tf.join(F.broadcast(df_frame), "term").crossJoin(F.broadcast(stats)),
+        [qid_col, id_col], k1, b,
     )
     from pyspark.sql import Window
 
@@ -554,20 +569,17 @@ def textindex_compact(idx: "TextIndex", buckets: list[int] | None = None) -> int
             for d in os.listdir(root)
             if d.startswith("bucket=")
         )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for b in buckets:
-            part = (
-                spark.read.parquet(root)
-                .filter(F.col("bucket") == b)
-                .localCheckpoint(eager=True)  # materialize before overwrite
-            )
-            part.coalesce(1).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(root)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in buckets:
+        part = (
+            spark.read.parquet(root)
+            .filter(F.col("bucket") == b)
+            .localCheckpoint(eager=True)  # materialize before overwrite
+        )
+        # dynamic overwrite as a PER-WRITE option — only this bucket's
+        # partition is replaced, and no session conf is mutated
+        part.coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(root)
     return len(buckets)
 
 

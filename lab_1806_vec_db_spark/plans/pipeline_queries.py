@@ -723,13 +723,21 @@ g AS (
     i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
   FROM tok),
 train AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
-ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
-SELECT ev.doc_id AS doc_id, count(*) AS n_grams,
-  CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
-  round(CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-        / count(*), 4) + 0.0 AS ratio
-FROM ev LEFT JOIN train USING (gram)
-GROUP BY ev.doc_id ORDER BY doc_id""",
+ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0'),
+agg AS (
+  SELECT ev.doc_id AS doc_id, count(*) AS n_grams,
+    CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+    round(CAST(sum(CASE WHEN train.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          / count(*), 4) + 0.0 AS ratio
+  FROM ev LEFT JOIN train USING (gram)
+  GROUP BY ev.doc_id)
+SELECT d.doc_id AS doc_id,
+  coalesce(a.n_grams, 0) AS n_grams,
+  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+  coalesce(a.ratio, 0.0) + 0.0 AS ratio
+FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id""",
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination screen (benchmark-leakage check):

@@ -37,6 +37,11 @@ def dedup_stream(
     recurrence is treated as new — the bounded-state contract every
     unbounded ingest pipeline needs.
     """
+    if key_col in df.columns:
+        raise ValueError(
+            f"dedup_stream: input already has a '{key_col}' column — "
+            "pass a different key_col instead of silently overwriting it"
+        )
     out = df.withColumn(key_col, F.md5(F.col(content_col)))
     if out.isStreaming:
         if ts_col is None:
@@ -50,9 +55,19 @@ def dedup_stream(
     from pyspark.sql import Window
 
     order = [F.col(ts_col).asc()] if ts_col is not None else []
+    # orderable tiebreak columns: atomics AND arrays of atomics
+    # (Spark orders them lexicographically); only maps and structs —
+    # and arrays of them — are excluded, and if the tie survives those
+    # the rows are identical in every orderable column anyway
+    def _orderable(t: str) -> bool:
+        if t.startswith(("map<", "struct<")):
+            return False
+        if t.startswith("array<"):
+            return not t[len("array<"):].startswith(("map<", "struct<", "array<"))
+        return True
+
     atomic = [c for c, t in df.dtypes
-              if c != content_col and c != ts_col
-              and not t.startswith(("array<", "map<", "struct<"))]
+              if c != content_col and c != ts_col and _orderable(t)]
     order += [F.col(c).asc() for c in atomic]
     w = Window.partitionBy(key_col).orderBy(*order) if order else None
     if w is None:
@@ -100,6 +115,11 @@ def neardup_stream(
     """
     from lab_1806_vec_db_spark.operators.dedup import simhash32
 
+    if band_bits <= 0 or 32 % band_bits:
+        raise ValueError(
+            f"band_bits must divide 32 (got {band_bits}) — otherwise "
+            "high simhash bits silently never participate in a band"
+        )
     n_bands = 32 // band_bits
     mask = (1 << band_bits) - 1
     sig = df.select(
@@ -147,13 +167,11 @@ def neardup_stream(
         flagged.groupBy(id_col, ts_col, "simhash")
         .agg(F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__n_new"))
     )
-    secs = {"10 minutes": 600}.get(window, 600)
+    # the SAME F.window the streaming branch groups by — any window
+    # string stays batch/stream consistent (no hand-rolled epoch math)
     return per_doc.filter(F.col("__n_new") == n_bands).select(
         F.date_format(
-            F.timestamp_seconds(
-                (F.col(ts_col).cast("long") / secs).cast("bigint") * secs
-            ),
-            "yyyy-MM-dd HH:mm:ss",
+            F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
         ).alias("window_start"),
         id_col, "simhash",
     )

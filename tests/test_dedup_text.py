@@ -210,7 +210,10 @@ def test_decontaminate_hash_join_and_short_docs(spark):
         # first two occur in doc 2's train grams
         assert out[0]["n_grams"] == 3 and out[0]["n_hit"] == 2
         assert abs(out[0]["ratio"] - 0.6667) < 1e-9
-        assert 1 not in out  # too short: no grams, no row
+        # too short for any gram: REPORTED as clean-with-zero-grams, not
+        # silently dropped (a missing row reads as "unchecked")
+        assert out[1]["n_grams"] == 0 and out[1]["n_hit"] == 0
+        assert out[1]["ratio"] == 0.0
         assert out[4]["n_hit"] == 0 and out[4]["ratio"] == 0.0
 
 
@@ -407,3 +410,36 @@ def test_chunk_documents_invariants(spark, chunk, overlap, n):
         assert ct == toks[i * stride: i * stride + chunk]
         covered.extend(ct)
     assert set(covered) == set(toks)
+
+
+def test_decontaminate_short_eval_doc_reported(spark):
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate
+
+    df = spark.createDataFrame(
+        [(0, "a b", "src0"),                       # 2 tokens < n=3 → zero grams
+         (1, "x y z w v", "src0"),
+         (2, "x y z q r", "src1")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(df, F.col("source") == "src0", n=3).collect()}
+    assert out[0]["n_grams"] == 0 and out[0]["n_hit"] == 0 and out[0]["ratio"] == 0.0
+    assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 1  # 'x y z' leaks
+    # hash_join path agrees, including the zero-gram doc
+    out_h = {r["doc_id"]: tuple(r)[1:] for r in
+             decontaminate(df, F.col("source") == "src0", n=3, hash_join=True).collect()}
+    assert out_h == {k: tuple(v)[1:] for k, v in out.items()}
+
+
+def test_pack_sequences_duplicate_ids_deterministic(spark):
+    from lab_1806_vec_db_spark.operators.corpus import pack_sequences
+
+    rows = [(1, " ".join(["w"] * 30), "s"), (1, " ".join(["v"] * 40), "s")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    outs = set()
+    for nparts in (1, 2, 3):
+        out = tuple(sorted(
+            tuple(r) for r in pack_sequences(df.repartition(nparts), budget=35).collect()
+        ))
+        outs.add(out)
+    assert len(outs) == 1   # identical across partition layouts

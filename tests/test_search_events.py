@@ -273,3 +273,57 @@ def test_text_index_compact_preserves_results(spark, tiny_docs, tmp_path):
     assert after == before
     # results also match the from-scratch ad-hoc computation
     assert after == [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+
+
+def test_text_index_append_retry_is_idempotent(spark, tiny_docs, tmp_path):
+    """Crash then RETRY of the same batch must not double-count: the
+    pending marker records the batch ids, so the retry detects the
+    absorbed batch and no-ops instead of re-appending postings."""
+    import json
+    import os
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex, _textindex_tf
+
+    path = str(tmp_path / "ti")
+    first = tiny_docs.filter(F.col("doc_id") < 2)
+    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    TextIndex.build(first, path, n_buckets=8)
+    # simulate: append committed, marker present, meta/df never updated
+    with open(os.path.join(path, "pending_append.json"), "w") as f:
+        json.dump({"batch_ids": [2, 3]}, f)
+    _textindex_tf(rest, "text", "doc_id", 8).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+
+    idx = TextIndex.load(path)      # repair absorbs the batch
+    idx.add_documents(rest)         # the caller's RETRY — must no-op
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+    assert got == want              # no doubled tf/df/scores
+    assert idx.n_docs == 4
+
+
+def test_text_index_crash_before_postings_retry_appends(spark, tiny_docs, tmp_path):
+    """Crash BEFORE the postings job committed: repair drops the
+    marker (nothing landed) and the retry performs the real append."""
+    import json
+    import os
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    path = str(tmp_path / "ti")
+    first = tiny_docs.filter(F.col("doc_id") < 2)
+    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    TextIndex.build(first, path, n_buckets=8)
+    with open(os.path.join(path, "pending_append.json"), "w") as f:
+        json.dump({"batch_ids": [2, 3]}, f)   # marker only, no postings
+
+    idx = TextIndex.load(path)                # repair: batch never landed
+    assert idx.n_docs == 2
+    assert not os.path.exists(os.path.join(path, "absorbed_append.json"))
+    idx.add_documents(rest)                   # retry must REALLY append
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+    assert got == want and idx.n_docs == 4
