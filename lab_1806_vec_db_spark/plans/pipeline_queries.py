@@ -428,11 +428,12 @@ _FEAT_BYTE_SQL = ", ".join(
 @register(
     "multimodal_features",
     f"""SELECT doc_id AS id,
-  [CAST(length(text) AS DOUBLE),
-   floor(CAST(list_sum(list_transform(range(1, length(text)+1),
-         i -> unicode(substr(text, i, 1)))) AS DOUBLE)
-         / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000 + 0.0,
-   {_FEAT_BYTE_SQL}] AS features
+  array_to_string(list_transform(
+   [CAST(length(text) AS DOUBLE),
+    floor(CAST(list_sum(list_transform(range(1, length(text)+1),
+          i -> unicode(substr(text, i, 1)))) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000 + 0.0,
+    {_FEAT_BYTE_SQL}], x -> CAST(round(x * 10000) AS BIGINT)), ',') AS features_x1e4
 FROM documents ORDER BY id""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +464,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     media = media_table(docs, content_col="text", id_col="doc_id", media_type="text/plain")
-    return extract_features(media, decoder=decoder, feature_dim=10).orderBy("id")
+    feats = extract_features(media, decoder=decoder, feature_dim=10)
+    # Driver contract: its pandas canonicalizer cannot sort ARRAY columns
+    # (unhashable list), so project the vector to scaled-int CSV — the
+    # values are already deterministic to 4 decimals on both engines.
+    flat = F.concat_ws(
+        ",", F.transform("features", lambda x: F.round(x * 10000).cast("bigint").cast("string"))
+    )
+    return feats.select("id", flat.alias("features_x1e4")).orderBy("id")
 
 
 @register(
@@ -767,7 +775,9 @@ e AS (SELECT doc_id, list_transform(raw,
 @register(
     "text_hash_embedding",
     f"""{_HASH_EMB_SQL}
-SELECT doc_id, embedding FROM e ORDER BY doc_id""",
+SELECT doc_id, array_to_string(list_transform(embedding,
+  x -> CAST(round(x * 10000) AS BIGINT)), ',') AS embedding_x1e4
+FROM e ORDER BY doc_id""",
 )
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embeddings (operators/corpus.py:
@@ -777,7 +787,14 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream ANN/near-dup operators)."""
     from lab_1806_vec_db_spark.operators.corpus import hashing_embeddings
 
-    return hashing_embeddings(_docs(spark, sf_dir), dim=16).orderBy("doc_id")
+    emb = hashing_embeddings(_docs(spark, sf_dir), dim=16)
+    # Driver contract: ARRAY columns break the driver's pandas
+    # canonicalizer — emit the L2-normalized vector as scaled-int CSV
+    # (elements are rounded to 4 decimals on both engines already).
+    flat = F.concat_ws(
+        ",", F.transform("embedding", lambda x: F.round(x * 10000).cast("bigint").cast("string"))
+    )
+    return emb.select("doc_id", flat.alias("embedding_x1e4")).orderBy("doc_id")
 
 
 @register(
