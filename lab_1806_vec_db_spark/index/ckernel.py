@@ -267,6 +267,15 @@ static long beam_SUF(
  * Outputs: out_ids (nq x k) local node indices, -1 padded;
  *          out_d   (nq x k) distances, HUGE_VAL padded.
  */
+/* per-thread persistent search scratch (see allocation note below) */
+static __thread int *tls_visit_SUF = 0;
+static __thread pair_t *tls_cand_SUF = 0;
+static __thread pair_t *tls_res_SUF = 0;
+static __thread pair_t *tls_fin_SUF = 0;
+static __thread long tls_n_SUF = -1;
+static __thread int tls_ef_SUF = -1;
+static __thread int tls_epoch_SUF = 0;
+
 int hnsw_search_SUF(
     const VT *vecs, const VT *x2, const VT *xn,
     long n, int d, int metric,
@@ -281,21 +290,46 @@ int hnsw_search_SUF(
         for (long i = 0; i < nq * (long)k; i++) { out_ids[i] = -1; out_d[i] = HUGE_VAL; }
         return 0;
     }
-    int *visit = (int *)calloc((size_t)n, sizeof(int));
-    pair_t *cand = (pair_t *)malloc(((size_t)n + 1) * sizeof(pair_t));
-    pair_t *res = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
-    pair_t *fin = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+    /* Thread-local scratch, persistent across calls: the cand buffer
+     * is >128 KB for realistic n, which glibc malloc serves via
+     * mmap/munmap — per-call page faults dominated point-serve
+     * latency. The visited array stays valid across graphs because
+     * the epoch counter is thread-monotonic (stale entries can never
+     * equal a future epoch; overflow resets below). */
+    int *visit; pair_t *cand; pair_t *res; pair_t *fin;
+    {
+        if (tls_n_SUF < n) {
+            free(tls_visit_SUF); free(tls_cand_SUF);
+            tls_visit_SUF = (int *)calloc((size_t)n, sizeof(int));
+            tls_cand_SUF = (pair_t *)malloc(((size_t)n + 1) * sizeof(pair_t));
+            tls_n_SUF = n; tls_epoch_SUF = 0;
+        }
+        if (tls_ef_SUF < ef) {
+            free(tls_res_SUF); free(tls_fin_SUF);
+            tls_res_SUF = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+            tls_fin_SUF = (pair_t *)malloc(((size_t)ef + 2) * sizeof(pair_t));
+            tls_ef_SUF = ef;
+        }
+        visit = tls_visit_SUF; cand = tls_cand_SUF;
+        res = tls_res_SUF; fin = tls_fin_SUF;
+    }
     if (!visit || !cand || !res || !fin) {
-        free(visit); free(cand); free(res); free(fin);
+        free(tls_visit_SUF); free(tls_cand_SUF);
+        free(tls_res_SUF); free(tls_fin_SUF);
+        tls_visit_SUF = 0; tls_cand_SUF = 0; tls_res_SUF = 0; tls_fin_SUF = 0;
+        tls_n_SUF = -1; tls_ef_SUF = -1;
         return -1;
     }
-    int epoch = 0;
     for (long qi = 0; qi < nq; qi++) {
         qctx_SUF qc = { vecs, x2, xn, d, metric,
                         qs + (size_t)qi * d, (double)q2s[qi],
                         qns ? (double)qns[qi] : 0.0,
                         codes, lut ? lut + (size_t)qi * m * ksub : 0, m, ksub };
-        if (++epoch == 0x7fffffff) { memset(visit, 0, (size_t)n * sizeof(int)); epoch = 1; }
+        if (++tls_epoch_SUF == 0x7fffffff) {
+            memset(visit, 0, (size_t)tls_n_SUF * sizeof(int));
+            tls_epoch_SUF = 1;
+        }
+        int epoch = tls_epoch_SUF;
         long cur = entry;
         double cur_d = qdist_SUF(&qc, cur);
         for (int lv = max_level; lv >= 1; lv--)
@@ -317,7 +351,7 @@ int hnsw_search_SUF(
             else { oi[i] = -1; od[i] = HUGE_VAL; }
         }
     }
-    free(visit); free(cand); free(res); free(fin);
+    /* scratch is thread-local and persistent — no frees here */
     return 0;
 }
 
@@ -610,6 +644,7 @@ class SearchCtx:
             _ptr(caps, ctypes.c_int), len(links),
             int(entry), int(max_level),
         )
+        self._one: tuple | None = None  # single-query staging (lazy)
 
     def search(
         self,
@@ -641,6 +676,45 @@ class SearchCtx:
         if rc != 0:
             raise MemoryError("hnsw C kernel allocation failure")
         return out_ids, out_d
+
+    def search1(
+        self, q: np.ndarray, k: int, ef: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Single-query point-serve fast path (no ADC): the whole
+        ctypes argument tuple — including query/self-dot/output buffer
+        pointers — is assembled ONCE per (k, ef) and reused; each call
+        only copies the 1×d query into the staging buffer and fires
+        the foreign call. NOT thread-safe (per-ctx staging buffers);
+        the fork-pool serving tier gives each process its own ctx.
+        Returns views into the reused output buffers — callers must
+        consume or copy before the next call."""
+        d = q.shape[-1]
+        st = self._one
+        if st is None or st[0] != (k, ef, d):
+            qbuf = np.empty((1, d), dtype=self.dtype)
+            q2 = np.empty(1, dtype=self.dtype)
+            qn = np.empty(1, dtype=self.dtype) if self._mnum == 1 else None
+            oi = np.empty((1, k), dtype=np.int64)
+            od = np.empty((1, k), dtype=np.float64)
+            args = (
+                *self._head,
+                _ptr(qbuf, self._vt), _ptr(q2, self._vt), _ptr(qn, self._vt), 1,
+                int(k), int(ef),
+                None, None, 0, 0,
+                _ptr(oi, ctypes.c_long), _ptr(od, ctypes.c_double),
+            )
+            st = ((k, ef, d), qbuf, q2, qn, oi, od, args)
+            self._one = st
+        _, qbuf, q2, qn, oi, od, args = st
+        np.copyto(qbuf[0], q, casting="same_kind")
+        s = float(qbuf[0] @ qbuf[0])
+        q2[0] = s
+        if qn is not None:
+            qn[0] = s ** 0.5
+        rc = self._fn(*args)
+        if rc != 0:
+            raise MemoryError("hnsw C kernel allocation failure")
+        return oi[0], od[0]
 
 
 def search(

@@ -836,16 +836,34 @@ class HNSWIndex:
             vecs = np.ascontiguousarray(self.vecs)
             x2 = np.einsum("ij,ij->i", vecs, vecs)
             xn = np.sqrt(x2) if self.metric == "cosine" else None
+            # serve-precision demotion: when the f64 store holds values
+            # that are EXACTLY f32-representable (always true for data
+            # read from parquet array<float> — the reference's own
+            # storage type, scalar.rs), traverse in f32: half the
+            # memory traffic and twice the SIMD width. The final top-k
+            # distances are recomputed in f64 from the same values
+            # (_c_search), so the oracle contract is unchanged.
+            serve = vecs
+            if vecs.dtype == np.float64:
+                v32 = vecs.astype(np.float32)
+                if np.array_equal(v32.astype(np.float64), vecs):
+                    serve = np.ascontiguousarray(v32)
+            if serve is vecs:
+                s2, sn = x2, xn
+            else:
+                s2 = np.einsum("ij,ij->i", serve, serve)
+                sn = np.sqrt(s2) if self.metric == "cosine" else None
             links = [np.ascontiguousarray(l, dtype=np.int32) for l in g.links]
             counts = [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts]
             self._c_state = {
                 "vecs": vecs,
                 "x2": x2,
                 "xn": xn,
+                "serve": serve,
                 "links": links,
                 "counts": counts,
                 "ctx": ckernel.SearchCtx(
-                    vecs, x2, xn, links, counts,
+                    serve, s2, sn, links, counts,
                     g.entry, g.max_level, self.metric,
                 ),
             }
@@ -858,17 +876,41 @@ class HNSWIndex:
         contract: global ids, oracle rounding, -1/inf padding)."""
         st = self._c_views()
         ctx = st["ctx"]
+        serve_t = st["serve"].dtype
         codes = lut = None
         if adc is not None:
             codes = np.ascontiguousarray(adc.codes)
             lut = np.ascontiguousarray(
                 adc.lut_flat.reshape(qmat.shape[0], adc.m, adc.ksub),
-                dtype=st["vecs"].dtype)
+                dtype=serve_t)
         pid, pd_ = ctx.search(
-            np.ascontiguousarray(qmat, dtype=st["vecs"].dtype),
+            np.ascontiguousarray(qmat, dtype=serve_t),
             int(k), ef, codes=codes, lut=lut,
         )
-        gids = np.where(pid >= 0, self.ids[np.clip(pid, 0, None)], -1)
+        safe = np.clip(pid, 0, None)
+        valid = pid >= 0
+        gids = np.where(valid, self.ids[safe], -1)
+        if st["serve"] is not st["vecs"]:
+            # f32 traversal of an f64-exact store: recompute the final
+            # distances in f64 (same formula as beam.ExactPairDist /
+            # the DuckDB oracle) and re-sort by (dist, id) — traversal
+            # precision steers WHICH nodes reach the pool, never the
+            # reported distances
+            q64 = np.asarray(qmat, dtype=np.float64)
+            v = st["vecs"][safe]                        # (Q, k, d)
+            ip = np.einsum("qkd,qd->qk", v, q64)
+            if self.metric == "l2sqr":
+                d64 = st["x2"][safe] + np.einsum("qd,qd->q", q64, q64)[:, None] - 2.0 * ip
+                np.maximum(d64, 0.0, out=d64)
+            else:
+                qn = np.sqrt(np.einsum("qd,qd->q", q64, q64))
+                denom = np.maximum(st["xn"][safe] * qn[:, None], 1e-10)
+                d64 = 1.0 - ip / denom
+            d64 = np.where(valid, d64, np.inf)
+            big = np.iinfo(np.int64).max
+            order = np.lexsort((np.where(valid, gids, big), d64), axis=1)
+            gids = np.take_along_axis(gids, order, axis=1)
+            pd_ = np.take_along_axis(d64, order, axis=1)
         return gids, np_round_half_up(pd_)
 
     def _kernel_search(
@@ -961,6 +1003,35 @@ class HNSWIndex:
         """Single-query driver-side search (point-serve hot path).
         ``pq``: a trained PQTable → knn_pq (ADC-steered traversal +
         exact re-rank, hnsw_index.rs:672-696)."""
+        from lab_1806_vec_db_spark.index import ckernel
+
+        n = self.vecs.shape[0]
+        if pq is None and n > 0 and ckernel.available():
+            # lean path: one staged foreign call + a k-row f64
+            # finalization — the generic batch machinery costs more
+            # than the traversal itself at nq=1
+            st = self._c_views()
+            ef_ = max(int(ef) if ef is not None else 2 * k, int(k))
+            pid, pd_ = st["ctx"].search1(np.asarray(q, dtype=np.float64), int(k), ef_)
+            if pid[-1] >= 0:  # full result: no padding to mask
+                gid = self.ids[pid]
+                if st["serve"] is not st["vecs"]:
+                    # f32 traversal: recompute final dists in f64
+                    # (same formula as beam.ExactPairDist / the oracle)
+                    q64 = np.asarray(q, dtype=np.float64)
+                    v = st["vecs"][pid]
+                    ip = v @ q64
+                    if self.metric == "l2sqr":
+                        d64 = st["x2"][pid] + float(q64 @ q64) - 2.0 * ip
+                        np.maximum(d64, 0.0, out=d64)
+                    else:
+                        qn = float(q64 @ q64) ** 0.5
+                        denom = np.maximum(st["xn"][pid] * qn, 1e-10)
+                        d64 = 1.0 - ip / denom
+                    order = np.lexsort((gid, d64))
+                    return gid[order], np_round_half_up(d64[order])
+                return gid.copy(), np_round_half_up(pd_)
+            # padded result (k > reachable nodes): generic path below
         qmat = np.asarray(q, dtype=self.vecs.dtype)[None, :]
         adc = self.adc_for(pq, qmat) if pq is not None else None
         gids, dists = self._kernel_search(qmat, k, ef, adc=adc)
@@ -1204,21 +1275,29 @@ class HNSWIndex:
     # ---- persistence (S8: hnsw_index.rs:644-670 saves links w/o vectors) --
 
     def save(self, path: str) -> None:
+        import uuid
+
         os.makedirs(path, exist_ok=True)
         # vectors live in their OWN .npy so load() can mmap them:
         # executor-side shard caches (sharded.py:_cached_graph) then
         # page vectors on demand through the OS page cache — shared
         # across worker processes, near-zero reload after eviction —
         # instead of decompressing the whole matrix per cache miss.
-        # Writes go to a temp file + os.replace so a reader mapping
-        # the old inode is never torn mid-write; meta.json (written
-        # last, below) stays the durability commit point.
-        vecs_tmp = os.path.join(path, "vecs.npy.tmp")
-        with open(vecs_tmp, "wb") as f:  # file handle: np.save would
-            np.save(f, self.vecs)  # append ".npy" to a bare tmp path
-        os.replace(vecs_tmp, os.path.join(path, "vecs.npy"))
-        graph_tmp = os.path.join(path, "graph.npz.tmp")
-        with open(graph_tmp, "wb") as f:
+        #
+        # BOTH artifacts land in a fresh generation subdirectory and
+        # meta.json (replaced atomically, below) is the ONLY commit
+        # point — a reader refreshing between two independent root-file
+        # renames could otherwise pair a new vector matrix with the
+        # old graph (executor shard-cache refresh racing an append
+        # flush). Readers holding the previous generation mmapped keep
+        # their inodes alive through the cleanup unlink (POSIX).
+        gen = f"gen-{len(self.ids)}-{uuid.uuid4().hex[:8]}"
+        gen_dir = os.path.join(path, gen)
+        os.makedirs(gen_dir, exist_ok=True)
+        with open(os.path.join(gen_dir, "vecs.npy"), "wb") as f:
+            # file handle: np.save would append ".npy" to a bare path
+            np.save(f, self.vecs)
+        with open(os.path.join(gen_dir, "graph.npz"), "wb") as f:
             # uncompressed: link/level ints decompress poorly anyway,
             # and the zip-inflate was the dominant shard-load cost
             np.savez(
@@ -1228,30 +1307,71 @@ class HNSWIndex:
                 **{f"links{g}": arr for g, arr in enumerate(self.graph.links)},
                 **{f"counts{g}": arr for g, arr in enumerate(self.graph.counts)},
             )
-        os.replace(graph_tmp, os.path.join(path, "graph.npz"))
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            # "n" guarantees the meta bytes change on every append
+        meta_tmp = os.path.join(path, "meta.json.tmp")
+        with open(meta_tmp, "w") as f:
+            # "n"/"gen" guarantee the meta bytes change on every append
             # flush — the sharded tier's executor cache keys on this
             # file's content hash (sharded.py:_cached_graph)
             json.dump({"metric": self.metric, "id_col": self.id_col, "m": self.graph.M,
                        "entry": int(self.graph.entry), "max_level": int(self.graph.max_level),
                        "n_levels": len(self.graph.links), "n": int(len(self.ids)),
-                       "ef_construction": self.ef_construction}, f)
+                       "gen": gen, "ef_construction": self.ef_construction}, f)
+        os.replace(meta_tmp, os.path.join(path, "meta.json"))
+        # retire superseded generations (and any pre-generation root
+        # artifacts): unlink is safe under active readers — their open
+        # fds/mmaps pin the inodes; a reader still holding a STALE
+        # meta retries through load()'s FileNotFoundError loop
+        import shutil
+
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d.startswith("gen-") and d != gen and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif d in ("vecs.npy", "graph.npz"):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
         self.dirty = False
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: DataFrame | None = None) -> "HNSWIndex":
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
-        npz = np.load(os.path.join(path, "graph.npz"), allow_pickle=True)
-        ids = npz["ids"]
-        vecs_path = os.path.join(path, "vecs.npy")
-        if os.path.exists(vecs_path):
-            # mmap: queries page in only the vectors the beam visits;
-            # the OS page cache shares them across executor workers
-            vecs = np.load(vecs_path, mmap_mode="r")
-        else:  # pre-round-6 artifact: vectors inline in the npz
-            vecs = np.asarray(npz["vecs"])
+        import time
+
+        last_err: Exception | None = None
+        for _attempt in range(8):
+            try:
+                with open(os.path.join(path, "meta.json")) as f:
+                    meta = json.load(f)
+                # generation layout: meta names the directory holding a
+                # CONSISTENT (vecs, graph) pair; legacy artifacts keep
+                # both files at the root
+                base_dir = os.path.join(path, meta["gen"]) if meta.get("gen") else path
+                npz = np.load(os.path.join(base_dir, "graph.npz"), allow_pickle=True)
+                ids = npz["ids"]
+                vecs_path = os.path.join(base_dir, "vecs.npy")
+                if os.path.exists(vecs_path):
+                    # mmap: queries page in only the vectors the beam
+                    # visits; the OS page cache shares them across
+                    # executor workers
+                    vecs = np.load(vecs_path, mmap_mode="r")
+                else:  # pre-round-6 artifact: vectors inline in the npz
+                    vecs = np.asarray(npz["vecs"])
+                if len(ids) != len(vecs):
+                    # torn pairing can only arise from legacy layouts
+                    # (two independent renames); re-read after a beat
+                    raise FileNotFoundError(
+                        f"vecs/graph length mismatch {len(vecs)} vs {len(ids)}"
+                    )
+                break
+            except FileNotFoundError as e:
+                # raced a concurrent save(): the generation we read
+                # from meta was retired before we opened its files —
+                # re-read meta (now pointing at the new generation)
+                last_err = e
+                time.sleep(0.05)
+        else:
+            raise RuntimeError(f"HNSWIndex.load: unstable artifacts at {path}: {last_err}")
         g = _Graph(len(ids), meta["m"])
         g.levels = npz["levels"]
         g.links = [npz[f"links{i}"] for i in range(meta["n_levels"])]

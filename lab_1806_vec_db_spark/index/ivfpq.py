@@ -110,7 +110,12 @@ class IVFPQIndex:
         if path is not None:
             spark = df.sparkSession
             os.makedirs(path, exist_ok=True)
-            codes_clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            # id-sorted within each task → per-file row groups carry
+            # tight id min/max stats inside every cluster directory
+            # (zero extra shuffle; sort is per task)
+            codes_clustered.sortWithinPartitions(
+                "cluster_id", id_col
+            ).write.mode("overwrite").partitionBy("cluster_id").parquet(
                 os.path.join(path, "codes")
             )
             np.save(os.path.join(path, "centroids.npy"), model.centroids)
@@ -144,11 +149,20 @@ class IVFPQIndex:
     @staticmethod
     def _assign_encode(df: DataFrame, model: KMeansModel, pq: PQTable,
                        vec_col: str, id_col: str) -> DataFrame:
-        """Single map-only pass producing (id, code, cluster_id)."""
+        """Single map-only pass producing (id, code, vec, cluster_id).
+
+        The raw vector travels WITH its code into the cluster-partitioned
+        layout: parquet is columnar, so the ADC probe scan (which selects
+        only id+code) still reads ~m/dim·¼ of the bytes, while the exact
+        re-rank can fetch candidate vectors from the PROBED directories
+        only — instead of a full scan of the unpartitioned base table,
+        which at RAM-resident scale cost as much as the raw-IVF scan the
+        PQ stage was supposed to undercut."""
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(
             (model.centroids, model.metric, pq.codebooks, pq.groups, pq.n_bits)
         )
+        vec_t = df.schema[vec_col].dataType.simpleString()
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist
@@ -166,10 +180,11 @@ class IVFPQIndex:
                     codes[:, gi] = np.argmin(d, axis=1)
                 yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                     "code": pack_codes(codes, n_bits),
+                                    vec_col: pdf[vec_col],
                                     "cluster_id": cid.astype(np.int32)})
 
         return df.select(id_col, vec_col).mapInPandas(
-            enc, schema=f"{id_col} long, code binary, cluster_id int"
+            enc, schema=f"{id_col} long, code binary, {vec_col} {vec_t}, cluster_id int"
         )
 
     # ---- incremental append (W4 for the distributed tier) -----------------
@@ -242,6 +257,8 @@ class IVFPQIndex:
         tmp = os.path.join(self.path, "codes__compact")
         spark.read.parquet(os.path.join(self.path, "codes")).repartition(
             "cluster_id"
+        ).sortWithinPartitions(
+            "cluster_id", self.id_col
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
         import shutil
 
@@ -252,6 +269,20 @@ class IVFPQIndex:
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
 
     # ---- search -----------------------------------------------------------
+
+    def _rerank_source(self, probed: Sequence[int]) -> DataFrame:
+        """Vector source for the exact re-rank: the cluster-partitioned
+        codes table itself when it carries the vec column (partition
+        pruning → only probed directories are read; columnar pruning
+        keeps the ADC scan from ever touching these bytes), else the
+        unpartitioned base table (legacy/in-memory layouts)."""
+        if self.vec_col in self.codes_clustered.columns:
+            return (
+                self.codes_clustered
+                .filter(F.col("cluster_id").isin([int(c) for c in probed]))
+                .select(self.id_col, self.vec_col)
+            )
+        return self.base.select(self.id_col, self.vec_col)
 
     def search(
         self,
@@ -295,12 +326,21 @@ class IVFPQIndex:
         qlit = F.lit([float(x) for x in q]).cast("array<double>")
         payload = list(payload_cols) if payload_cols is not None else [id_col]
         rer = (
-            self.base.join(F.broadcast(cand), id_col)
-            .select(*payload,
+            self._rerank_source(probed).join(F.broadcast(cand), id_col)
+            .select(id_col,
                     round_dist(dist_expr(F.col(self.vec_col), qlit, metric)).alias("dist"))
             .orderBy(F.col("dist").asc(), F.col(id_col).asc())
             .limit(int(k))
         )
+        extra = [c for c in payload if c != id_col]
+        if extra:
+            # metadata attach on the k-bounded result only (Q8): the
+            # k rows broadcast INTO the base scan, never the reverse
+            rer = (
+                self.base.select(id_col, *extra).join(F.broadcast(rer), id_col)
+                .select(*payload, "dist")
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            )
         if upper_bound is not None:
             rer = rer.filter(F.col("dist") <= F.lit(float(upper_bound)))
         return rer
@@ -404,6 +444,7 @@ class IVFPQIndex:
         ksub = 1 << self.pq.n_bits
         chunk = max(4, int(max_lut_bytes) // (self.pq.m * ksub * 8))
         pieces = []
+        all_probed: set[int] = set()
         for s in range(0, len(qids), chunk):
             qmat_c = qmat[s : s + chunk]
             probes = self.model.rank_centroids_batch(qmat_c, n_probes)
@@ -411,6 +452,7 @@ class IVFPQIndex:
             for qi, row in enumerate(probes):
                 for c in row:
                     by_cluster.setdefault(int(c), []).append(qi)
+            all_probed.update(by_cluster.keys())
             lut3, sq, qn = build_lookup_batch(
                 qmat_c, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
             )
@@ -429,10 +471,12 @@ class IVFPQIndex:
             approx = approx.unionByName(p)
         cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
         # exact re-rank: the shared PQ closure (index/pq.py:make_rerank_scan)
+        # over the PROBED cluster directories only (partition-pruned vec
+        # fetch, not a full base scan — see _rerank_source)
         from lab_1806_vec_db_spark.index.pq import make_rerank_scan
 
         rer = (
-            self.base.select(id_col, self.vec_col)
+            self._rerank_source(sorted(all_probed))
             .join(F.broadcast(cand), id_col)
             .mapInPandas(
                 make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),

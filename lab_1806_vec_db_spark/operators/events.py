@@ -40,9 +40,14 @@ def _floor_div(col: F.Column, divisor: int) -> F.Column:
     """True floor division on integral columns — Spark's ``div`` and
     integer casts truncate toward zero, which disagrees with the
     DuckDB oracles' ``//`` for negative (pre-1970) timestamps. pmod is
-    always non-negative, so (x - pmod(x, d)) / d floors exactly."""
+    always non-negative, so (x - pmod(x, d)) div d floors exactly.
+    ``div`` (not ``/``): the numerator is an exact multiple of d, and
+    integral division keeps it exact for ALL bigint inputs — float
+    ``/`` holds the numerator in a double, losing low bits once it
+    passes ~2^53·d (nanosecond stamps beyond ~2116 / before ~1853
+    would floor off by one vs the oracle's exact ``//``)."""
     d = F.lit(divisor)
-    return ((col - F.pmod(col, d)) / d).cast("bigint")
+    return F.call_function("div", col - F.pmod(col, d), d)
 
 
 def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:

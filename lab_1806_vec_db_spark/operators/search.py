@@ -136,12 +136,13 @@ class TextIndex:
     """
 
     def __init__(self, path: str, n_docs: int, sum_dl: int, n_buckets: int,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", id_type: str = "bigint"):
         self.path = path
         self.n_docs = n_docs
         self.sum_dl = sum_dl
         self.n_buckets = n_buckets
         self.id_col = id_col
+        self.id_type = id_type
 
     @classmethod
     def build(
@@ -156,13 +157,17 @@ class TextIndex:
         import os
 
         toks = _nonempty_toks(text_col)
+        # materialize ONCE and derive both postings and df from the
+        # same frame — no re-read of the just-written postings, so an
+        # all-empty (zero-postings) corpus builds cleanly even though
+        # a 0-row partitioned write leaves no parquet files to infer
+        # a schema from
         tf = _textindex_tf(docs, text_col, id_col, n_buckets)
+        tf = tf.localCheckpoint(eager=True)
         tf.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(path, "postings")
         )
-        spark = docs.sparkSession
-        postings = spark.read.parquet(os.path.join(path, "postings"))
-        df_frame = postings.groupBy("term", "bucket").agg(
+        df_frame = tf.groupBy("term", "bucket").agg(
             F.count("*").alias("df")
         )
         df_frame.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -171,12 +176,14 @@ class TextIndex:
         row = docs.select(
             F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
         ).first()
+        id_type = docs.schema[id_col].dataType.simpleString()
         meta = {"n_docs": int(row["n"] or 0), "sum_dl": int(row["s"] or 0),
-                "n_buckets": n_buckets, "id_col": id_col}
+                "n_buckets": n_buckets, "id_col": id_col,
+                "id_type": id_type, "absorbed": []}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         return cls(path, meta["n_docs"], meta["sum_dl"], n_buckets,
-                   id_col=id_col)
+                   id_col=id_col, id_type=id_type)
 
     @classmethod
     def load(cls, path: str) -> "TextIndex":
@@ -186,18 +193,43 @@ class TextIndex:
         pending = os.path.join(path, "pending_append.json")
         if os.path.exists(pending):
             # a crashed add_documents left postings ahead of df/meta —
-            # rebuild both from the postings table (the ground truth)
+            # settle the crashed batch and rebuild df/meta
             cls._repair(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         return cls(path, meta["n_docs"], meta["sum_dl"], meta["n_buckets"],
-                   id_col=meta["id_col"])
+                   id_col=meta["id_col"],
+                   id_type=meta.get("id_type", "bigint"))
 
     @classmethod
     def _repair(cls, path: str) -> None:
-        """Crash-window repair: df counts and (n_docs, sum_dl) are pure
-        functions of the postings table, so recompute both from it and
-        clear the pending marker. Requires an active SparkSession."""
+        """Crash-window repair. The pending marker written by
+        ``add_documents`` carries the batch signature (count + xor of
+        per-id hashes), probe ids (ids of batch docs that HAVE ≥1
+        token — empty-text docs write no postings rows, so probing
+        them would misread a landed batch as lost), and the exact
+        pre-append / batch-delta (n_docs, sum_dl) stats. Repair:
+
+        - df counts are a pure function of the postings table →
+          recompute and rewrite them;
+        - (n_docs, sum_dl) are NOT derivable from postings (empty
+          docs have no rows there but count toward n_docs/avgdl) →
+          restore them as marker.pre (+ marker.delta when the batch
+          landed), preserving bit-identity with ``bm25_topk`` even
+          when empty documents exist;
+        - the postings job commits atomically, so ANY probe id
+          present ⇒ the whole batch landed. A batch with no probe
+          ids (all docs empty-text) appends zero postings rows, so
+          "landed" and "lost" are physically identical — treat it as
+          landed and absorb it, which keeps the retry path a no-op.
+        - a landed batch's signature is appended to the (capped)
+          ``absorbed`` log in meta.json, so a DELAYED retry — even
+          after other appends have intervened — is still detected.
+
+        Markers from older layouts (no pre/delta) fall back to
+        recomputing stats from postings (undercounts empty docs; the
+        current writer always records pre/delta).
+        Requires an active SparkSession."""
         import json
         import os
 
@@ -211,46 +243,68 @@ class TextIndex:
             )
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        postings = spark.read.parquet(os.path.join(path, "postings"))
-        df_frame = postings.groupBy("term", "bucket").agg(F.count("*").alias("df"))
-        df_frame = df_frame.localCheckpoint(eager=True)
-        df_frame.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "df")
-        )
-        # note: documents with zero non-empty tokens have no postings
-        # row, so a repair undercounts them in n_docs (their dl is 0,
-        # so avgdl's numerator is unaffected) — an accepted skew only
-        # for empty documents
-        stats = postings.groupBy(meta["id_col"]).agg(F.first("dl").alias("dl")).agg(
-            F.count("*").alias("n"), F.sum("dl").alias("s")
-        ).first()
-        meta["n_docs"] = int(stats["n"] or 0)
-        meta["sum_dl"] = int(stats["s"] or 0)
+        pending_path = os.path.join(path, "pending_append.json")
+        with open(pending_path) as f:
+            pend = json.load(f)
+
+        postings = None
+        try:
+            postings = spark.read.parquet(os.path.join(path, "postings"))
+            postings.schema  # force schema inference now
+        except Exception:
+            # no parquet files at all (index built on an all-empty
+            # corpus, crashed batch never landed): nothing to rebuild
+            postings = None
+        if postings is not None:
+            df_frame = postings.groupBy("term", "bucket").agg(
+                F.count("*").alias("df")
+            )
+            df_frame = df_frame.localCheckpoint(eager=True)
+            df_frame.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(path, "df")
+            )
+
+        if "pre" in pend and "delta" in pend:
+            probe_ids = pend.get("probe_ids") or []
+            if probe_ids:
+                landed = postings is not None and (
+                    postings.filter(
+                        F.col(meta["id_col"]).isin(probe_ids)
+                    ).limit(1).count() > 0
+                )
+            else:
+                # all-empty-text batch: a zero-row append leaves no
+                # trace either way — absorb it (the retry no-ops, and
+                # pre+delta is then the correct committed state)
+                landed = True
+            if landed:
+                meta["n_docs"] = int(pend["pre"]["n_docs"]) + int(pend["delta"]["n_docs"])
+                meta["sum_dl"] = int(pend["pre"]["sum_dl"]) + int(pend["delta"]["sum_dl"])
+                sig = pend.get("sig")
+                if sig is not None:
+                    log = [s for s in meta.get("absorbed", []) if s != sig]
+                    log.append(sig)
+                    meta["absorbed"] = log[-64:]
+            else:
+                meta["n_docs"] = int(pend["pre"]["n_docs"])
+                meta["sum_dl"] = int(pend["pre"]["sum_dl"])
+        else:
+            # legacy marker: best effort from postings (documented
+            # empty-doc undercount); unknown batch → not absorbed
+            if postings is not None:
+                stats = (
+                    postings.groupBy(meta["id_col"])
+                    .agg(F.first("dl").alias("dl"))
+                    .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+                    .first()
+                )
+                meta["n_docs"] = int(stats["n"] or 0)
+                meta["sum_dl"] = int(stats["s"] or 0)
         tmp = os.path.join(path, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(path, "meta.json"))
-        # Decide the crashed batch's fate: the postings job commits
-        # atomically, so ONE present batch id implies the whole batch
-        # landed. If it landed, keep the id list as the ABSORBED
-        # marker — a later retry of that same batch detects it and
-        # no-ops instead of double-appending. If it never landed,
-        # drop the marker so the retry re-appends normally.
-        pending_path = os.path.join(path, "pending_append.json")
-        with open(pending_path) as f:
-            pend = json.load(f)
-        probe_ids = (pend.get("batch_ids") or [])[:20]
-        landed = bool(probe_ids) and (
-            postings.filter(
-                F.col(meta["id_col"]).isin(probe_ids)
-            ).limit(1).count() > 0
-        )
-        if landed:
-            os.replace(
-                pending_path, os.path.join(path, "absorbed_append.json")
-            )
-        else:
-            os.remove(pending_path)
+        os.remove(pending_path)
 
     def search(
         self,
@@ -264,6 +318,16 @@ class TextIndex:
         import os
 
         id_col = id_col or getattr(self, "id_col", "doc_id")
+        if self.n_docs == 0 or self.sum_dl == 0:
+            # empty index OR no postings at all (every doc empty-text):
+            # a 0-row partitioned write leaves no parquet part files,
+            # so the reads below could not even infer a schema — return
+            # the contract-schema empty frame BEFORE touching disk, with
+            # the id type recorded at build time (not hardcoded)
+            id_type = getattr(self, "id_type", "bigint")
+            return spark.createDataFrame(
+                [], f"`{id_col}` {id_type}, score double, n_terms_hit bigint"
+            )
         term_list = list(terms)
         # bucket pruning predicate: Catalyst folds pmod(xxhash64(lit))
         # to constants, so the scan shows PartitionFilters: bucket IN (…)
@@ -288,12 +352,6 @@ class TextIndex:
             .filter(F.col("term").isin(term_list))
             .select("term", "df")
         )
-        if self.n_docs == 0:
-            # empty index: no postings, no division — empty result with
-            # the contract schema
-            return spark.createDataFrame(
-                [], f"`{id_col}` bigint, score double, n_terms_hit bigint"
-            )
         avgdl = float(self.sum_dl) / self.n_docs
         scored = _bm25_scored(
             postings.join(F.broadcast(df_frame), "term")
@@ -364,6 +422,8 @@ def textindex_add_documents(
     idx: "TextIndex",
     docs: DataFrame,
     text_col: str = "text",
+    _fail_after_postings: bool = False,
+    _fail_before_postings: bool = False,
 ) -> "TextIndex":
     """O(batch) incremental append to a persisted ``TextIndex`` — the
     lexical twin of the IVF+PQ partitioned append (`index/ivfpq.py:
@@ -374,6 +434,20 @@ def textindex_add_documents(
     sum_dl) stats update in meta.json. Caller contract (as with
     ``VecDB.batch_add``): new ids are distinct from indexed ones.
 
+    Crash protocol: a pending marker holds (a) the batch SIGNATURE —
+    row count + order-independent xor of per-id hashes, O(1) bytes no
+    matter the batch size, (b) up to 20 PROBE ids drawn only from docs
+    with ≥1 token (empty-text docs write no postings rows and would
+    misread a landed batch as lost), and (c) the exact pre-append and
+    batch-delta (n_docs, sum_dl). ``TextIndex._repair`` settles a
+    crashed batch from that marker; landed-batch signatures persist in
+    meta.json's capped ``absorbed`` log, so a retry of a crashed-then-
+    absorbed batch no-ops even after OTHER appends have intervened.
+
+    ``_fail_before_postings`` / ``_fail_after_postings`` are crash-
+    injection hooks for the protocol tests — they raise at the two
+    interesting crash points.
+
     After the append, ``search`` over the index is bit-identical to
     ``bm25_topk`` over the unioned corpus (gated in
     tests/test_search_events.py)."""
@@ -382,54 +456,72 @@ def textindex_add_documents(
 
     id_col = getattr(idx, "id_col", "doc_id")
     spark = docs.sparkSession
-    batch_ids = sorted(
-        int(r[0]) for r in docs.select(id_col).distinct().collect()
-    )
-    # crash-window marker WITH the batch's ids: if we die between the
-    # postings append and the meta commit, the next load() rebuilds
-    # df + stats from the postings table (TextIndex._repair) — and a
-    # RETRY of the same batch is detected here and becomes a no-op
-    # repair instead of a double-append (the postings job commits
-    # atomically, so after a crash the batch is either fully absent or
-    # fully present; repair handles both).
+    toks = _nonempty_toks(text_col)
+    # ONE pass for the batch delta stats + signature (xor never
+    # overflows and is order/partitioning-independent)
+    sig_row = docs.select(
+        F.col(id_col), F.size(toks).alias("__dl")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("__dl").alias("s"),
+        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("h"),
+    ).first()
+    delta = {"n_docs": int(sig_row["n"] or 0), "sum_dl": int(sig_row["s"] or 0)}
+    sig = {"n": delta["n_docs"], "h": int(sig_row["h"] or 0)}
+    probe_ids = [
+        r[0]
+        for r in docs.filter(F.size(toks) > 0).select(id_col).limit(20).collect()
+    ]
+
     pending = os.path.join(idx.path, "pending_append.json")
-    absorbed = os.path.join(idx.path, "absorbed_append.json")
     if os.path.exists(pending):
-        # a prior append crashed and was never repaired: repair now
-        # (renames the marker to absorbed_append.json) and refresh
+        # a prior append crashed and was never repaired: settle it
+        # first, then refresh our view of the committed state
         TextIndex._repair(idx.path)
         reloaded = TextIndex.load(idx.path)
         idx.n_docs, idx.sum_dl = reloaded.n_docs, reloaded.sum_dl
-    if os.path.exists(absorbed):
-        with open(absorbed) as f:
-            prior = json.load(f)
-        if prior.get("batch_ids") == batch_ids:
-            # RETRY of the crashed-then-absorbed batch: its postings
-            # are already in (the postings job commits atomically and
-            # repair rebuilt df/meta over them) — appending again
-            # would double-count, so no-op
-            return idx
+    with open(os.path.join(idx.path, "meta.json")) as f:
+        meta = json.load(f)
+    if sig in meta.get("absorbed", []):
+        # RETRY of a crashed-then-absorbed batch: its postings are
+        # already in (the postings job commits atomically and repair
+        # rebuilt df/meta over them) — appending again would
+        # double-count, so no-op
+        return idx
+    marker = {"sig": sig, "probe_ids": probe_ids,
+              "pre": {"n_docs": idx.n_docs, "sum_dl": idx.sum_dl},
+              "delta": delta}
     with open(pending + ".tmp", "w") as f:
-        json.dump({"batch_ids": batch_ids}, f)
+        json.dump(marker, f)
     os.replace(pending + ".tmp", pending)
+    if _fail_before_postings:
+        raise RuntimeError("injected crash before postings append")
 
-    # materialize ONCE: the same frame feeds the postings write, the
-    # df delta, and the stats update — one tokenize pass, and no risk
-    # of lineage recomputation diverging between the three uses
+    # materialize ONCE: the same frame feeds the postings write and the
+    # df delta — one tokenize pass, and no risk of lineage
+    # recomputation diverging between the uses
     new_tf = _textindex_tf(docs, text_col, id_col, idx.n_buckets)
     new_tf = new_tf.localCheckpoint(eager=True)
     new_tf.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(idx.path, "postings")
     )
+    if _fail_after_postings:
+        raise RuntimeError("injected crash after postings append")
 
-    delta = new_tf.groupBy("term", "bucket").agg(F.count("*").alias("df_new"))
-    touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
-    old_df = (
-        spark.read.parquet(os.path.join(idx.path, "df"))
-        .filter(F.col("bucket").isin(touched))
-    )
+    df_delta = new_tf.groupBy("term", "bucket").agg(F.count("*").alias("df_new"))
+    touched = [int(r["bucket"]) for r in df_delta.select("bucket").distinct().collect()]
+    try:
+        old_df = (
+            spark.read.parquet(os.path.join(idx.path, "df"))
+            .filter(F.col("bucket").isin(touched))
+        )
+        old_df.schema  # force schema inference now
+    except Exception:
+        # base index built on an all-empty corpus: its 0-row df write
+        # left no parquet files to infer a schema from
+        old_df = spark.createDataFrame([], "term string, bucket bigint, df bigint")
     merged = (
-        old_df.join(delta, ["term", "bucket"], "full_outer")
+        old_df.join(df_delta, ["term", "bucket"], "full_outer")
         .select(
             "term", "bucket",
             (F.coalesce(F.col("df"), F.lit(0))
@@ -445,26 +537,19 @@ def textindex_add_documents(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(os.path.join(idx.path, "df"))
 
-    # stats over the raw batch (not new_tf): docs with zero non-empty
-    # tokens have no postings row but MUST count in n_docs to stay
-    # bit-identical with the ad-hoc bm25_topk over the union corpus.
-    # This is a cheap map-only size(filter(split)) pass, not a second
-    # explode.
-    toks = _nonempty_toks(text_col)
-    row = docs.select(
-        F.count("*").alias("n"), F.sum(F.size(toks)).alias("s")
-    ).first()
-    idx.n_docs += int(row["n"] or 0)
-    idx.sum_dl += int(row["s"] or 0)
-    meta = {"n_docs": idx.n_docs, "sum_dl": idx.sum_dl,
-            "n_buckets": idx.n_buckets, "id_col": id_col}
+    # stats delta came from the raw batch (computed above, BEFORE the
+    # marker): docs with zero non-empty tokens have no postings row but
+    # MUST count in n_docs to stay bit-identical with the ad-hoc
+    # bm25_topk over the union corpus
+    idx.n_docs += delta["n_docs"]
+    idx.sum_dl += delta["sum_dl"]
+    meta["n_docs"] = idx.n_docs
+    meta["sum_dl"] = idx.sum_dl
     tmp = os.path.join(idx.path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(idx.path, "meta.json"))
     os.remove(pending)
-    if os.path.exists(absorbed):
-        os.remove(absorbed)  # a NEW batch landed — the old memory is stale
     return idx
 
 

@@ -151,27 +151,65 @@ def convert_raw_bin_to_parquet(
     return spark.read.parquet(dst).count()
 
 
-def write_fvecs(df: DataFrame, path: str, vec_col: str = "vec", id_col: str = "id") -> int:
+_BIN_SINK_MAX_ROWS = 10_000_000
+
+
+def _check_bin_sink_bound(df: DataFrame, max_rows: int, sink: str) -> int:
+    """Format parity demands ONE sequential local file, so these sinks
+    are driver-side by construction — the guard (mirroring
+    operators/knn.py's knn_batch bound) turns the silent 100×-scale
+    driver OOM into an explicit error that points at the scale sink."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{sink}: {n} rows exceeds the single-file sink bound of "
+            f"{max_rows} (the format is a sequential local file, assembled "
+            "through the driver); write Parquet for datasets at this scale, "
+            "or raise max_rows= explicitly if the driver really has the "
+            "memory for the ordered stream."
+        )
+    return n
+
+
+def write_fvecs(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    max_rows: int = _BIN_SINK_MAX_ROWS,
+) -> int:
     """fvecs sink (driver-side assemble — the format is single-file,
-    bounded by design; Parquet is the scale sink, S4)."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    bounded by design; Parquet is the scale sink, S4). Streams via
+    ``toLocalIterator`` so the driver holds one partition at a time,
+    and refuses outright past ``max_rows``."""
+    _check_bin_sink_bound(df, max_rows, "write_fvecs")
+    n = 0
     with open(path, "wb") as f:
-        for r in rows:
+        for r in df.select(id_col, vec_col).orderBy(id_col).toLocalIterator():
             v = np.asarray(r[1], dtype="<f4")
             f.write(struct.pack("<I", v.size))
             f.write(v.tobytes())
-    return len(rows)
+            n += 1
+    return n
 
 
 def write_raw_bin(
-    df: DataFrame, path: str, data_type: str = "float32", vec_col: str = "vec", id_col: str = "id"
+    df: DataFrame,
+    path: str,
+    data_type: str = "float32",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    max_rows: int = _BIN_SINK_MAX_ROWS,
 ) -> int:
     """S4: raw binary sink (vec_set.rs:184-192) — flat little-endian
-    scalars in id order. Driver-side; bounded use only."""
+    scalars in id order. Driver-side single file; streamed partition
+    by partition with an explicit row bound."""
     if data_type not in _DTYPES:
         raise ValueError(f"Unsupported data_type: {data_type}")
-    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    _check_bin_sink_bound(df, max_rows, "write_raw_bin")
+    n = 0
     with open(path, "wb") as f:
-        for r in rows:
+        for r in df.select(id_col, vec_col).orderBy(id_col).toLocalIterator():
             f.write(np.asarray(r[1], dtype=np.dtype(_DTYPES[data_type]).newbyteorder("<")).tobytes())
-    return len(rows)
+            n += 1
+    return n

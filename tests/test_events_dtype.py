@@ -84,3 +84,21 @@ def test_fixture_dtypes_actually_differ(spark, fixture_dirs):
     assert seen["nanos"] == "bigint"
     assert seen["tstz"] != seen["ntz"] or seen["tstz"] == "timestamp"
     assert len(set(seen.values())) >= 2
+
+
+def test_floor_div_exact_at_bigint_extremes(spark):
+    """_floor_div must agree with Python's exact // for ALL bigint
+    inputs — including magnitudes past 2^53·d where a double-division
+    implementation floors off by one (nanos beyond ~2116)."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.events import _floor_div
+
+    d = 1_000_000_000
+    vals = [-(2**62) + 7, -(2**61) - 12345, -d, -1, 0, 1, d - 1, d,
+            2**61 + 12345, 2**62 - 1, 2**63 - 1, -(2**63) + d]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    out = {r["x"]: r["q"] for r in
+           df.select("x", _floor_div(F.col("x"), d).alias("q")).collect()}
+    for v in vals:
+        assert out[v] == v // d, v

@@ -188,10 +188,37 @@ def test_text_index_incremental_append(spark, tiny_docs, tmp_path):
 
 
 def test_text_index_append_crash_repair(spark, tiny_docs, tmp_path):
-    """Crash simulation: postings appended but df/meta never committed
-    (the pending marker is still on disk) → load() rebuilds df and
-    stats from the postings table and search matches the full-corpus
-    ad-hoc BM25."""
+    """Crash simulation via the injection hook: postings appended but
+    df/meta never committed (the pending marker is still on disk) →
+    load() settles the batch from the marker and search matches the
+    full-corpus ad-hoc BM25."""
+    import os
+
+    import pytest
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    path = str(tmp_path / "ti")
+    first = tiny_docs.filter(F.col("doc_id") < 2)
+    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    TextIndex.build(first, path, n_buckets=8)
+    idx0 = TextIndex.load(path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx0.add_documents(rest, _fail_after_postings=True)
+    assert os.path.exists(os.path.join(path, "pending_append.json"))
+
+    idx = TextIndex.load(path)   # triggers repair
+    assert not os.path.exists(os.path.join(path, "pending_append.json"))
+    assert idx.n_docs == 4
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
+    assert got == want
+
+
+def test_text_index_legacy_marker_repair(spark, tiny_docs, tmp_path):
+    """A pending marker from an older layout (no pre/delta payload)
+    still repairs: stats recomputed best-effort from postings."""
     import json
     import os
 
@@ -201,14 +228,13 @@ def test_text_index_append_crash_repair(spark, tiny_docs, tmp_path):
     first = tiny_docs.filter(F.col("doc_id") < 2)
     rest = tiny_docs.filter(F.col("doc_id") >= 2)
     TextIndex.build(first, path, n_buckets=8)
-    # mimic add_documents dying right after the postings append
     with open(os.path.join(path, "pending_append.json"), "w") as f:
         json.dump({"reason": "append in flight"}, f)
     _textindex_tf(rest, "text", "doc_id", 8).write.mode("append").partitionBy(
         "bucket"
     ).parquet(os.path.join(path, "postings"))
 
-    idx = TextIndex.load(path)   # triggers repair
+    idx = TextIndex.load(path)
     assert not os.path.exists(os.path.join(path, "pending_append.json"))
     assert idx.n_docs == 4
     terms = ("spark", "join", "window")
@@ -277,26 +303,28 @@ def test_text_index_compact_preserves_results(spark, tiny_docs, tmp_path):
 
 def test_text_index_append_retry_is_idempotent(spark, tiny_docs, tmp_path):
     """Crash then RETRY of the same batch must not double-count: the
-    pending marker records the batch ids, so the retry detects the
-    absorbed batch and no-ops instead of re-appending postings."""
-    import json
-    import os
+    marker's batch signature lands in meta's absorbed log, so the
+    retry no-ops instead of re-appending — and it STILL no-ops after
+    a different append has intervened (the log survives other
+    appends, unlike a single marker file)."""
+    import pytest
 
-    from lab_1806_vec_db_spark.operators.search import TextIndex, _textindex_tf
+    from lab_1806_vec_db_spark.operators.search import TextIndex
 
     path = str(tmp_path / "ti")
-    first = tiny_docs.filter(F.col("doc_id") < 2)
-    rest = tiny_docs.filter(F.col("doc_id") >= 2)
+    first = tiny_docs.filter(F.col("doc_id") < 1)
+    mid = tiny_docs.filter((F.col("doc_id") >= 1) & (F.col("doc_id") < 3))
+    last = tiny_docs.filter(F.col("doc_id") >= 3)
     TextIndex.build(first, path, n_buckets=8)
-    # simulate: append committed, marker present, meta/df never updated
-    with open(os.path.join(path, "pending_append.json"), "w") as f:
-        json.dump({"batch_ids": [2, 3]}, f)
-    _textindex_tf(rest, "text", "doc_id", 8).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "postings"))
+    idx0 = TextIndex.load(path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx0.add_documents(mid, _fail_after_postings=True)
 
     idx = TextIndex.load(path)      # repair absorbs the batch
-    idx.add_documents(rest)         # the caller's RETRY — must no-op
+    idx.add_documents(mid)          # the caller's RETRY — must no-op
+    assert idx.n_docs == 3
+    idx.add_documents(last)         # an unrelated append intervenes
+    idx.add_documents(mid)          # DELAYED retry — must still no-op
     terms = ("spark", "join", "window")
     got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
     want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
@@ -305,10 +333,10 @@ def test_text_index_append_retry_is_idempotent(spark, tiny_docs, tmp_path):
 
 
 def test_text_index_crash_before_postings_retry_appends(spark, tiny_docs, tmp_path):
-    """Crash BEFORE the postings job committed: repair drops the
-    marker (nothing landed) and the retry performs the real append."""
-    import json
-    import os
+    """Crash BEFORE the postings job committed: repair restores the
+    pre-append stats (nothing landed) and the retry performs the real
+    append."""
+    import pytest
 
     from lab_1806_vec_db_spark.operators.search import TextIndex
 
@@ -316,14 +344,91 @@ def test_text_index_crash_before_postings_retry_appends(spark, tiny_docs, tmp_pa
     first = tiny_docs.filter(F.col("doc_id") < 2)
     rest = tiny_docs.filter(F.col("doc_id") >= 2)
     TextIndex.build(first, path, n_buckets=8)
-    with open(os.path.join(path, "pending_append.json"), "w") as f:
-        json.dump({"batch_ids": [2, 3]}, f)   # marker only, no postings
+    idx0 = TextIndex.load(path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx0.add_documents(rest, _fail_before_postings=True)
 
     idx = TextIndex.load(path)                # repair: batch never landed
     assert idx.n_docs == 2
-    assert not os.path.exists(os.path.join(path, "absorbed_append.json"))
     idx.add_documents(rest)                   # retry must REALLY append
     terms = ("spark", "join", "window")
     got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
     want = [tuple(r) for r in bm25_topk(tiny_docs, terms, k=10).collect()]
     assert got == want and idx.n_docs == 4
+
+
+def test_text_index_empty_doc_batch_crash_repair(spark, tmp_path):
+    """The ADVICE scenario: a crashed batch whose FIRST ids (sorted)
+    are all empty-text docs. Probe ids come only from docs with
+    tokens, so the landed batch is detected; stats restore from the
+    marker's pre+delta, so empty docs stay counted in n_docs/avgdl
+    and search remains bit-identical with bm25_topk over the union."""
+    import pytest
+
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    docs = spark.createDataFrame(
+        [(0, "spark join window"), (1, "spark shuffle"),
+         (2, ""), (3, "   "), (4, "join window spark")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "ti")
+    first = docs.filter(F.col("doc_id") < 2)
+    rest = docs.filter(F.col("doc_id") >= 2)   # ids 2,3 are empty-text
+    TextIndex.build(first, path, n_buckets=8)
+    idx0 = TextIndex.load(path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx0.add_documents(rest, _fail_after_postings=True)
+
+    idx = TextIndex.load(path)       # repair: must see the batch as landed
+    assert idx.n_docs == 5           # empty docs still counted
+    idx.add_documents(rest)          # retry must no-op (absorbed)
+    assert idx.n_docs == 5
+    terms = ("spark", "join")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    assert got == want
+
+
+def test_text_index_all_empty_corpus(spark, tmp_path):
+    """Build over an all-empty-text corpus: the 0-row partitioned
+    writes leave no parquet files, but search must return the
+    contract-schema empty frame (not UNABLE_TO_INFER_SCHEMA), and a
+    later real append onto it must work."""
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    empty_docs = spark.createDataFrame(
+        [(0, ""), (1, "  ")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "ti")
+    TextIndex.build(empty_docs, path, n_buckets=4)
+    idx = TextIndex.load(path)
+    assert idx.n_docs == 2 and idx.sum_dl == 0
+    out = idx.search(spark, ("spark",), k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "n_terms_hit"]
+
+    real = spark.createDataFrame(
+        [(2, "spark join"), (3, "spark window")], "doc_id bigint, text string"
+    )
+    idx.add_documents(real)
+    got = [tuple(r) for r in idx.search(spark, ("spark",), k=5).collect()]
+    union = empty_docs.unionByName(real)
+    want = [tuple(r) for r in bm25_topk(union, ("spark",), k=5).collect()]
+    assert got == want
+
+
+def test_text_index_string_id_empty_search_schema(spark, tmp_path):
+    """Non-bigint id column: the empty-index search result must carry
+    the id type recorded at build time, not a hardcoded bigint."""
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    docs = spark.createDataFrame(
+        [("a", ""), ("b", "")], "doc_id string, text string"
+    )
+    path = str(tmp_path / "ti")
+    TextIndex.build(docs, path, n_buckets=4)
+    idx = TextIndex.load(path)
+    out = idx.search(spark, ("spark",), k=5)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.collect() == []

@@ -116,3 +116,24 @@ def test_u8_vecdb_table(spark, tmp_path):
             db.create_table_if_not_exists("bad", 4, "l2sqr", data_type="f64")
     finally:
         db.close()
+
+
+def test_binary_sinks_refuse_past_row_bound(spark, tmp_path):
+    """The single-file sinks are driver-side by construction: past the
+    explicit bound they must raise (pointing at Parquet), not OOM the
+    driver silently at scale."""
+    import pytest
+
+    from lab_1806_vec_db_spark.sources.binary import write_fvecs, write_raw_bin
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        "id bigint, vec array<float>",
+    )
+    with pytest.raises(ValueError, match="Parquet"):
+        write_fvecs(df, str(tmp_path / "x.fvecs"), max_rows=5)
+    with pytest.raises(ValueError, match="Parquet"):
+        write_raw_bin(df, str(tmp_path / "x.bin"), max_rows=5)
+    # inside the bound both still produce byte-identical files
+    n = write_fvecs(df, str(tmp_path / "ok.fvecs"), max_rows=10)
+    assert n == 10
