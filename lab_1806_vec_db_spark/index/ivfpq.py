@@ -301,37 +301,76 @@ class IVFPQIndex:
         probed = [int(c) for c in self.model.rank_centroids(q, n_probes)]
         lut, sq, qnorm = self.pq.build_lookup(q, metric)
         spark = self.codes_clustered.sparkSession
-        bc = spark.sparkContext.broadcast((lut, sq, qnorm, self.pq.m, self.pq.n_bits))
         id_col = self.id_col
+        fused = self.vec_col in self.codes_clustered.columns
+        bc = spark.sparkContext.broadcast(
+            (lut, sq, qnorm, self.pq.m, self.pq.n_bits, q if fused else None, metric)
+        )
+        vec_col = self.vec_col
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            blut, bsq, bqnorm, m, n_bits = bc.value
+            blut, bsq, bqnorm, m, n_bits, bq, bmetric = bc.value
+            ef_local = max(int(ef), int(k))
             for pdf in batches:
                 if pdf.empty:
                     continue
                 buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
                 codes = unpack_codes(buf, m, n_bits)
                 d = PQTable._adc_scores(codes, blut, bsq, bqnorm)
-                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "dist": d})
+                if bq is None:
+                    yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "dist": d})
+                    continue
+                # fused exact re-rank: the raw vectors sit in the SAME
+                # row group, so compute exact distances for this
+                # partition's ADC top-ef candidates here — the global
+                # ADC gate still applies at the merge, so results are
+                # identical to the two-pass plan, minus a whole scan
+                ids = pdf[id_col].to_numpy()
+                adc_r = np_round_half_up(d)
+                kk = min(ef_local, len(ids))
+                top = np.lexsort((ids, adc_r))[:kk]
+                x = np.asarray(pdf[vec_col].iloc[top].to_list(), dtype=np.float64)
+                ip = x @ bq
+                x2 = np.einsum("ij,ij->i", x, x)
+                if bmetric == "l2sqr":
+                    ex = x2 + float(bq @ bq) - 2.0 * ip
+                else:
+                    qn_ = float(bq @ bq) ** 0.5
+                    ex = 1.0 - ip / np.maximum(np.sqrt(x2) * qn_, 1e-10)
+                yield pd.DataFrame({id_col: ids[top], "adc_r": adc_r[top],
+                                    "dist": np_round_half_up(ex)})
 
-        cand = (
-            self.codes_clustered.filter(F.col("cluster_id").isin(probed))
-            .select(id_col, "code")
-            .mapInPandas(scan, schema=f"{id_col} long, dist double")
-            .select(id_col, round_dist(F.col("dist")).alias("adc_r"))
-            .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
-            .limit(max(int(ef), int(k)))
-            .select(id_col)
-        )
-        qlit = F.lit([float(x) for x in q]).cast("array<double>")
+        pruned = self.codes_clustered.filter(F.col("cluster_id").isin(probed))
         payload = list(payload_cols) if payload_cols is not None else [id_col]
-        rer = (
-            self._rerank_source(probed).join(F.broadcast(cand), id_col)
-            .select(id_col,
-                    round_dist(dist_expr(F.col(self.vec_col), qlit, metric)).alias("dist"))
-            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
-            .limit(int(k))
-        )
+        if fused:
+            cand = (
+                pruned.select(id_col, "code", vec_col)
+                .mapInPandas(scan, schema=f"{id_col} long, adc_r double, dist double")
+                .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+                .limit(max(int(ef), int(k)))
+            )
+            rer = (
+                cand.select(id_col, "dist")
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+                .limit(int(k))
+            )
+        else:
+            cand = (
+                pruned.select(id_col, "code")
+                .mapInPandas(scan, schema=f"{id_col} long, dist double")
+                .select(id_col, round_dist(F.col("dist")).alias("adc_r"))
+                .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+                .limit(max(int(ef), int(k)))
+                .select(id_col)
+            )
+            qlit = F.lit([float(x) for x in q]).cast("array<double>")
+            rer = (
+                self._rerank_source(probed).join(F.broadcast(cand), id_col)
+                .select(id_col,
+                        round_dist(dist_expr(F.col(self.vec_col), qlit, metric)).alias("dist"))
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+                .limit(int(k))
+            )
         extra = [c for c in payload if c != id_col]
         if extra:
             # metadata attach on the k-bounded result only (Q8): the
@@ -377,12 +416,18 @@ class IVFPQIndex:
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
 
+        fused = self.vec_col in self.codes_clustered.columns
+        vec_col = self.vec_col
+
         def make_scan(bc):
           def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lab_1806_vec_db_spark.index import ckernel
 
-            bqids, bclusters, blut3, bsq, bqn, m, n_bits = bc.value
+            bqids, bclusters, blut3, bsq, bqn, m, n_bits, bqmat, bmetric = bc.value
             ksub = 1 << n_bits
+            if bqmat is not None:
+                bq2 = np.einsum("ij,ij->i", bqmat, bqmat)
+                bqnorm2 = np.sqrt(bq2)
             # Per-(cluster, probing-queries) tile through the compiled
             # lookup-sum kernel — the FLOP-minimal form: only probed
             # (row, query) pairs are scored, m adds each, LUT rows
@@ -431,10 +476,41 @@ class IVFPQIndex:
                     kk = min(ef_, summed.shape[0])
                     idm = np.broadcast_to(ids[:, None], summed.shape)
                     top = np.lexsort((idm, summed), axis=0)[:kk, :]
+                    out_ids = np.take_along_axis(idm, top, axis=0).T.reshape(-1)
+                    out_adc = np.take_along_axis(summed, top, axis=0).T.reshape(-1)
+                    out_qid = np.repeat(bqids[sel], kk)
+                    if bqmat is None:
+                        yield pd.DataFrame({
+                            "query_id": out_qid, id_col: out_ids, "dist": out_adc,
+                        })
+                        continue
+                    # fused exact re-rank (vectors are in this row
+                    # group): exact distances for the per-partition
+                    # ADC top-ef; the global ADC gate still applies at
+                    # the merge, so results match the two-pass plan
+                    need = np.unique(top.reshape(-1))
+                    pos = np.empty(rows.size, dtype=np.int64)
+                    pos[need] = np.arange(need.size)
+                    x = np.asarray(
+                        pdf[vec_col].iloc[rows[need]].to_list(), dtype=np.float64
+                    )
+                    x2 = np.einsum("ij,ij->i", x, x)
+                    qidx = np.repeat(np.asarray(sel, dtype=np.int64), kk)
+                    xi = pos[top.T.reshape(-1)]
+                    ex = np.empty(xi.size)
+                    step = 16384  # bound the (pairs × dim) gather
+                    for s0 in range(0, xi.size, step):
+                        sl = slice(s0, s0 + step)
+                        ip = np.einsum("ij,ij->i", x[xi[sl]], bqmat[qidx[sl]])
+                        if bmetric == "l2sqr":
+                            ex[sl] = x2[xi[sl]] + bq2[qidx[sl]] - 2.0 * ip
+                        else:
+                            ex[sl] = 1.0 - ip / np.maximum(
+                                np.sqrt(x2[xi[sl]]) * bqnorm2[qidx[sl]], 1e-10
+                            )
                     yield pd.DataFrame({
-                        "query_id": np.repeat(bqids[sel], kk),
-                        id_col: np.take_along_axis(idm, top, axis=0).T.reshape(-1),
-                        "dist": np.take_along_axis(summed, top, axis=0).T.reshape(-1),
+                        "query_id": out_qid, id_col: out_ids,
+                        "adc_r": out_adc, "dist": np_round_half_up(ex),
                     })
           return scan
 
@@ -458,32 +534,56 @@ class IVFPQIndex:
             )
             bc = spark.sparkContext.broadcast(
                 (qids[s : s + chunk], by_cluster, lut3, sq, qn,
-                 self.pq.m, self.pq.n_bits)
+                 self.pq.m, self.pq.n_bits,
+                 qmat_c if fused else None, metric)
             )
             probed_any = sorted(by_cluster.keys())
+            scan_cols = [id_col, "code", "cluster_id"] + ([vec_col] if fused else [])
+            scan_schema = (
+                f"query_id long, {id_col} long, adc_r double, dist double"
+                if fused else f"query_id long, {id_col} long, dist double"
+            )
             pieces.append(
                 self.codes_clustered.filter(F.col("cluster_id").isin(probed_any))
-                .select(id_col, "code", "cluster_id")
-                .mapInPandas(make_scan(bc), schema=f"query_id long, {id_col} long, dist double")
+                .select(*scan_cols)
+                .mapInPandas(make_scan(bc), schema=scan_schema)
             )
         approx = pieces[0]
         for p in pieces[1:]:
             approx = approx.unionByName(p)
-        cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
-        # exact re-rank: the shared PQ closure (index/pq.py:make_rerank_scan)
-        # over the PROBED cluster directories only (partition-pruned vec
-        # fetch, not a full base scan — see _rerank_source)
-        from lab_1806_vec_db_spark.index.pq import make_rerank_scan
+        if fused:
+            # global ADC gate (top-ef by rounded ADC, id tie-break —
+            # identical to the two-pass plan's candidate cut), then the
+            # exact top-k over the SAME rows: the exact distances were
+            # computed inside the probe scan, so no second scan, no
+            # join. One shuffle serves both windows (same partitioning).
+            from pyspark.sql import Window
 
-        rer = (
-            self._rerank_source(sorted(all_probed))
-            .join(F.broadcast(cand), id_col)
-            .mapInPandas(
-                make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
-                schema=f"query_id long, {id_col} long, dist double",
+            wg = Window.partitionBy("query_id").orderBy(
+                F.col("adc_r").asc(), F.col(id_col).asc()
             )
-        )
-        out = _topk_per_query(rer, int(k), id_col, upper_bound)
+            gated = (
+                approx.withColumn("__gn", F.row_number().over(wg))
+                .filter(F.col("__gn") <= ef_)
+                .select("query_id", id_col, "dist")
+            )
+            out = _topk_per_query(gated, int(k), id_col, upper_bound)
+        else:
+            cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
+            # exact re-rank: the shared PQ closure (index/pq.py:
+            # make_rerank_scan) over the PROBED cluster directories only
+            # (partition-pruned vec fetch — see _rerank_source)
+            from lab_1806_vec_db_spark.index.pq import make_rerank_scan
+
+            rer = (
+                self._rerank_source(sorted(all_probed))
+                .join(F.broadcast(cand), id_col)
+                .mapInPandas(
+                    make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
+                    schema=f"query_id long, {id_col} long, dist double",
+                )
+            )
+            out = _topk_per_query(rer, int(k), id_col, upper_bound)
         if qid_col != "query_id":
             out = out.withColumnRenamed("query_id", qid_col)
         return out

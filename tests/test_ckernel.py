@@ -105,3 +105,57 @@ def test_adc_block_matches_numpy_reference():
         sel = np.array([S - 1, 0], dtype=np.int64)
         got_sel = ckernel.adc_block(np.ascontiguousarray(codes), lut, sel)
         assert np.array_equal(got_sel, got[sel])
+
+
+@pytest.mark.parametrize("metric", ["l2sqr", "cosine"])
+def test_search_np_fast_path_contract(emb, metric):
+    """The single-query fast path (SearchCtx.search1 + f64 rerank)
+    must return distances equal to the f64 formula rounded to the
+    repo contract, sorted ascending with id tie-break, at recall
+    matching the generic batch path."""
+    idx = HNSWIndex.build(emb, metric=metric, vec_col="embedding",
+                          id_col="vec_id", m=8, ef_construction=100)
+    st = idx._c_views()
+    assert st["serve"].dtype == np.float32      # parquet floats demote
+    from lab_1806_vec_db_spark.index.beam import ExactPairDist
+    from lab_1806_vec_db_spark.operators.knn import np_round_half_up
+
+    qmat = st["vecs"][:8].copy()
+    pd_ = ExactPairDist(st["vecs"], qmat, metric)
+    for i in range(8):
+        ids, ds = idx.search_np(qmat[i], 5, 64)
+        assert list(ds) == sorted(ds)
+        D = pd_.block(np.array([i]), np.arange(len(st["vecs"])))[0]
+        for gid, dv in zip(ids, ds):
+            pos = int(np.where(idx.ids == gid)[0][0])
+            assert dv == pytest.approx(float(np_round_half_up(np.float64(D[pos]))), abs=1e-9)
+        # self-query: own id first at distance 0
+        assert int(ids[0]) == int(idx.ids[i]) and ds[0] == 0.0
+
+
+def test_search_np_k_exceeds_n(spark):
+    """k > n falls back to the generic padded path and returns only
+    the reachable rows."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "vec_id bigint, embedding array<float>"
+    )
+    idx = HNSWIndex.build(df, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=4, ef_construction=20)
+    ids, ds = idx.search_np(np.array([0.0, 0.0]), 10, 20)
+    assert len(ids) == 3 and set(map(int, ids)) == {0, 1, 2}
+
+
+def test_f32_serve_demotion_skipped_for_true_f64(spark):
+    """Values not exactly f32-representable must keep the f64 kernel."""
+    import pandas as pd
+
+    vals = [[0.1 + 1e-12, 0.2], [0.3, 0.4], [0.5, 0.6]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": vals}),
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = HNSWIndex.build(df, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=4, ef_construction=20)
+    st = idx._c_views()
+    assert st["serve"] is st["vecs"]
+    assert st["serve"].dtype == np.float64
