@@ -270,6 +270,27 @@ class IVFPQIndex:
 
     # ---- search -----------------------------------------------------------
 
+    def _use_fused_rerank(self, n_probes: int, ef: int,
+                          override: bool | None) -> bool:
+        """Fuse the exact re-rank into the probe scan when the extra
+        in-scan work is cheap. The fused plan computes exact distances
+        for n_probes·ef candidates PER QUERY (each probed partition
+        contributes its own top-ef to the global gate) instead of the
+        global ef — it removes a whole second scan + join. Measured
+        calibration (bench.py): at dim=64 fusing wins across the whole
+        probe sweep (suite ivfpq 1.77→1.31 s); at dim=960 it LOSES at
+        every config (3.1→5.0 s at the narrowest, 3.7× at the widest) —
+        the per-candidate Arrow-list→numpy conversion and (pairs × dim)
+        gather scale with dim, so the auto rule keys on dim. In the
+        disk-bound regime the avoided second scan dwarfs the gather, so
+        callers there should pass ``fuse_rerank=True`` explicitly."""
+        if override is not None:
+            return override and self.vec_col in self.codes_clustered.columns
+        if self.vec_col not in self.codes_clustered.columns:
+            return False
+        dim = sum(size for _, size in self.pq.groups)
+        return dim <= 256
+
     def _rerank_source(self, probed: Sequence[int]) -> DataFrame:
         """Vector source for the exact re-rank: the cluster-partitioned
         codes table itself when it carries the vec column (partition
@@ -293,16 +314,18 @@ class IVFPQIndex:
         metric: str | None = None,
         upper_bound: float | None = None,
         payload_cols: Sequence[str] | None = None,
+        fuse_rerank: bool | None = None,
     ) -> DataFrame:
         """Single-query IVF+PQ: partition-pruned ADC scan of the probed
-        clusters, rounded top-ef candidate gate, exact re-rank top-k."""
+        clusters, rounded top-ef candidate gate, exact re-rank top-k.
+        ``fuse_rerank``: None = auto (see _use_fused_rerank)."""
         metric = metric or self.model.metric
         q = np.asarray(list(query), dtype=np.float64)
         probed = [int(c) for c in self.model.rank_centroids(q, n_probes)]
         lut, sq, qnorm = self.pq.build_lookup(q, metric)
         spark = self.codes_clustered.sparkSession
         id_col = self.id_col
-        fused = self.vec_col in self.codes_clustered.columns
+        fused = self._use_fused_rerank(n_probes, max(int(ef), int(k)), fuse_rerank)
         bc = spark.sparkContext.broadcast(
             (lut, sq, qnorm, self.pq.m, self.pq.n_bits, q if fused else None, metric)
         )
@@ -396,6 +419,7 @@ class IVFPQIndex:
         upper_bound: float | None = None,
         max_queries: int = 200_000,
         max_lut_bytes: int = 64 << 20,
+        fuse_rerank: bool | None = None,
     ) -> DataFrame:
         """Batch IVF+PQ: one pruned scan of the codes table; each
         partition scores a row only for the queries probing its
@@ -416,7 +440,7 @@ class IVFPQIndex:
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
 
-        fused = self.vec_col in self.codes_clustered.columns
+        fused = self._use_fused_rerank(n_probes, ef_, fuse_rerank)
         vec_col = self.vec_col
 
         def make_scan(bc):

@@ -537,3 +537,39 @@ def test_vecdb_append_defers_graph_save(spark, tmp_path, monkeypatch):
     res = d2.search(key, [3.0] * 8, k=1)
     assert res[0][0] == {"i": "app3"}
     d2.close()
+
+
+def test_hnsw_generation_commit_and_cleanup(spark, emb, tmp_path):
+    """save() commits through a generation dir with meta.json as the
+    single commit point: repeated saves leave exactly one live
+    generation, no root-level artifacts, and load() serves the newest
+    state; a reader holding a stale meta retries through the
+    FileNotFoundError loop instead of pairing mismatched artifacts."""
+    import json
+    import os
+
+    from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+    path = str(tmp_path / "hx")
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=8, ef_construction=80)
+    idx.save(path)
+    gens1 = [d for d in os.listdir(path) if d.startswith("gen-")]
+    assert len(gens1) == 1
+    idx.save(path)  # second flush retires the first generation
+    gens2 = [d for d in os.listdir(path) if d.startswith("gen-")]
+    assert len(gens2) == 1 and gens2 != gens1
+    assert not os.path.exists(os.path.join(path, "vecs.npy"))
+    re = HNSWIndex.load(spark, path, base=emb)
+    assert len(re.ids) == len(idx.ids)
+    # stale meta pointing at a retired generation → load retries and
+    # raises a clear error only after the bounded retry loop
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    meta["gen"] = gens1[0]  # no longer on disk
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unstable artifacts"):
+        HNSWIndex.load(spark, path, base=emb)

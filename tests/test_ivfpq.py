@@ -179,3 +179,29 @@ def test_compact_preserves_results(spark, emb, tmp_path, qvec):
     reopened = IVFPQIndex.load(spark, path, emb.filter(F.col("vec_id") < 220))
     again = reopened.search(qvec, k=10, n_probes=8, ef=64).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in before]
+
+
+def test_fused_rerank_equals_legacy_two_pass(spark, emb, qvec):
+    """The fused in-scan exact re-rank must return EXACTLY what the
+    legacy two-pass plan (ADC gate -> join-rerank against base)
+    returns — same global gate, same distances — for both the single
+    and batch paths."""
+    idx = IVFPQIndex.build(
+        emb, k_coarse=16, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=500,
+    )
+    assert "embedding" in idx.codes_clustered.columns  # fused-capable
+    # legacy twin: same quantizers/codes, vec column dropped
+    legacy = IVFPQIndex(
+        idx.model, idx.pq, idx.codes_clustered.select("vec_id", "code", "cluster_id"),
+        idx.base, vec_col="embedding", id_col="vec_id",
+    )
+    got_f = _pairs(idx.search(qvec, k=10, n_probes=4, ef=32).collect())
+    got_l = _pairs(legacy.search(qvec, k=10, n_probes=4, ef=32).collect())
+    assert got_f == got_l
+
+    queries = emb.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = idx.search_batch(queries, k=5, n_probes=4, ef=32, qvec_col="embedding").collect()
+    bl = legacy.search_batch(queries, k=5, n_probes=4, ef=32, qvec_col="embedding").collect()
+    key = lambda r: (r["query_id"], r["dist"], r["vec_id"])
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, bl))
