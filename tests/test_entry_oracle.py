@@ -82,3 +82,25 @@ def test_all_queries_have_callables():
     qs = entry_mod.queries()
     for k in entry_mod.oracle_sql():
         assert k in qs
+
+
+def test_driver_window_schemas_are_canonicalizer_safe(spark):
+    """The driver's pandas canonicalizer (sort_values + hash) dies on
+    ARRAY/MAP/STRUCT columns — exactly what cost multimodal_features
+    and text_hash_embedding their r06 rows. Every entry inside the
+    50-slot driver window must therefore emit only scalar columns.
+    (Entries past the window are exercised by the oracle mirror above;
+    keep them scalar too when they rotate in.)"""
+    from pyspark.sql import types as T
+
+    qs = entry_mod.queries()
+    bad = {}
+    for name in list(qs)[:50]:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        offenders = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"driver-window entries with non-scalar columns: {bad}"
