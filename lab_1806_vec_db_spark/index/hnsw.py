@@ -833,26 +833,47 @@ class HNSWIndex:
             from lab_1806_vec_db_spark.index import ckernel
 
             g = self.graph
-            vecs = np.ascontiguousarray(self.vecs)
-            x2 = np.einsum("ij,ij->i", vecs, vecs)
-            xn = np.sqrt(x2) if self.metric == "cosine" else None
             # serve-precision demotion: when the f64 store holds values
             # that are EXACTLY f32-representable (always true for data
             # read from parquet array<float> — the reference's own
             # storage type, scalar.rs), traverse in f32: half the
             # memory traffic and twice the SIMD width. The final top-k
-            # distances are recomputed in f64 from the same values
-            # (_c_search), so the oracle contract is unchanged.
-            serve = vecs
-            if vecs.dtype == np.float64:
-                v32 = vecs.astype(np.float32)
-                if np.array_equal(v32.astype(np.float64), vecs):
-                    serve = np.ascontiguousarray(v32)
-            if serve is vecs:
-                s2, sn = x2, xn
+            # distances are recomputed in f64 by casting the gathered
+            # rows (exact — the values ARE f32), so the oracle contract
+            # is unchanged AND no f64 contiguous copy is ever
+            # materialized (at 1M × 960 that copy alone is 7.3 GB; a
+            # loaded index's mmap is paged through once here, chunked).
+            raw = self.vecs
+            serve = None
+            if raw.dtype == np.float64 and raw.shape[0] > 0:
+                v32 = np.empty(raw.shape, dtype=np.float32)
+                x2 = np.empty(raw.shape[0], dtype=np.float64)
+                lossless = True
+                step = max(1, (1 << 24) // max(raw.shape[1], 1))
+                for s in range(0, raw.shape[0], step):
+                    sl = slice(s, s + step)
+                    chunk = np.asarray(raw[sl], dtype=np.float64)
+                    v32[sl] = chunk
+                    if not np.array_equal(v32[sl].astype(np.float64), chunk):
+                        lossless = False
+                        break
+                    x2[sl] = np.einsum("ij,ij->i", chunk, chunk)
+                if lossless:
+                    serve = v32
+            if serve is None:
+                vecs = np.ascontiguousarray(raw)
+                x2 = np.einsum("ij,ij->i", vecs, vecs)
+                serve = vecs
+                demoted = False
             else:
-                s2 = np.einsum("ij,ij->i", serve, serve)
+                vecs = serve  # rerank gathers cast rows to f64 (exact)
+                demoted = True
+            xn = np.sqrt(x2) if self.metric == "cosine" else None
+            if demoted:
+                s2 = x2.astype(np.float32)
                 sn = np.sqrt(s2) if self.metric == "cosine" else None
+            else:
+                s2, sn = x2, xn
             links = [np.ascontiguousarray(l, dtype=np.int32) for l in g.links]
             counts = [np.ascontiguousarray(c, dtype=np.int32) for c in g.counts]
             self._c_state = {
@@ -860,6 +881,7 @@ class HNSWIndex:
                 "x2": x2,
                 "xn": xn,
                 "serve": serve,
+                "demoted": demoted,
                 "links": links,
                 "counts": counts,
                 "ctx": ckernel.SearchCtx(
@@ -890,14 +912,14 @@ class HNSWIndex:
         safe = np.clip(pid, 0, None)
         valid = pid >= 0
         gids = np.where(valid, self.ids[safe], -1)
-        if st["serve"] is not st["vecs"]:
-            # f32 traversal of an f64-exact store: recompute the final
-            # distances in f64 (same formula as beam.ExactPairDist /
-            # the DuckDB oracle) and re-sort by (dist, id) — traversal
-            # precision steers WHICH nodes reach the pool, never the
-            # reported distances
+        if st["demoted"]:
+            # f32 traversal of an f32-exact store: recompute the final
+            # distances in f64 (the gathered f32 rows cast exactly —
+            # same formula as beam.ExactPairDist / the DuckDB oracle)
+            # and re-sort by (dist, id) — traversal precision steers
+            # WHICH nodes reach the pool, never the reported distances
             q64 = np.asarray(qmat, dtype=np.float64)
-            v = st["vecs"][safe]                        # (Q, k, d)
+            v = st["vecs"][safe].astype(np.float64)     # (Q, k, d)
             ip = np.einsum("qkd,qd->qk", v, q64)
             if self.metric == "l2sqr":
                 d64 = st["x2"][safe] + np.einsum("qd,qd->q", q64, q64)[:, None] - 2.0 * ip
@@ -1015,11 +1037,12 @@ class HNSWIndex:
             pid, pd_ = st["ctx"].search1(np.asarray(q, dtype=np.float64), int(k), ef_)
             if pid[-1] >= 0:  # full result: no padding to mask
                 gid = self.ids[pid]
-                if st["serve"] is not st["vecs"]:
-                    # f32 traversal: recompute final dists in f64
-                    # (same formula as beam.ExactPairDist / the oracle)
+                if st["demoted"]:
+                    # f32 traversal: recompute final dists in f64 from
+                    # the exactly-cast rows (same formula as
+                    # beam.ExactPairDist / the oracle)
                     q64 = np.asarray(q, dtype=np.float64)
-                    v = st["vecs"][pid]
+                    v = st["vecs"][pid].astype(np.float64)
                     ip = v @ q64
                     if self.metric == "l2sqr":
                         d64 = st["x2"][pid] + float(q64 @ q64) - 2.0 * ip

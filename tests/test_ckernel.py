@@ -117,11 +117,13 @@ def test_search_np_fast_path_contract(emb, metric):
                           id_col="vec_id", m=8, ef_construction=100)
     st = idx._c_views()
     assert st["serve"].dtype == np.float32      # parquet floats demote
+    assert st["demoted"]                        # and no f64 copy is kept
     from lab_1806_vec_db_spark.index.beam import ExactPairDist
     from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 
-    qmat = st["vecs"][:8].copy()
-    pd_ = ExactPairDist(st["vecs"], qmat, metric)
+    vecs64 = np.asarray(st["vecs"], dtype=np.float64)  # exact cast
+    qmat = vecs64[:8].copy()
+    pd_ = ExactPairDist(vecs64, qmat, metric)
     for i in range(8):
         ids, ds = idx.search_np(qmat[i], 5, 64)
         assert list(ds) == sorted(ds)
