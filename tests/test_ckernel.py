@@ -161,3 +161,27 @@ def test_f32_serve_demotion_skipped_for_true_f64(spark):
     st = idx._c_views()
     assert st["serve"] is st["vecs"]
     assert st["serve"].dtype == np.float64
+
+
+def test_search_np_matches_generic_across_configs(emb):
+    """Fuzz the staged single-query path against the generic batch
+    kernel across interleaved (k, ef, metric) combinations — the
+    staging tuple is cached per (k, ef, dim), so interleaving shapes
+    exercises re-staging and buffer reuse."""
+    rng = np.random.default_rng(11)
+    for metric in ("l2sqr", "cosine"):
+        idx = HNSWIndex.build(emb, metric=metric, vec_col="embedding",
+                              id_col="vec_id", m=8, ef_construction=100)
+        st = idx._c_views()
+        vecs64 = np.asarray(st["vecs"], dtype=np.float64)
+        for trial in range(12):
+            k = int(rng.integers(1, 12))
+            ef = int(rng.integers(k, 64))
+            qi = int(rng.integers(0, len(vecs64)))
+            q = vecs64[qi]
+            ids_f, d_f = idx.search_np(q, k, ef)
+            gids, dists = idx._kernel_search(q[None, :], k, ef)
+            keep = gids[0] >= 0
+            ids_g, d_g = gids[0][keep], dists[0][keep]
+            assert list(ids_f) == list(ids_g), (metric, k, ef, trial)
+            assert np.allclose(d_f, d_g, rtol=0, atol=0), (metric, k, ef, trial)
