@@ -432,3 +432,56 @@ def test_text_index_string_id_empty_search_schema(spark, tmp_path):
     out = idx.search(spark, ("spark",), k=5)
     assert out.schema["doc_id"].dataType.simpleString() == "string"
     assert out.collect() == []
+
+
+@pytest.mark.parametrize("script", [
+    # (batch_idx, crash_mode) per step; None = clean append.
+    # Every crashed step is followed by load()-repair + clean retry.
+    [(1, None), (2, "after"), (3, None)],
+    [(1, "before"), (2, "after"), (3, "after")],
+    [(1, "after"), (2, "before"), (3, None)],
+    [(1, "after"), (2, None), (3, "before")],
+])
+def test_text_index_append_protocol_sequences(spark, tmp_path, script):
+    """Protocol gauntlet: arbitrary interleavings of clean appends,
+    crashes before/after the postings commit, repairs, and retries
+    must always converge to every batch applied exactly once — with
+    empty-text docs present in every batch, the exact scenario that
+    used to skew n_docs/avgdl."""
+    from lab_1806_vec_db_spark.operators.search import TextIndex
+
+    rows = [
+        (0, "spark join window"), (1, ""), (2, "spark shuffle join"),
+        (3, "  "), (4, "window spark"), (5, "join join window"),
+        (6, ""), (7, "shuffle window spark join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batches = [
+        docs.filter(F.col("doc_id") < 2),
+        docs.filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 4)),
+        docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 6)),
+        docs.filter(F.col("doc_id") >= 6),
+    ]
+    path = str(tmp_path / "ti")
+    TextIndex.build(batches[0], path, n_buckets=8)
+    idx = TextIndex.load(path)
+    for b, mode in script:
+        if mode is None:
+            idx.add_documents(batches[b])
+            continue
+        kw = {"_fail_before_postings": True} if mode == "before" else \
+             {"_fail_after_postings": True}
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.add_documents(batches[b], **kw)
+        idx = TextIndex.load(path)          # repair
+        idx.add_documents(batches[b])       # retry (no-op iff absorbed)
+    assert idx.n_docs == 8
+    terms = ("spark", "join", "window")
+    got = [tuple(r) for r in idx.search(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    assert got == want
+    # reopen: committed state serves identically
+    idx2 = TextIndex.load(path)
+    assert idx2.n_docs == 8
+    got2 = [tuple(r) for r in idx2.search(spark, terms, k=10).collect()]
+    assert got2 == want
