@@ -140,6 +140,32 @@ static inline double dist_SUF(
     return 1.0 - ip / denom;
 }
 
+/* widened sequential dot: f64 accumulation regardless of VT — the
+ * exact-finalization precision (for f64 it equals dot_SUF) */
+static inline double wdot_SUF(const VT *a, const VT *b, int d) {
+    double acc = 0.0;
+    for (int i = 0; i < d; i++) acc += (double)a[i] * (double)b[i];
+    return acc;
+}
+
+/* exact pair distance computed entirely in f64 from the stored
+ * values (x2 recomputed widened — the stored VT x2 may be f32) */
+static inline double wdist_SUF(
+    const VT *vecs, int d, int metric,
+    const VT *q, double q2w, double qnw, long u)
+{
+    const VT *a = vecs + (size_t)u * d;
+    double ip = wdot_SUF(a, q, d);
+    double x2w = wdot_SUF(a, a, d);
+    if (metric == 0) {
+        double dd = x2w + q2w - 2.0 * ip;
+        return dd > 0.0 ? dd : 0.0;
+    }
+    double denom = sqrt(x2w) * qnw;
+    if (denom < 1e-10) denom = 1e-10;
+    return 1.0 - ip / denom;
+}
+
 /* ADC pair distance: m lookups summed (pq_table.rs:195-224; l2sqr).
  * Four independent accumulators in the LUT's own precision (the
  * reference's SIMD sums f32) + pointer stride instead of g*ksub:
@@ -337,17 +363,29 @@ int hnsw_search_SUF(
         long nres = beam_SUF(&qc, links[0], counts[0], caps[0],
                              cur, cur_d, ef, visit, epoch, cand, res);
         long nf = nres;
-        for (long i = 0; i < nf; i++) {
-            fin[i] = res[i];
-            if (qc.lut_q)  /* exact re-rank (candidate_pair.rs:102-108) */
-                fin[i].d = dist_SUF(vecs, x2, xn, d, metric,
-                                    qc.q, qc.q2, qc.qn, fin[i].id);
+        for (long i = 0; i < nf; i++) fin[i] = res[i];
+        double q2w = wdot_SUF(qc.q, qc.q, d);
+        double qnw = metric == 1 ? sqrt(q2w) : 0.0;
+        if (qc.lut_q) {
+            /* exact re-rank of the whole ef pool
+             * (candidate_pair.rs:102-108) in widened f64 */
+            for (long i = 0; i < nf; i++)
+                fin[i].d = wdist_SUF(vecs, d, metric, qc.q, q2w, qnw, fin[i].id);
         }
         qsort(fin, (size_t)nf, sizeof(pair_t), pair_cmp);
+        long kk = nf < (long)k ? nf : (long)k;
+        if (!qc.lut_q) {
+            /* finalize only the k winners: traversal picked them in VT
+             * precision; report their distances in exact f64 (for f64
+             * stores this is a no-op up to summation order) */
+            for (long i = 0; i < kk; i++)
+                fin[i].d = wdist_SUF(vecs, d, metric, qc.q, q2w, qnw, fin[i].id);
+            qsort(fin, (size_t)kk, sizeof(pair_t), pair_cmp);
+        }
         long *oi = out_ids + (size_t)qi * k;
         double *od = out_d + (size_t)qi * k;
         for (int i = 0; i < k; i++) {
-            if (i < nf) { oi[i] = fin[i].id; od[i] = fin[i].d; }
+            if (i < kk) { oi[i] = fin[i].id; od[i] = fin[i].d; }
             else { oi[i] = -1; od[i] = HUGE_VAL; }
         }
     }

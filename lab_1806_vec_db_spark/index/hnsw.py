@@ -913,22 +913,13 @@ class HNSWIndex:
         valid = pid >= 0
         gids = np.where(valid, self.ids[safe], -1)
         if st["demoted"]:
-            # f32 traversal of an f32-exact store: recompute the final
-            # distances in f64 (the gathered f32 rows cast exactly —
-            # same formula as beam.ExactPairDist / the DuckDB oracle)
-            # and re-sort by (dist, id) — traversal precision steers
-            # WHICH nodes reach the pool, never the reported distances
-            q64 = np.asarray(qmat, dtype=np.float64)
-            v = st["vecs"][safe].astype(np.float64)     # (Q, k, d)
-            ip = np.einsum("qkd,qd->qk", v, q64)
-            if self.metric == "l2sqr":
-                d64 = st["x2"][safe] + np.einsum("qd,qd->q", q64, q64)[:, None] - 2.0 * ip
-                np.maximum(d64, 0.0, out=d64)
-            else:
-                qn = np.sqrt(np.einsum("qd,qd->q", q64, q64))
-                denom = np.maximum(st["xn"][safe] * qn[:, None], 1e-10)
-                d64 = 1.0 - ip / denom
-            d64 = np.where(valid, d64, np.inf)
+            # f32 traversal of an f32-exact store: the kernel already
+            # finalized the k winners' distances in widened f64
+            # (ckernel wdist — exact on the stored values); only the
+            # tie order remains to fix, because the kernel breaks ties
+            # by LOCAL index while the contract breaks them by GLOBAL
+            # id — a k-row lexsort, no distance math here
+            d64 = np.where(valid, pd_, np.inf)
             big = np.iinfo(np.int64).max
             order = np.lexsort((np.where(valid, gids, big), d64), axis=1)
             gids = np.take_along_axis(gids, order, axis=1)
@@ -1038,21 +1029,10 @@ class HNSWIndex:
             if pid[-1] >= 0:  # full result: no padding to mask
                 gid = self.ids[pid]
                 if st["demoted"]:
-                    # f32 traversal: recompute final dists in f64 from
-                    # the exactly-cast rows (same formula as
-                    # beam.ExactPairDist / the oracle)
-                    q64 = np.asarray(q, dtype=np.float64)
-                    v = st["vecs"][pid].astype(np.float64)
-                    ip = v @ q64
-                    if self.metric == "l2sqr":
-                        d64 = st["x2"][pid] + float(q64 @ q64) - 2.0 * ip
-                        np.maximum(d64, 0.0, out=d64)
-                    else:
-                        qn = float(q64 @ q64) ** 0.5
-                        denom = np.maximum(st["xn"][pid] * qn, 1e-10)
-                        d64 = 1.0 - ip / denom
-                    order = np.lexsort((gid, d64))
-                    return gid[order], np_round_half_up(d64[order])
+                    # kernel finalized dists in widened f64 already;
+                    # re-break ties by GLOBAL id (kernel used local)
+                    order = np.lexsort((gid, pd_))
+                    return gid[order], np_round_half_up(pd_[order])
                 return gid.copy(), np_round_half_up(pd_)
             # padded result (k > reachable nodes): generic path below
         qmat = np.asarray(q, dtype=self.vecs.dtype)[None, :]
