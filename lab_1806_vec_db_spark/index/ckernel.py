@@ -140,28 +140,37 @@ static inline double dist_SUF(
     return 1.0 - ip / denom;
 }
 
-/* widened sequential dot: f64 accumulation regardless of VT — the
- * exact-finalization precision (for f64 it equals dot_SUF) */
+/* widened dot: f64 accumulation regardless of VT — the
+ * exact-finalization precision. 8 independent f64 lanes (fixed,
+ * deterministic order; vectorizes without -ffast-math) — the
+ * contract is 4-decimal rounding, which absorbs summation-order
+ * ulps just as it does between numpy's and DuckDB's orders. */
 static inline double wdot_SUF(const VT *a, const VT *b, int d) {
-    double acc = 0.0;
-    for (int i = 0; i < d; i++) acc += (double)a[i] * (double)b[i];
+    double lane[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int i = 0;
+    for (; i + 8 <= d; i += 8)
+        for (int l = 0; l < 8; l++)
+            lane[l] += (double)a[i + l] * (double)b[i + l];
+    double acc = ((lane[0] + lane[1]) + (lane[2] + lane[3]))
+               + ((lane[4] + lane[5]) + (lane[6] + lane[7]));
+    for (; i < d; i++) acc += (double)a[i] * (double)b[i];
     return acc;
 }
 
-/* exact pair distance computed entirely in f64 from the stored
- * values (x2 recomputed widened — the stored VT x2 may be f32) */
+/* exact pair distance in f64: the caller supplies the f64-exact
+ * per-node self-dots (x2w — cached once per context; the stored VT
+ * x2 may be f32), so only the ip dot is computed per pair */
 static inline double wdist_SUF(
-    const VT *vecs, int d, int metric,
+    const VT *vecs, const double *x2w, int d, int metric,
     const VT *q, double q2w, double qnw, long u)
 {
     const VT *a = vecs + (size_t)u * d;
     double ip = wdot_SUF(a, q, d);
-    double x2w = wdot_SUF(a, a, d);
     if (metric == 0) {
-        double dd = x2w + q2w - 2.0 * ip;
+        double dd = x2w[u] + q2w - 2.0 * ip;
         return dd > 0.0 ? dd : 0.0;
     }
-    double denom = sqrt(x2w) * qnw;
+    double denom = sqrt(x2w[u]) * qnw;
     if (denom < 1e-10) denom = 1e-10;
     return 1.0 - ip / denom;
 }
@@ -303,7 +312,7 @@ static __thread int tls_ef_SUF = -1;
 static __thread int tls_epoch_SUF = 0;
 
 int hnsw_search_SUF(
-    const VT *vecs, const VT *x2, const VT *xn,
+    const VT *vecs, const VT *x2, const VT *xn, const double *x2w,
     long n, int d, int metric,
     const int **links, const int **counts, const int *caps, int nlv,
     long entry, int max_level,
@@ -370,7 +379,7 @@ int hnsw_search_SUF(
             /* exact re-rank of the whole ef pool
              * (candidate_pair.rs:102-108) in widened f64 */
             for (long i = 0; i < nf; i++)
-                fin[i].d = wdist_SUF(vecs, d, metric, qc.q, q2w, qnw, fin[i].id);
+                fin[i].d = wdist_SUF(vecs, x2w, d, metric, qc.q, q2w, qnw, fin[i].id);
         }
         qsort(fin, (size_t)nf, sizeof(pair_t), pair_cmp);
         long kk = nf < (long)k ? nf : (long)k;
@@ -379,7 +388,7 @@ int hnsw_search_SUF(
              * precision; report their distances in exact f64 (for f64
              * stores this is a no-op up to summation order) */
             for (long i = 0; i < kk; i++)
-                fin[i].d = wdist_SUF(vecs, d, metric, qc.q, q2w, qnw, fin[i].id);
+                fin[i].d = wdist_SUF(vecs, x2w, d, metric, qc.q, q2w, qnw, fin[i].id);
             qsort(fin, (size_t)kk, sizeof(pair_t), pair_cmp);
         }
         long *oi = out_ids + (size_t)qi * k;
@@ -568,7 +577,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         dp = ctypes.POINTER(ctypes.c_double)
         fn = getattr(lib, f"hnsw_search_{suf}")
         fn.argtypes = [
-            vp, vp, vp,                                   # vecs, x2, xn
+            vp, vp, vp, dp,                               # vecs, x2, xn, x2w
             ctypes.c_long, ctypes.c_int, ctypes.c_int,    # n, d, metric
             _PP, _PP, ip, ctypes.c_int,                   # links, counts, caps, nlv
             ctypes.c_long, ctypes.c_int,                  # entry, max_level
@@ -663,6 +672,7 @@ class SearchCtx:
         entry: int,
         max_level: int,
         metric: str,
+        x2w: np.ndarray | None = None,
     ) -> None:
         lib = get_lib()
         assert lib is not None
@@ -673,10 +683,22 @@ class SearchCtx:
         self.metric = metric
         self._mnum = 0 if metric == "l2sqr" else 1
         caps = np.asarray([a.shape[1] for a in links], dtype=np.int32)
+        # f64-exact per-node self-dots for the kernel's widened
+        # finalization; derived from x2 when the store is already f64
+        if x2w is None:
+            x2w = (
+                np.ascontiguousarray(x2, dtype=np.float64)
+                if vecs.dtype == np.float64
+                else np.einsum(
+                    "ij,ij->i", vecs.astype(np.float64), vecs.astype(np.float64)
+                )
+            )
+        x2w = np.ascontiguousarray(x2w, dtype=np.float64)
         # keep every array referenced for the pointers' lifetime
-        self._keep = (vecs, x2, xn, list(links), list(counts), caps)
+        self._keep = (vecs, x2, xn, x2w, list(links), list(counts), caps)
         self._head = (
             _ptr(vecs, self._vt), _ptr(x2, self._vt), _ptr(xn, self._vt),
+            _ptr(x2w, ctypes.c_double),
             vecs.shape[0], vecs.shape[1], self._mnum,
             level_ptrs(links), level_ptrs(counts),
             _ptr(caps, ctypes.c_int), len(links),

@@ -886,7 +886,7 @@ class HNSWIndex:
                 "counts": counts,
                 "ctx": ckernel.SearchCtx(
                     serve, s2, sn, links, counts,
-                    g.entry, g.max_level, self.metric,
+                    g.entry, g.max_level, self.metric, x2w=x2,
                 ),
             }
         return self._c_state
