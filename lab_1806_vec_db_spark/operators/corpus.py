@@ -340,3 +340,74 @@ def repetition_stats(
         n_dist.cast("bigint").alias("n_distinct"),
         ratio.alias("rep_ratio"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    join_sep: str | None = None,
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Corpus-wide repeated-line (boilerplate) removal — the
+    sub-document dedup stage between exact whole-doc dedup and fuzzy
+    MinHash: a line that appears in more than ``max_df`` DISTINCT
+    documents (headers, footers, nav bars, license blurbs) is removed
+    from every document that contains it, preserving the order of the
+    surviving lines.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_kept, clean_text)`` — ``clean_text`` is the
+    document rebuilt from its surviving lines in original order
+    (empty string when every line was boilerplate).
+
+    Plan shape at 100 TB: ``posexplode`` is map-only; line
+    document-frequency is ONE shuffle keyed by the line (partial
+    count-distinct map-side). The boilerplate set — lines with
+    ``df > max_df`` — is SMALL by construction (bounded by
+    total_lines / max_df, in practice the corpus's boilerplate
+    vocabulary), so the removal is a broadcast ANTI-join: the exploded
+    big side is never shuffled a second time. The rebuild is one agg
+    shuffle keyed by ``id`` . ``broadcast_boiler=False`` drops the
+    hint for a pathological corpus whose boilerplate set outgrows the
+    broadcast cap (AQE then picks the strategy).
+
+    ``sep`` is a Java regex (`F.split` semantics); ``join_sep`` is the
+    LITERAL separator used to rebuild (defaults to ``sep``, which is
+    correct whenever ``sep`` is a plain character like ``"\\n"``).
+    """
+    rejoin = sep if join_sep is None else join_sep
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") > int(max_df))
+        .select("line")
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            rejoin,
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines").cast("bigint"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

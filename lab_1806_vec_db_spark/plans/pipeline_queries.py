@@ -1417,3 +1417,176 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_batch(_docs(spark, sf_dir), qdf, k=10).orderBy(
         "query_id", F.col("score").desc(), "doc_id"
     )
+
+
+# ---- PII scrub / repeated-line dedup / URL normalization (round 7) --------
+# The documents table is synthetic word soup with no natural PII, URLs
+# or line structure, so each entry DERIVES the structure it exercises
+# from (doc_id, source, text) with the same deterministic expression on
+# both engines — the operator under test then runs on driver-provided
+# bytes, not hand-planted fixtures.
+
+
+def _pii_enrich_spark() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), d, F.lit("@example.com")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("cc admin@example.org")
+        ).otherwise(F.lit("plain")),
+        F.concat(
+            F.lit("555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat(
+            F.lit("10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+        F.concat(F.lit("https://docs.example.org/p"), d, F.lit("?ref=mail")),
+    )
+
+
+_PII_ENRICH_SQL = (
+    "concat_ws(' ', text,"
+    " 'user' || CAST(doc_id AS VARCHAR) || '@example.com',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'cc admin@example.org' ELSE 'plain' END,"
+    " '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    "        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    "         || CAST((doc_id * 7) % 256 AS VARCHAR),"
+    " 'https://docs.example.org/p' || CAST(doc_id AS VARCHAR) || '?ref=mail')"
+)
+
+
+def _pii_oracle() -> str:
+    from lab_1806_vec_db_spark.functions.pii import pii_counts_sql, pii_redact_sql
+
+    counts = ", ".join(pii_counts_sql("t"))
+    return f"""WITH e AS (SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents)
+SELECT doc_id, {counts}, md5({pii_redact_sql('t')}) AS redact_sig
+FROM e ORDER BY doc_id"""
+
+
+@register("corpus_pii_scrub", _pii_oracle())
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): per-document match counts for
+    email/url/phone/ipv4 plus the md5 of the fully redacted text.
+    Map-only Catalyst regexes (regexp_count / regexp_replace) in the
+    RE2∩Java-regex common dialect — at 100 TB this fuses into the scan
+    with zero shuffle and zero Python."""
+    from lab_1806_vec_db_spark.functions import pii
+
+    e = _docs(spark, sf_dir).select("doc_id", _pii_enrich_spark().alias("t"))
+    return e.select(
+        "doc_id",
+        *pii.pii_counts("t"),
+        F.md5(pii.pii_redact("t")).alias("redact_sig"),
+    ).orderBy("doc_id")
+
+
+_LINE_N = 3  # tokens per derived line
+
+_LINES_SQL = (
+    f"list_transform(range(0, CAST(ceil(len({_TOKS}) / {_LINE_N}.0) AS BIGINT)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i*{_LINE_N}+1, i*{_LINE_N}+{_LINE_N}), ' '))"
+)
+
+
+@register(
+    "corpus_line_dedup",
+    f"""WITH chunked AS (
+  SELECT doc_id, {_LINES_SQL} AS ls FROM documents),
+lines AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+      i -> {{'pos': i, 'line': ls[i]}}), recursive := true)
+  FROM chunked),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 2),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  ANTI JOIN boiler b ON l.line = b.line),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_sig
+  FROM kept GROUP BY doc_id)
+SELECT c.doc_id, len(c.ls) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_sig, md5('')) AS clean_sig
+FROM chunked c LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY c.doc_id""",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line (boilerplate) removal
+    (operators/corpus.py:line_dedup): re-chunk each document into
+    3-token lines, drop every line appearing in >2 distinct documents,
+    rebuild in original order. One line-keyed agg shuffle + a
+    broadcast ANTI-join (the boilerplate set is small by construction)
+    + one id-keyed rebuild shuffle — the sub-document dedup stage
+    between exact dedup and MinHash at 100 TB."""
+    from lab_1806_vec_db_spark.operators.corpus import line_dedup
+
+    toks = F.split(F.col("text"), " ")
+    n_ln = F.ceil(F.size(toks) / F.lit(_LINE_N)).cast("int")
+    lines_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_ln - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * _LINE_N + 1, F.lit(_LINE_N))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs2 = _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = line_dedup(docs2, max_df=2, sep="\n")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean_text").alias("clean_sig"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_url_domains",
+    """WITH u AS (
+  SELECT 'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END
+         || upper(source) || '.Example.com/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT lower(regexp_extract(url, 'https?://(?:www\\.)?([^/?#]+)', 1)) AS domain
+  FROM u)
+SELECT domain, count(*) AS n_urls
+FROM d GROUP BY domain ORDER BY domain""",
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → normalized registrable-domain rollup: extract the host,
+    strip the www. prefix, casefold, count per domain — the
+    domain-level frequency table a crawl pipeline filters against
+    (blocklists, per-domain caps). Map-only regexp_extract + one
+    map-combined agg shuffle."""
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.upper("source"),
+        F.lit(".Example.com/p"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.lower(
+                F.regexp_extract(url, r"https?://(?:www\.)?([^/?#]+)", 1)
+            ).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("domain")
+    )
