@@ -325,6 +325,18 @@ def run_pipeline_suite(spark) -> dict:
 
     bench_op("chunk_64_16", lambda: chunk_documents(docs, 64, 16))
     bench_op("repetition_3gram", lambda: repetition_stats(docs, n=3))
+
+    from lab_1806_vec_db_spark.functions import pii
+    from lab_1806_vec_db_spark.operators.corpus import line_dedup
+
+    # map-only scrub over every document (counts + full redaction)
+    bench_op("pii_scrub", lambda: docs.select(
+        "doc_id", *pii.pii_counts("text"),
+        F.md5(pii.pii_redact("text")).alias("sig")))
+    # corpus-wide boilerplate removal over word-level "lines"
+    bench_op("line_dedup", lambda: line_dedup(
+        docs.selectExpr("doc_id", "regexp_replace(text, ' ', '\n') AS text"),
+        max_df=int(n_docs * 0.2)))
     docs.unpersist()
     out["n_docs"] = n_docs
     return out

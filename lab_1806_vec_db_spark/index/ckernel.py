@@ -528,6 +528,42 @@ int adc_block_SUF(
     }
     return 0;
 }
+
+/*
+ * ADC lookup-table build for the uniform-group l2sqr serving regime
+ * (pq_table.rs:195-224): out[q][j][c] = ||q_j - C_{j,c}||^2 as the
+ * direct sum of squared differences (>= 0 by construction, no clamp).
+ * The numpy span builder spends more time in op dispatch and
+ * temporaries than in its 15 MFLOP of arithmetic (m tiny GEMMs of
+ * (q' x s)@(s x ksub), s ~ 3) and convoys on alloc/GIL when 32 spans
+ * start at once; this loop is one GIL-released call per span.
+ */
+int adc_lut_SUF(
+    const VT *qs, long nq, int d,
+    const VT *cbs, int m, int ksub, int s,
+    VT *out)
+{
+    (void)d;
+    for (long qi = 0; qi < nq; qi++) {
+        const VT *q = qs + (size_t)qi * m * s;
+        VT *o = out + (size_t)qi * m * ksub;
+        for (int j = 0; j < m; j++) {
+            const VT *qj = q + (size_t)j * s;
+            const VT *cj = cbs + (size_t)j * ksub * s;
+            VT *oj = o + (size_t)j * ksub;
+            for (int c = 0; c < ksub; c++) {
+                const VT *cc = cj + (size_t)c * s;
+                VT acc = 0;
+                for (int t = 0; t < s; t++) {
+                    VT diff = qj[t] - cc[t];
+                    acc += diff * diff;
+                }
+                oj[c] = acc;
+            }
+        }
+    }
+    return 0;
+}
 """
 
 
@@ -615,6 +651,13 @@ def _bind(lib: ctypes.CDLL) -> None:
             dp,
         ]
         ab.restype = ctypes.c_int
+        al = getattr(lib, f"adc_lut_{suf}")
+        al.argtypes = [
+            vp, ctypes.c_long, ctypes.c_int,              # qs, nq, d
+            vp, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # cbs, m, ksub, s
+            vp,                                           # out
+        ]
+        al.restype = ctypes.c_int
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -900,3 +943,24 @@ def pq_flat(
     if rc != 0:
         raise MemoryError("pq flat C kernel allocation failure")
     return out_ids, out_d
+
+
+def adc_lut(qspan: np.ndarray, cbs: np.ndarray) -> np.ndarray:
+    """Uniform-group l2sqr ADC LUT for a query span: ``(q', m, 2^b)``
+    sub-distance tensor from a prepped contiguous ``(m, ksub, s)``
+    codebook tensor. One GIL-released C call — the thread-pool serve
+    path builds its per-span LUT here with zero numpy temporaries.
+    Caller guarantees: kernel available, ``qspan`` 2-D with
+    ``d == m*s``, both operands the same f32/f64 dtype."""
+    lib = get_lib()
+    assert lib is not None
+    m, ksub, s = cbs.shape
+    vt = ctypes.c_float if cbs.dtype == np.float32 else ctypes.c_double
+    fn = getattr(lib, "adc_lut_f32" if cbs.dtype == np.float32 else "adc_lut_f64")
+    qs = np.ascontiguousarray(qspan, dtype=cbs.dtype)
+    nq, d = qs.shape
+    out = np.empty((nq, m, ksub), dtype=cbs.dtype)
+    rc = fn(_ptr(qs, vt), nq, d, _ptr(cbs, vt), m, ksub, s, _ptr(out, vt))
+    if rc != 0:
+        raise MemoryError("adc lut C kernel failure")
+    return out

@@ -179,6 +179,26 @@ def lut_span_builder(
     cbt = np.ascontiguousarray(cbs.transpose(0, 2, 1))  # (m, s, ksub)
     c2 = np.einsum("mks,mks->mk", cbs, cbs)
 
+    if comp is np.float32:
+        # f32 serving fast path: one GIL-released C call per span
+        # (direct Σ(q−c)² — ≥0 by construction, so no clamp; differs
+        # from the algebraic form below only in f32 rounding order,
+        # which the exact re-rank finalization absorbs). The numpy
+        # form costs ~40 µs/query in op dispatch and temporaries for
+        # 15 kFLOP of arithmetic, and 32 spans starting at once convoy
+        # on allocation — measured 12 ms of a 60 ms serve at Q=1000.
+        # f64 keeps the numpy path: its operation order is the
+        # oracle-stable one.
+        from lab_1806_vec_db_spark.index import ckernel
+
+        if ckernel.available():
+            cbs_c = np.ascontiguousarray(cbs)
+
+            def build_c(qspan: np.ndarray) -> np.ndarray:
+                return ckernel.adc_lut(np.asarray(qspan, dtype=comp), cbs_c)
+
+            return build_c
+
     def build(qspan: np.ndarray) -> np.ndarray:
         nq = qspan.shape[0]
         qg = np.ascontiguousarray(np.asarray(qspan, dtype=comp).reshape(nq, m, s))

@@ -185,3 +185,27 @@ def test_search_np_matches_generic_across_configs(emb):
             ids_g, d_g = gids[0][keep], dists[0][keep]
             assert list(ids_f) == list(ids_g), (metric, k, ef, trial)
             assert np.allclose(d_f, d_g, rtol=0, atol=0), (metric, k, ef, trial)
+
+
+def test_adc_lut_c_matches_numpy_form():
+    """The f32 C LUT builder (ckernel.adc_lut, direct Σ(q−c)²) matches
+    the algebraic numpy span-builder form to f32 rounding, and the f64
+    span path still uses the byte-stable numpy order."""
+    from lab_1806_vec_db_spark.index.pq import lut_span_builder, pq_groups
+
+    if not ckernel.available():
+        pytest.skip("no C kernel")
+    rng = np.random.default_rng(5)
+    for m, s in ((16, 3), (8, 5), (12, 1)):
+        dim = m * s
+        cbs = [rng.normal(size=(16, s)) for _ in range(m)]
+        groups = pq_groups(dim, m)
+        q = rng.normal(size=(9, dim))
+        qg = q.reshape(9, m, s)
+        ref = ((qg[:, :, None, :] - np.stack(cbs)[None]) ** 2).sum(-1)
+        lb32 = lut_span_builder(cbs, groups, 4, "l2sqr", dtype=np.float32)
+        got = lb32(q)
+        assert got.dtype == np.float32
+        assert np.allclose(got, ref, rtol=1e-5, atol=1e-5)
+        lb64 = lut_span_builder(cbs, groups, 4, "l2sqr", dtype=np.float64)
+        assert np.allclose(lb64(q), ref, rtol=0, atol=1e-12)

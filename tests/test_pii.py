@@ -124,3 +124,51 @@ def test_line_dedup_custom_regex_sep(spark):
     out = line_dedup(df, max_df=5, sep=";+", join_sep=";").collect()[0]
     assert out["clean_text"] == "a;b;c"
     assert out["n_lines"] == 3
+
+
+def test_pii_scrub_stream_equals_batch(spark, tmp_path):
+    """PII scrub is map-only, so it composes with Structured Streaming
+    unchanged: the same select over readStream must emit exactly the
+    batch rows — the unified-model contract that lets the scrub run
+    inside an ingest stream at no extra cost."""
+    rows = [
+        (1, "mail me a.b@x-y.co today"),
+        (2, "ip 10.0.0.7 url https://h.io/p?q=1"),
+        (3, "clean row"),
+        (4, "call 555-123-4567 or 555-999-0000 x"),
+    ]
+    src = str(tmp_path / "pii_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def scrub(df):
+        return df.select(
+            "doc_id", *pii.pii_counts("text"), pii.pii_redact("text").alias("red")
+        )
+
+    batch_rows = sorted(tuple(r) for r in scrub(spark.read.parquet(src)).collect())
+    q = (
+        scrub(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("pii_scrub_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM pii_scrub_test").collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_line_dedup_identity_when_threshold_exceeds_corpus(spark):
+    # max_df >= number of docs → nothing is boilerplate → exact rebuild
+    rows = [(i, f"common line\nuniq {i}\nshared {i % 2}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, max_df=6).collect()}
+    for i, text in rows:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_kept"] == out[i]["n_lines"] == 3
