@@ -306,7 +306,10 @@ from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
 #   entries that errored in r06 (array outputs, now flattened), then 21
 #   of the r06-green core to re-confirm.
 #   r08+: swap the front block with whatever sat past the window last
-#   round (everything from r06-green not listed below).
+#   round (everything from r06-green not listed below, PLUS the three
+#   round-7 additions registered past the window: corpus_pii_scrub,
+#   corpus_line_dedup, text_url_domains — 30 entries for the r08
+#   front block).
 _DRIVER_WINDOW_FRONT = [
     # -- never driver-checked through r06 (registered past slot 49) --
     "events_topn_per_window",
