@@ -306,18 +306,128 @@ def bigram_stats(
     )
 
 
+def _repetition_ratio_expr() -> F.Column:
+    """The 4-dp half-up repetition ratio from the (n_grams, n_distinct)
+    columns — ALWAYS evaluated by Catalyst so both repetition_stats
+    implementations (and the DuckDB oracle, whose round matches
+    Spark's HALF_UP on doubles) share bit-identical rounding."""
+    ng, nd = F.col("n_grams"), F.col("n_distinct")
+    return F.when(
+        ng > 0,
+        F.round(F.lit(1.0) - nd.cast("double") / ng, 4) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+
+
+def _repetition_counts_batches(n: int, id_col: str, text_col: str):
+    """mapInPandas body for the vectorized repetition path: per Arrow
+    batch, factorize every token of the batch (token identity is
+    per-doc, so a batch-local vocabulary is exact), lay the code
+    sequence out flat, and count per-doc total / distinct ``n``-grams
+    with one vectorized sort — no per-row Python loops beyond
+    ``str.split`` (which matches ``F.split(text, " ")``: a literal
+    single-space pattern with limit -1 keeps leading/trailing
+    empties in both engines)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            n_rows = len(pdf)
+            ng = np.zeros(n_rows, dtype=np.int64)
+            nd = np.zeros(n_rows, dtype=np.int64)
+            if n_rows:
+                toks = [
+                    t.split(" ") if isinstance(t, str) else []
+                    for t in pdf[text_col]
+                ]
+                lens = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=n_rows
+                )
+                elig = lens >= n
+                ng[elig] = lens[elig] - (n - 1)
+                flat = np.asarray(
+                    list(
+                        itertools.chain.from_iterable(
+                            t for t, e in zip(toks, elig) if e
+                        )
+                    ),
+                    dtype=object,
+                )
+                if len(flat) >= n:
+                    codes, vocab = pd.factorize(flat)
+                    codes = codes.astype(np.int64, copy=False)
+                    doc_idx = np.repeat(np.nonzero(elig)[0], lens[elig])
+                    m = len(codes) - (n - 1)
+                    # a gram is valid only when it doesn't straddle a
+                    # document boundary in the flat layout
+                    valid = doc_idx[:m] == doc_idx[n - 1 :]
+                    cols = [doc_idx[:m][valid]] + [
+                        codes[k : m + k][valid] for k in range(n)
+                    ]
+                    v = int(len(vocab))
+                    # pack (doc, c0..c{n-1}) into ONE int64 when the
+                    # mixed-radix product fits — a plain int64 sort is
+                    # ~30× a structured-dtype unique
+                    if v > 0 and n_rows * (v**n) < (1 << 62):
+                        key = cols[0]
+                        for c in cols[1:]:
+                            key = key * v + c
+                        uniq_doc = np.unique(key) // (v**n)
+                    else:
+                        arr = np.ascontiguousarray(
+                            np.column_stack(cols), dtype=np.int64
+                        )
+                        view = arr.view(
+                            [(f"f{i}", np.int64) for i in range(n + 1)]
+                        ).ravel()
+                        uniq_doc = np.unique(view)["f0"]
+                    nd = np.bincount(
+                        uniq_doc.astype(np.int64), minlength=n_rows
+                    ).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_grams": ng, "n_distinct": nd[:n_rows]}
+            )
+
+    return fn
+
+
 def repetition_stats(
     docs: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Within-document repetition signal — the corpus-cleaning filter
     that catches boilerplate/spam: fraction of the document's word
-    ``n``-grams that are repeats (1 - distinct/total). Pure Catalyst
-    array expressions per row — zero shuffle, fuses into the scan.
-    Returns (id, n_grams, n_distinct, rep_ratio); docs shorter than
-    ``n`` tokens report 0 grams and ratio 0.0."""
+    ``n``-grams that are repeats (1 - distinct/total). Returns
+    (id, n_grams, n_distinct, rep_ratio); docs shorter than ``n``
+    tokens report 0 grams and ratio 0.0.
+
+    ``impl="vectorized"`` (default) counts grams in an Arrow-batched
+    ``mapInPandas`` (batch-local factorize + one int64 sort per batch
+    — ~10× the Catalyst path's constant factor, which spends its time
+    materializing every gram as a Java string); ``impl="catalyst"``
+    keeps the pure-expression form. BOTH are map-only with zero
+    shuffle — at 100 TB each is a single scan stage — and both feed
+    the SAME Catalyst ratio expression, so results are bit-identical
+    across impls and vs the DuckDB oracle."""
+    if impl == "vectorized":
+        id_type = dict(docs.dtypes)[id_col]
+        counts = docs.select(id_col, text_col).mapInPandas(
+            _repetition_counts_batches(n, id_col, text_col),
+            schema=f"{id_col} {id_type}, n_grams bigint, n_distinct bigint",
+        )
+        return counts.select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_distinct"),
+            _repetition_ratio_expr().alias("rep_ratio"),
+        )
+    if impl != "catalyst":
+        raise ValueError(f"repetition_stats: unknown impl {impl!r}")
     toks = F.split(F.col(text_col), " ")
     # guard: sequence(1, 0) DESCENDS in Spark, so short docs must map
     # to an empty gram list explicitly
@@ -328,17 +438,15 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_total = F.size(grams)
-    n_dist = F.size(F.array_distinct(grams))
-    ratio = F.when(
-        n_total > 0,
-        F.round(F.lit(1.0) - n_dist.cast("double") / n_total, 4) + F.lit(0.0),
-    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
-        n_total.cast("bigint").alias("n_grams"),
-        n_dist.cast("bigint").alias("n_distinct"),
-        ratio.alias("rep_ratio"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    ).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_distinct"),
+        _repetition_ratio_expr().alias("rep_ratio"),
     )
 
 

@@ -1207,7 +1207,9 @@ FROM g ORDER BY doc_id""",
 def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document 3-gram repetition ratio (operators/corpus.py:
     repetition_stats) — the boilerplate/spam screen of corpus
-    cleaning. Pure per-row Catalyst array math, zero shuffle."""
+    cleaning. Arrow-batched vectorized gram counting (map-only, zero
+    shuffle) + a Catalyst ratio expression shared with the pure-
+    expression impl for bit-identical rounding."""
     from lab_1806_vec_db_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir), n=3).orderBy("doc_id")

@@ -373,7 +373,8 @@ def test_bigram_stats_hand_counted(spark):
     assert out == {"a b": 3, "b a": 1, "b c": 1}
 
 
-def test_repetition_stats_hand_counted(spark):
+@pytest.mark.parametrize("impl", ["vectorized", "catalyst"])
+def test_repetition_stats_hand_counted(spark, impl):
     from lab_1806_vec_db_spark.operators.corpus import repetition_stats
 
     df = spark.createDataFrame(
@@ -382,10 +383,36 @@ def test_repetition_stats_hand_counted(spark):
          (3, "q r")],          # shorter than n → 0 grams
         "doc_id bigint, text string",
     )
-    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3, impl=impl).collect()}
     assert (out[1]["n_grams"], out[1]["n_distinct"], out[1]["rep_ratio"]) == (4, 2, 0.5)
     assert (out[2]["n_grams"], out[2]["n_distinct"], out[2]["rep_ratio"]) == (2, 2, 0.0)
     assert (out[3]["n_grams"], out[3]["n_distinct"], out[3]["rep_ratio"]) == (0, 0, 0.0)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5])
+def test_repetition_stats_impl_parity(spark, n):
+    """The vectorized (mapInPandas factorize+sort) and catalyst
+    (per-row array expression) implementations must be bit-identical
+    on adversarial tokenizations: empty strings, leading/trailing/
+    doubled spaces (F.split keeps the empty tokens — so must
+    str.split), single-token vocab, docs shorter than n, and a doc
+    long enough to span Arrow batch math."""
+    rows = [
+        (1, "a b a b a b a"),
+        (2, ""),                       # one empty token
+        (3, " lead and trail "),       # empty first/last tokens
+        (4, "x  x  x"),                # doubled spaces → empty tokens
+        (5, "same same same same same same"),
+        (6, "q"),                      # shorter than most n
+        (7, " ".join(str(i % 7) for i in range(500))),
+        (8, "tail a tail a tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from lab_1806_vec_db_spark.operators.corpus import repetition_stats
+
+    vec = sorted(map(tuple, repetition_stats(df, n=n).collect()))
+    cat = sorted(map(tuple, repetition_stats(df, n=n, impl="catalyst").collect()))
+    assert vec == cat
 
 
 import pytest as _pt

@@ -172,3 +172,36 @@ def test_line_dedup_identity_when_threshold_exceeds_corpus(spark):
     for i, text in rows:
         assert out[i]["clean_text"] == text
         assert out[i]["n_kept"] == out[i]["n_lines"] == 3
+
+
+def test_pii_randomized_corpus_parity(spark):
+    """Randomized stress parity: 300 seeded strings over a PII-shaped
+    alphabet (digits, dots, @, dashes, scheme fragments) — every count
+    and the full redaction must agree between Spark's Java regex and
+    DuckDB's RE2 on all of them. Catches dialect drift (greediness,
+    \\b semantics, class edge cases) that the curated EDGE_TEXTS
+    can't."""
+    import random
+
+    rng = random.Random(1806)
+    frags = [
+        "a", "bc", "x9", "10", "255", "999", "0", ".", "..", "@", "-", "--",
+        " ", "  ", "http://", "https://", "://", "example", "com", "org",
+        "555", "1234", "@.", ".@", "a@b", ".co", "0.0", "www.", "?q=1", "/p",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["t"])
+    rows = sdf.select(
+        "t", *pii.pii_counts("t"), pii.pii_redact("t").alias("red")
+    ).collect()
+    con = duckdb.connect()
+    bad = []
+    for r in rows:
+        dc = _duck_counts(con, r["t"])
+        dr = _duck_redact(con, r["t"])
+        if dc != {k: r[f"n_{k}"] for k in pii.PII_PATTERNS} or dr != r["red"]:
+            bad.append((r["t"], dc, dr, r["red"]))
+    assert not bad, bad[:3]
