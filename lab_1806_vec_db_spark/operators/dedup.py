@@ -117,29 +117,108 @@ def minhash_perm_consts(j: int) -> tuple[int, int]:
     return 1 + 103_969 * j, 12_345 + 791 * j
 
 
+def _minhash_row_sig_batches(n: int, num_hashes: int, id_col: str, text_col: str):
+    """mapInPandas body for the vectorized MinHash path: per Arrow
+    batch, shingle each row in Python (``str.split(" ")`` matches
+    ``F.split(text, " ")`` — literal single-space pattern, empties
+    kept), md5-hash each DISTINCT shingle once (`hashlib` md5 prefix
+    == functions/text.py:hash32 bit-for-bit), then all ``num_hashes``
+    affine permutations collapse to one numpy (num_hashes × shingles)
+    min — no per-permutation Python loop. A batch-local hash cache
+    dedups repeated shingles across rows.
+
+    Rows with no shingles emit the ``MINHASH_P`` sentinel (an affine
+    value is always < P, so the sentinel can't collide); the caller's
+    min-aggregate turns surviving sentinels into the -1 contract
+    value. Exact: a_max·h + b < 2^21·2^32 + 2^32 < 2^63 — int64-safe,
+    same bound the Catalyst form relies on."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    consts = [minhash_perm_consts(j) for j in range(num_hashes)]
+    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+
+    def fn(batches):
+        cache: dict[str, int] = {}
+
+        def h32(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = cache[g] = int.from_bytes(
+                    hashlib.md5(g.encode("utf-8")).digest()[:4], "big"
+                )
+            return v
+
+        for pdf in batches:
+            sigs = np.full((len(pdf), num_hashes), MINHASH_P, dtype=np.int64)
+            for i, t in enumerate(pdf[text_col]):
+                toks = t.split(" ") if isinstance(t, str) else []
+                if len(toks) < n:
+                    continue
+                sh = {" ".join(toks[s:s + n]) for s in range(len(toks) - n + 1)}
+                hs = np.fromiter((h32(g) for g in sh), dtype=np.int64, count=len(sh))
+                sigs[i] = ((A * hs[None, :] + B) % MINHASH_P).min(axis=1)
+            out = {id_col: pdf[id_col]}
+            for j in range(num_hashes):
+                out[f"_s{j}"] = sigs[:, j]
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
     num_hashes: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "vectorized",
 ) -> DataFrame:
-    """MinHash signatures, the scalable shape: explode shingles (map
-    only), hash each shingle ONCE (md5-prefix), then every permutation
-    is a cheap affine map computed as ``min`` aggregates in a single
-    keyed pass — 1 cryptographic hash per shingle instead of
-    ``num_hashes`` (the classic a·h+b universal-hash construction).
+    """MinHash signatures: hash each shingle ONCE (md5-prefix), then
+    every permutation is a cheap affine map collapsed by ``min`` — 1
+    cryptographic hash per shingle instead of ``num_hashes`` (the
+    classic a·h+b universal-hash construction).
 
     ``id_col`` is the document KEY: rows sharing an id are fingerprinted
-    as one merged document (like every keyed operator here) — feed a
-    unique id per document.
+    as one merged document (union of shingle sets ≡ elementwise min of
+    per-row signatures — both impls honor this).
 
-    Plan at 100 TB: one groupBy(id) shuffle whose map-side partial
-    aggregation collapses each task's rows to ≤num_hashes values per
-    doc — the shuffle carries signatures, not shingles. Empty docs
-    (fewer than n tokens) keep one NULL row through ``explode_outer``,
-    so the all--1 sentinel falls out of the same single pass (min over
-    NULL → NULL → coalesce), no second join."""
+    ``impl="vectorized"`` (default) computes per-row signatures in an
+    Arrow-batched ``mapInPandas`` (one numpy min over the affine plane
+    per row, batch-local md5 cache) — ~2× the Catalyst form's constant
+    factor, which pays to materialize every shingle as a Java string
+    and explode it. ``impl="catalyst"`` keeps the pure-expression
+    explode → hash → min-agg plan. BOTH end in the same groupBy(id)
+    min-aggregate whose map-side partials collapse each task's rows to
+    ≤num_hashes ints per doc — at 100 TB the one shuffle carries
+    signatures, never shingles — and both are bit-identical (gated in
+    tests/test_dedup_text.py). Empty docs (fewer than ``n`` tokens)
+    report the all--1 sentinel."""
+    if impl == "vectorized":
+        id_type = dict(df.dtypes)[id_col]
+        per_row = df.select(id_col, text_col).mapInPandas(
+            _minhash_row_sig_batches(n, num_hashes, id_col, text_col),
+            schema=f"{id_col} {id_type}, "
+            + ", ".join(f"_s{j} bigint" for j in range(num_hashes)),
+        )
+        merged = per_row.groupBy(id_col).agg(
+            *[F.min(f"_s{j}").alias(f"_s{j}") for j in range(num_hashes)]
+        )
+        # a doc whose every row was shingle-less still carries the P
+        # sentinel after the min — map it to the -1 contract value
+        return merged.select(
+            id_col,
+            F.array(*[
+                F.when(F.col(f"_s{j}") == MINHASH_P, F.lit(-1).cast("bigint"))
+                .otherwise(F.col(f"_s{j}"))
+                for j in range(num_hashes)
+            ]).alias("sig"),
+        )
+    if impl != "catalyst":
+        raise ValueError(f"minhash_signatures: unknown impl {impl!r}")
     grams = df.select(F.col(id_col), F.explode_outer(word_shingles(text_col, n)).alias("_s"))
     hashed = grams.select(id_col, hash32(F.col("_s")).alias("_h"))
     aggs = []
@@ -211,9 +290,22 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     threshold. The exact verify joins shingle sets back onto the
-    (bucket-bounded) candidate pairs only."""
-    cand = lsh_candidate_pairs(df, n, num_hashes, bands, text_col, id_col)
-    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+    (bucket-bounded) candidate pairs only — and shingles are computed
+    ONLY for docs that appear in some candidate pair: the candidate
+    set is materialized once (it is bucket-bounded small by the LSH
+    construction) and its id set broadcast-semi-prunes the corpus
+    before the shingle projection, so at 100 TB the verify stage
+    re-reads gram arrays for the colliding sliver, not every row."""
+    cand = lsh_candidate_pairs(df, n, num_hashes, bands, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "semi")
+    sh = pruned.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
     return (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -65,6 +65,43 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 1) in verified and verified[(0, 1)] == 1.0
 
 
+@pytest.mark.parametrize("n,num_hashes", [(1, 4), (3, 16), (5, 8)])
+def test_minhash_signatures_impl_parity(spark, n, num_hashes):
+    """The vectorized (mapInPandas hashlib+numpy) and catalyst
+    (explode + JVM md5 + min-agg) signature implementations must be
+    bit-identical on adversarial tokenizations — empty strings, NULL
+    text, leading/trailing/doubled spaces (F.split keeps the empty
+    tokens), non-ASCII shingles (md5 over UTF-8 bytes), docs shorter
+    than n, and DUPLICATE ids (rows sharing an id merge into one
+    document: union of shingle sets == elementwise min of per-row
+    signatures, including a shingle-less row that must NOT drag the
+    merged signature to the sentinel)."""
+    rows = [
+        (1, "a b a b a b a"),
+        (2, ""),
+        (2, "dup id second row x y z w"),   # merges with the empty row
+        (3, " lead and trail "),
+        (4, "x  x  x"),
+        (5, "naïve café über naïve café"),  # UTF-8 multi-byte shingles
+        (6, "q"),
+        (7, " ".join(str(i % 11) for i in range(400))),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vec = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in D.minhash_signatures(df, n=n, num_hashes=num_hashes).collect()
+    )
+    cat = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in D.minhash_signatures(
+            df, n=n, num_hashes=num_hashes, impl="catalyst"
+        ).collect()
+    )
+    assert vec == cat
+    assert dict(vec)[8] == (-1,) * num_hashes  # NULL text → sentinel
+
+
 def test_simhash_properties(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]
