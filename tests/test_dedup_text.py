@@ -102,6 +102,32 @@ def test_minhash_signatures_impl_parity(spark, n, num_hashes):
     assert dict(vec)[8] == (-1,) * num_hashes  # NULL text → sentinel
 
 
+def test_vectorized_impl_parity_randomized(spark):
+    """Seeded stress parity for BOTH vectorized operators: 200 random
+    texts over a space-heavy alphabet (runs of spaces, empty tokens,
+    unicode, long repeats) must produce bit-identical results from the
+    mapInPandas and Catalyst implementations — one Spark run per impl,
+    whole-frame compare."""
+    import random
+
+    from lab_1806_vec_db_spark.operators.corpus import repetition_stats
+
+    rng = random.Random(20260815)
+    frags = ["a", "b", "ab", "ç", "€", " ", "  ", "   ", "a a", "b  b"]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for op, kw in [
+        (repetition_stats, dict(n=3)),
+        (D.minhash_signatures, dict(n=2, num_hashes=8)),
+    ]:
+        vec = sorted(map(repr, op(df, **kw).collect()))
+        cat = sorted(map(repr, op(df, impl="catalyst", **kw).collect()))
+        assert vec == cat, op.__name__
+
+
 def test_simhash_properties(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]

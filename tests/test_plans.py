@@ -106,6 +106,28 @@ def test_decontaminate_pushes_split_predicate(docs):
     assert "Not(EqualTo(source,src0))" in plan
 
 
+def test_repetition_vectorized_is_map_only(docs):
+    from lab_1806_vec_db_spark.operators.corpus import repetition_stats
+
+    plan = _plan(repetition_stats(docs, n=3))
+    # the Arrow-batched gram counter must stay a single scan stage:
+    # no exchange anywhere, counting happens inside MapInPandas
+    assert ") Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_minhash_vectorized_shuffles_signatures_not_shingles(docs):
+    from lab_1806_vec_db_spark.operators.dedup import minhash_signatures
+
+    plan = _plan(minhash_signatures(docs, n=3, num_hashes=16))
+    # exactly ONE exchange — the groupBy(id) merge of per-row
+    # signatures — fed by a map-side partial min (the shuffle carries
+    # ≤16 ints per doc per task, never shingle strings)
+    assert plan.count(") Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "partial_min" in plan or "Partial" in plan
+
+
 def test_pack_sequences_shard_local_window(docs):
     from lab_1806_vec_db_spark.operators.corpus import pack_sequences
 
