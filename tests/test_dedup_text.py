@@ -280,6 +280,33 @@ def test_decontaminate_hash_join_and_short_docs(spark):
         assert out[4]["n_hit"] == 0 and out[4]["ratio"] == 0.0
 
 
+@pytest.mark.parametrize("hj", [False, True])
+def test_decontaminate_impl_parity(spark, hj):
+    """Vectorized (mapInPandas exploder) vs catalyst (explode_outer of
+    word_shingles) decontamination must be bit-identical, including
+    hash_join mode, empty-token edges, short docs, and NULL text."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.operators.corpus import decontaminate
+
+    rows = [
+        (0, "a b a b a b", "eval"),
+        (1, "", "eval"),
+        (2, " lead and trail ", "train"),
+        (3, "x  x  x", "eval"),           # doubled spaces → empty tokens
+        (4, "a b a b extra words", "train"),
+        (5, None, "eval"),
+        (6, "q", "train"),
+        (7, " lead and trail more", "eval"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pred = F.col("source") == "eval"
+    vec = sorted(map(tuple, decontaminate(docs, pred, n=3, hash_join=hj).collect()))
+    cat = sorted(map(tuple, decontaminate(
+        docs, pred, n=3, hash_join=hj, impl="catalyst").collect()))
+    assert vec == cat
+
+
 def test_pack_sequences_window_boundaries(spark):
     from lab_1806_vec_db_spark.operators.corpus import pack_sequences
 
