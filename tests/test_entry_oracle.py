@@ -84,18 +84,36 @@ def test_all_queries_have_callables():
         assert k in qs
 
 
+def test_driver_window_rotation_invariants():
+    """The A/B front blocks must each fill the 50-slot window exactly,
+    jointly cover EVERY registry entry (so any two consecutive driver
+    rounds check the whole registry), contain no duplicates or unknown
+    names, and map odd→A / even→B."""
+    from lab_1806_vec_db_spark.plans import entry_queries as eq
+
+    a, b = eq._DRIVER_WINDOW_FRONT_A, eq._DRIVER_WINDOW_FRONT_B
+    names = set(eq.QUERIES)
+    assert len(a) == len(set(a)) == 50
+    assert len(b) == len(set(b)) == 50
+    assert set(a) <= names and set(b) <= names
+    assert set(a) | set(b) == names
+    assert eq.driver_window_front(7) is a and eq.driver_window_front(9) is a
+    assert eq.driver_window_front(8) is b and eq.driver_window_front(10) is b
+    # the live registry is curated for the UPCOMING round's block
+    assert list(eq.QUERIES)[:50] == eq.driver_window_front()
+
+
 def test_driver_window_schemas_are_canonicalizer_safe(spark):
     """The driver's pandas canonicalizer (sort_values + hash) dies on
     ARRAY/MAP/STRUCT columns — exactly what cost multimodal_features
-    and text_hash_embedding their r06 rows. Every entry inside the
-    50-slot driver window must therefore emit only scalar columns.
-    (Entries past the window are exercised by the oracle mirror above;
-    keep them scalar too when they rotate in.)"""
+    and text_hash_embedding their r06 rows. The window rotates between
+    blocks A and B (jointly all entries), so EVERY entry must emit
+    only scalar columns."""
     from pyspark.sql import types as T
 
     qs = entry_mod.queries()
     bad = {}
-    for name in list(qs)[:50]:
+    for name in list(qs):
         df = qs[name](spark, "/root/testdata/sf0.001")
         offenders = [
             f.name for f in df.schema.fields
