@@ -13,9 +13,10 @@ gated end-to-end by the ``corpus_clean`` entry
 (plans/pipeline_queries.py).
 
 Plan shape at 100 TB: the scoring expressions fuse with the filter into
-the scan stage (whole-stage codegen — zero Python); the only shuffle is
-the md5 groupBy, and the canonical join is a self-join against the
-k-bounded group table.
+the scan stage (whole-stage codegen — zero Python); the ONLY shuffle is
+the md5 groupBy — quality rides through the aggregate (identical text ⇒
+identical score, so min(quality) is the canonical row's), so there is
+no join back and the corpus is scanned exactly once.
 """
 
 from __future__ import annotations
@@ -48,12 +49,16 @@ def clean_corpus(
     kept = scored.filter(F.col("quality") >= float(min_quality))
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)
-    groups = kept.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
-        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
-    )
-    return groups.join(kept.select(id_col, "quality"), id_col).select(
-        id_col, "n_copies", "quality"
-    )
+    # quality travels THROUGH the dedup aggregate: every row in an md5
+    # group has identical text, hence an identical quality score, so
+    # min(quality) IS the canonical row's quality — no join back (which
+    # would re-run the scoring pass over the whole corpus a second time
+    # through lineage) and no second scan
+    return kept.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").alias("n_copies"),
+        F.min("quality").alias("quality"),
+    ).select(id_col, "n_copies", "quality")
 
 
 def pack_sequences(

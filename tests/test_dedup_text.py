@@ -34,6 +34,37 @@ def test_exact_dedup(docs):
     assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
 
 
+def test_clean_corpus_canonical_and_quality(spark):
+    """clean_corpus keeps the min-id row per surviving content group
+    with the group's copy count, and the quality column equals the
+    scored quality of that content (identical text ⇒ identical score,
+    which is why quality can ride through the dedup aggregate instead
+    of joining a second scoring pass back)."""
+    from lab_1806_vec_db_spark.functions.text import lang_id, quality_score
+    from lab_1806_vec_db_spark.operators.corpus import clean_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and that is fine"
+    rows = [
+        (5, good), (3, good), (9, good),             # 3 copies → canon id 3
+        (7, "der hund und die katze und der vogel"),  # fails lang=en
+        (8, "zz qq xx"),                              # fails quality floor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in clean_corpus(docs).collect()}
+    assert set(out) == {3}
+    assert out[3]["n_copies"] == 3
+    expected_q = docs.filter(F.col("doc_id") == 3).select(
+        quality_score("text").alias("q")).first()["q"]
+    assert out[3]["quality"] == expected_q
+    # sanity on the fixture: the dropped rows fail for the stated reasons
+    scored = {
+        r["doc_id"]: r for r in docs.select(
+            "doc_id", lang_id("text").alias("l"), quality_score("text").alias("q")
+        ).collect()
+    }
+    assert scored[7]["l"] != "en" and scored[8]["q"] < 0.5
+
+
 def test_shingles_and_jaccard(docs):
     sh = docs.select("doc_id", D.word_shingles("text", 3).alias("sh")).collect()
     by_id = {r["doc_id"]: r["sh"] for r in sh}
