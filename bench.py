@@ -815,6 +815,39 @@ def run_matched(spark) -> dict:
     }
 
 
+def host_calibration() -> dict:
+    """Fixed-work host-speed stamp recorded with every bench run, so
+    cross-run ratio comparisons can detect a degraded host (this box
+    throttles ~2× under sustained all-core load — two round-7 1M runs
+    were discarded for exactly that, diagnosable only by re-running
+    the whole grid). Two numbers, ~1 s total: a 1M-element f64
+    ``np.sort`` loop on ONE thread (numpy sorts are single-threaded —
+    BLAS GEMM would fan out internally and hide the signal) and the
+    same work fanned over all cores (sort releases the GIL). A
+    degraded window shows the all-core number at ~half its healthy
+    value while the 1-thread number barely moves."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(1 << 20)
+
+    def work(reps: int) -> None:
+        for _ in range(reps):
+            np.sort(a)
+
+    work(1)  # warm-up / page-in
+    t0 = time.time()
+    work(6)
+    single = 6 / (time.time() - t0)
+    w = min(32, os.cpu_count() or 1)
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=w) as tp:
+        list(tp.map(work, [3] * w))
+    agg = 3 * w / (time.time() - t0)
+    return {"sort1m_per_sec_1t": round(single, 2),
+            "sort1m_per_sec_all": round(agg, 2), "threads": w}
+
+
 def main() -> None:
     spark = get_spark("bench")
     if SF_SUITE:
@@ -824,6 +857,7 @@ def main() -> None:
                "queries": {}, "sf": -1.0}
     if MATCHED:
         out["matched"] = run_matched(spark)
+    out["calibration"] = host_calibration()
     # Full result → repo file: the harness keeps only a ~2000-char tail
     # of stdout, which truncated the full JSON line in earlier rounds
     # ("parsed": null in BENCH_r03/r04).
