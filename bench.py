@@ -877,6 +877,7 @@ def main() -> None:
         "queries": out["queries"], "sf": out["sf"],
         "ms_per_query": out.get("ms_per_query"),
         "recall_at_10": out.get("recall_at_10"),
+        "calibration": out.get("calibration"),
         "full": "BENCH_FULL.json",
     }
     m = out.get("matched")
