@@ -249,11 +249,22 @@ def lsh_candidate_pairs(
     groups, bucket by (band_id, band_hash), self-join within buckets.
 
     The shuffle key is the bucket — |pairs| is Σ_bucket C(size, 2),
-    never |df|². Output: distinct (id_a, id_b), id_a < id_b."""
+    never |df|². Output: distinct (id_a, id_b), id_a < id_b.
+
+    Docs with NO shingles (fewer than ``n`` tokens — the all--1
+    sentinel signature) are never candidates: they all share one
+    sentinel bucket per band, so a corpus with millions of empty/short
+    docs would otherwise make that single bucket's self-join quadratic
+    — producing C(n_empty, 2) pairs whose exact Jaccard is 0.0 and
+    which the verify stage would discard anyway. No signature → no
+    bucket (the standard MMDS construction); the DuckDB oracle applies
+    the same exclusion."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    sig = minhash_signatures(df, n, num_hashes, text_col, id_col).filter(
+        F.element_at(F.col("sig"), 1) != -1
+    )
     banded = sig.select(
         id_col,
         F.explode(

@@ -138,7 +138,9 @@ sig AS (SELECT doc_id, {_minhash_sig_sql(3, 16)} AS sig FROM sh),
 banded AS (
   SELECT doc_id, b.band_id,
          md5(array_to_string(list_slice(sig, b.band_id*4 + 1, b.band_id*4 + 4), ',')) AS bucket
-  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b)
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b
+  /* no shingles -> no bucket (dedup.py:lsh_candidate_pairs) */
+  WHERE sig[1] != -1)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
@@ -159,7 +161,9 @@ sig AS (SELECT doc_id, {_minhash_sig_sql(3, 16)} AS sig FROM sh),
 banded AS (
   SELECT doc_id, b.band_id,
          md5(array_to_string(list_slice(sig, b.band_id*4 + 1, b.band_id*4 + 4), ',')) AS bucket
-  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b),
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) b
+  /* no shingles -> no bucket (dedup.py:lsh_candidate_pairs) */
+  WHERE sig[1] != -1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bucket = b.bucket

@@ -96,6 +96,24 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 1) in verified and verified[(0, 1)] == 1.0
 
 
+def test_lsh_excludes_shingleless_docs(spark):
+    """Docs shorter than n tokens share the all--1 sentinel signature;
+    banding them would put EVERY such doc in one bucket per band — a
+    quadratic self-join at corpus scale whose pairs the verify stage
+    discards anyway (their exact Jaccard is 0.0). No signature → no
+    bucket: sentinel docs must produce no candidate pairs, with each
+    other or with real docs."""
+    rows = [
+        (0, "a"), (1, ""), (2, "b c"),        # all shorter than n=3
+        (3, "x y z x y z x y"),
+        (4, "x y z x y z x y"),               # exact dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r["id_a"], r["id_b"])
+            for r in D.lsh_candidate_pairs(df, n=3, num_hashes=16, bands=8).collect()}
+    assert cand == {(3, 4)}
+
+
 @pytest.mark.parametrize("n,num_hashes", [(1, 4), (3, 16), (5, 8)])
 def test_minhash_signatures_impl_parity(spark, n, num_hashes):
     """The vectorized (mapInPandas hashlib+numpy) and catalyst
