@@ -379,7 +379,16 @@ def simhash_near_pairs(
     """Near-dup candidates by banded SimHash: split the 32-bit
     fingerprint into 32/band_bits bands; docs sharing any band collide
     (guaranteed to catch hamming distance < #bands). Shuffle on the
-    (band_id, band_value) key, like MinHash-LSH."""
+    (band_id, band_value) key, like MinHash-LSH.
+
+    Scale bound, by construction: the bucket keyspace is
+    (32/band_bits) · 2^band_bits keys (1,024 at the default 8-bit
+    bands), so per-bucket population grows LINEARLY with corpus size
+    and the within-bucket self-join quadratically — this is a cheap
+    screen for up-to-~10M-row corpora, not the 100 TB path. At corpus
+    scale use ``lsh_candidate_pairs`` (MinHash bucket keys hash the
+    full band signature — keyspace grows with content diversity) or
+    raise ``band_bits``; docs/SCALE.md covers the arithmetic."""
     n_bands = 32 // band_bits
     sig = simhash_signatures(df, text_col, id_col)
     mask = (1 << band_bits) - 1
