@@ -432,22 +432,42 @@ _DRIVER_WINDOW_FRONT_B = [
 
 
 def next_driver_round() -> int:
-    """The round the NEXT driver correctness run will record: one past
-    the highest committed ``CORRECTNESS_r{N}.json`` (these artifacts
-    are committed to the repo root each round, so they travel with any
-    checkout). Falls back to an odd round (block A) when none exist."""
+    """The round the NEXT driver correctness run will record.
+
+    Two independent signals, take the max (the driver does not commit a
+    CORRECTNESS artifact every round — r05/r07 are absent — so the
+    artifact scan alone can under-count and stall the A/B rotation):
+
+    - one past the highest committed ``CORRECTNESS_r{N}.json``;
+    - the ``round`` field of the last PROGRESS.jsonl line, which the
+      driver writes at the START of the round whose correctness run is
+      upcoming (so it needs no ``+ 1``).
+
+    Falls back to an odd round (block A) when neither exists."""
     import glob
+    import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     rounds = [
-        int(m.group(1))
+        int(m.group(1)) + 1
         for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
         for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
         if m
     ]
-    return max(rounds, default=6) + 1
+    try:
+        with open(os.path.join(root, "PROGRESS.jsonl"), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if isinstance(rec.get("round"), int):
+                    rounds.append(rec["round"])
+    except (OSError, ValueError):
+        pass
+    return max(rounds, default=7)
 
 
 def driver_window_front(round_no: int | None = None) -> list[str]:
