@@ -300,8 +300,10 @@ from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
 # each round (CORRECTNESS_r{N}.json == the first 50 keys of QUERIES in
 # insertion order). With 80 entries, rotate so every entry has a driver
 # row within any two consecutive rounds. The rotation is AUTOMATIC:
-# the upcoming round number is max(N of the committed CORRECTNESS_r{N}
-# artifacts) + 1, and the front block alternates by its parity —
+# the upcoming round number is max(max committed CORRECTNESS_r{N} + 1,
+# last PROGRESS.jsonl round) — see next_driver_round(); the driver does
+# not commit a CORRECTNESS artifact every round, so the artifact scan
+# alone can stall the parity — and the front block alternates by it:
 #
 #   odd rounds  (r07, r09, …): block A — the 27 entries that had no
 #   driver row through r06 (relational/TPC-H/BM25-index/RAG/lifecycle/
