@@ -298,185 +298,92 @@ from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
 # --- driver-window curation ------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 registry entries
 # each round (CORRECTNESS_r{N}.json == the first 50 keys of QUERIES in
-# insertion order). With 80 entries, rotate so every entry has a driver
-# row within any two consecutive rounds. The rotation is AUTOMATIC:
-# the upcoming round number is max(max committed CORRECTNESS_r{N} + 1,
-# last PROGRESS.jsonl round) — see next_driver_round(); the driver does
-# not commit a CORRECTNESS artifact every round, so the artifact scan
-# alone can stall the parity — and the front block alternates by it:
+# insertion order). With 80 entries, the front window is chosen by
+# EVIDENCE STALENESS, not a fixed rotation: rank every entry by the
+# last round in which a committed CORRECTNESS artifact shows it fully
+# green (rows+schema+hash matched, no error); entries that have NEVER
+# been driver-green (including rows that ran but failed or errored)
+# sort first, then the oldest-green, ties broken by registration
+# order. The first 50 of that ranking become the window.
 #
-#   odd rounds  (r07, r09, …): block A — the 27 entries that had no
-#   driver row through r06 (relational/TPC-H/BM25-index/RAG/lifecycle/
-#   source suites), the 2 entries that errored in r06 (array outputs,
-#   since flattened), and 21 of the r06-green core;
-#   even rounds (r08, r10, …): block B — the 30 entries block A parks
-#   past slot 49 (the r06-green remainder plus the round-7 additions
-#   corpus_pii_scrub / corpus_line_dedup / text_url_domains), backfilled
-#   with 20 block-A entries for double coverage.
-#
-# A ∪ B spans every registry entry, so the union of two consecutive
-# driver windows is the whole registry; when no CORRECTNESS artifact is
-# present (fresh checkout), block A applies. Gated in
-# tests/test_entry_oracle.py (parity mapping, coverage, scalar schemas).
-_DRIVER_WINDOW_FRONT_A = [
-    # -- never driver-checked through r06 (registered past slot 49) --
-    "events_topn_per_window",
-    "events_retention",
-    "events_value_quantiles",
-    "text_bm25_indexed",
-    "hybrid_search_rrf",
-    "corpus_chunks",
-    "text_bigram_freq",
-    "corpus_repetition",
-    "dedup_neardup_screen",
-    "corpus_rag_pipeline",
-    "text_bm25_batch",
-    "source_binary_roundtrip",
-    "source_fvecs_roundtrip",
-    "vecdb_lifecycle",
-    "vecdb_persistence_search",
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_regional_volume",
-    "events_asof_attribution",
-    "events_rollup",
-    "events_user_overlap",
-    "events_json_props",
-    "tpch_active_customers",
-    "tpch_dormant_customers",
-    "events_value_bands",
-    "sql_surface_segments",
-    "events_cube",
-    # -- r06 'err' entries, array outputs now flattened to CSV --
-    "multimodal_features",
-    "text_hash_embedding",
-    # -- r06-green core, re-confirmed this round --
-    "knn_flat_l2",
-    "knn_flat_cosine",
-    "knn_batch_cosine",
-    "knn_hnsw",
-    "knn_hnsw_pq",
-    "knn_hnsw_sharded",
-    "knn_ivf_l2",
-    "knn_ivf_pq",
-    "knn_pq_adc",
-    "knn_pq_rerank",
-    "knn_flat_u8",
-    "dedup_exact_groups",
-    "dedup_minhash_sig",
-    "dedup_lsh_pairs",
-    "dedup_simhash",
-    "embedding_lsh_neardup",
-    "text_bm25_topk",
-    "corpus_clean",
-    "corpus_decontaminate",
-    "events_tumbling_agg",
-    "multimodal_byte_stats",
-]
+# Why staleness instead of an odd/even A-B rotation: the driver does
+# not run (or commit) a correctness pass every round — r05 and r07
+# have no artifacts — so a round-parity rotation can starve a block
+# indefinitely. Staleness self-corrects: whatever the driver actually
+# recorded last is exactly what moves to the back of the queue, and
+# anything skipped (or failed) stays at the front until it gets a
+# green row. With an 80-entry registry any two consecutive RECORDED
+# driver rounds cover everything. Gated in tests/test_entry_oracle.py
+# (window size, never-green priority, two-round coverage, scalar
+# schemas).
+
+_DRIVER_WINDOW = 50
+
+#: registration order before curation — the staleness tie-break.
+_REGISTRATION_ORDER: list[str] = list(QUERIES)
 
 
-#: block B: the 30 entries block A parks past slot 49, in their
-#: registration order, then 20 block-A entries as double-coverage
-#: backfill (the suites with the thinnest driver history first).
-_DRIVER_WINDOW_FRONT_B = [
-    "knn_flat_filtered",
-    "knn_grouped_by_label",
-    "knn_upper_bound",
-    "range_search_l2",
-    "vec_norms",
-    "vec_cast_u8_checksum",
-    "knn_recall_quantized",
-    "knn_ivf_probed",
-    "ivf_centroid_assign",
-    "ivf_multi_probe_rank",
-    "knn_ground_truth",
-    "vec_random_sample",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "embedding_neardup",
-    "embedding_neardup_probe",
-    "text_stats",
-    "text_lang_quality",
-    "multimodal_frame_index",
-    "multimodal_resize",
-    "events_sessionize",
-    "events_session_agg",
-    "events_hopping_agg",
-    "corpus_semantic_neardup",
-    "corpus_pack_sequences",
-    "corpus_mix_sample",
-    "text_term_freq",
-    "corpus_pii_scrub",
-    "corpus_line_dedup",
-    "text_url_domains",
-    # -- double-coverage backfill from block A --
-    "events_topn_per_window",
-    "events_retention",
-    "events_value_quantiles",
-    "text_bm25_indexed",
-    "hybrid_search_rrf",
-    "corpus_chunks",
-    "text_bigram_freq",
-    "corpus_repetition",
-    "dedup_neardup_screen",
-    "corpus_rag_pipeline",
-    "text_bm25_batch",
-    "source_binary_roundtrip",
-    "source_fvecs_roundtrip",
-    "vecdb_lifecycle",
-    "vecdb_persistence_search",
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_regional_volume",
-    "events_asof_attribution",
-    "events_rollup",
-]
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 
-def next_driver_round() -> int:
-    """The round the NEXT driver correctness run will record.
-
-    Two independent signals, take the max (the driver does not commit a
-    CORRECTNESS artifact every round — r05/r07 are absent — so the
-    artifact scan alone can under-count and stall the A/B rotation):
-
-    - one past the highest committed ``CORRECTNESS_r{N}.json``;
-    - the ``round`` field of the last PROGRESS.jsonl line, which the
-      driver writes at the START of the round whose correctness run is
-      upcoming (so it needs no ``+ 1``).
-
-    Falls back to an odd round (block A) when neither exists."""
+def last_green_rounds() -> dict[str, int]:
+    """Per entry, the highest round N whose committed
+    ``CORRECTNESS_r{N}.json`` shows the entry fully green: no error,
+    row counts matched, and neither schema nor value-hash check
+    failed (``None`` means the driver ran a weaker rows-only check —
+    that still counts as driver evidence). Entries with no green row
+    anywhere are absent from the map."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    rounds = [
-        int(m.group(1)) + 1
-        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-        for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
-        if m
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                rec.get("err") is None
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def rank_by_staleness(
+    names: list[str], last_green: dict[str, int]
+) -> list[str]:
+    """Stable staleness ranking: never-green first (-1), then
+    ascending last-green round, ties in the given order."""
+    order = {k: i for i, k in enumerate(names)}
+    return sorted(names, key=lambda k: (last_green.get(k, -1), order[k]))
+
+
+def driver_window_front() -> list[str]:
+    """The 50 registry entries most starved of driver evidence."""
+    return rank_by_staleness(_REGISTRATION_ORDER, last_green_rounds())[
+        :_DRIVER_WINDOW
     ]
-    try:
-        with open(os.path.join(root, "PROGRESS.jsonl"), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                if isinstance(rec.get("round"), int):
-                    rounds.append(rec["round"])
-    except (OSError, ValueError):
-        pass
-    return max(rounds, default=7)
-
-
-def driver_window_front(round_no: int | None = None) -> list[str]:
-    """The curated front block for the given (default: upcoming) round:
-    block A on odd rounds, block B on even rounds."""
-    r = next_driver_round() if round_no is None else round_no
-    return _DRIVER_WINDOW_FRONT_A if r % 2 else _DRIVER_WINDOW_FRONT_B
 
 
 def _curate_order() -> None:

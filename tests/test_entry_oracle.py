@@ -84,23 +84,46 @@ def test_all_queries_have_callables():
         assert k in qs
 
 
-def test_driver_window_rotation_invariants():
-    """The A/B front blocks must each fill the 50-slot window exactly,
-    jointly cover EVERY registry entry (so any two consecutive driver
-    rounds check the whole registry), contain no duplicates or unknown
-    names, and map odd→A / even→B."""
+def test_driver_window_staleness_invariants():
+    """The front window must hold exactly 50 known, distinct entries;
+    every entry that has never been driver-green must be in it (the
+    whole point of staleness ranking); and the live registry must lead
+    with it so the driver's first-50 check hits it."""
     from lab_1806_vec_db_spark.plans import entry_queries as eq
 
-    a, b = eq._DRIVER_WINDOW_FRONT_A, eq._DRIVER_WINDOW_FRONT_B
+    front = eq.driver_window_front()
     names = set(eq.QUERIES)
-    assert len(a) == len(set(a)) == 50
-    assert len(b) == len(set(b)) == 50
-    assert set(a) <= names and set(b) <= names
-    assert set(a) | set(b) == names
-    assert eq.driver_window_front(7) is a and eq.driver_window_front(9) is a
-    assert eq.driver_window_front(8) is b and eq.driver_window_front(10) is b
-    # the live registry is curated for the UPCOMING round's block
-    assert list(eq.QUERIES)[:50] == eq.driver_window_front()
+    assert len(front) == len(set(front)) == eq._DRIVER_WINDOW == 50
+    assert set(front) <= names
+    last = eq.last_green_rounds()
+    never = [k for k in eq._REGISTRATION_ORDER if k not in last]
+    missing = [k for k in never if k not in front]
+    # an 80-entry registry can always fit its never-green set unless
+    # more than 50 entries are brand new, which we never do in one round
+    assert len(never) <= 50 and not missing, (
+        f"never-driver-green entries outside the window: {missing}"
+    )
+    # the live registry is curated so the driver's first-50 == front
+    assert list(eq.QUERIES)[:50] == front
+    assert set(eq._REGISTRATION_ORDER) == names
+
+
+def test_driver_window_two_round_coverage():
+    """Simulate the driver recording the current window green: the
+    NEXT window must then contain every entry the current one parked
+    past slot 49 — i.e. any two consecutive RECORDED driver rounds
+    jointly cover the whole registry (80 ≤ 2×50)."""
+    from lab_1806_vec_db_spark.plans import entry_queries as eq
+
+    last = dict(eq.last_green_rounds())
+    front_now = eq.rank_by_staleness(eq._REGISTRATION_ORDER, last)[:50]
+    simulated_round = max(last.values(), default=0) + 1
+    for k in front_now:
+        last[k] = simulated_round
+    front_next = eq.rank_by_staleness(eq._REGISTRATION_ORDER, last)[:50]
+    parked = [k for k in eq._REGISTRATION_ORDER if k not in set(front_now)]
+    assert set(parked) <= set(front_next)
+    assert set(front_now) | set(front_next) == set(eq._REGISTRATION_ORDER)
 
 
 def test_driver_window_schemas_are_canonicalizer_safe(spark):
