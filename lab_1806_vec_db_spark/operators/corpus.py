@@ -133,6 +133,87 @@ def mix_sample(
     return docs.filter(gate)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    frac: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota stratified sampling: keep ``ceil(frac * n)`` rows
+    from EVERY stratum — the mixture-building primitive when quotas
+    must be met exactly (``mix_sample``'s hash gate only hits rates in
+    expectation, which is fine for mixing but not for "exactly 10k
+    eval docs per domain").
+
+    Deterministic and engine-portable: rows rank within their stratum
+    by ``md5(id)`` (a content-keyed pseudo-random order — hex strings
+    compare identically everywhere), and the first ``ceil(frac * n)``
+    ranks win. Re-running on the same table returns the same sample.
+
+    Plan: ONE shuffle on the stratum key feeding two window functions
+    over the same (partition, order) spec — Catalyst computes both in
+    a single Window node, no second sort. At 100 TB the per-stratum
+    sort is the cost; strata are domains/sources (thousands of rows to
+    low billions, spread over many partitions by the range-partitioned
+    window sort), and a skewed mega-stratum degrades to a single-key
+    sort exactly like any global-rank query would."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wn = Window.partitionBy(strata_col)
+    ranked = docs.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wn)
+    )
+    keep = F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n"))
+    return ranked.filter(keep).drop("_rk", "_n")
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring from a corpus-trained unigram
+    LM — the classic cheap "does this look like natural text" filter
+    (a real KenLM is out of scope; the unigram bound is the standard
+    engine-side stand-in). Two passes over the token stream:
+
+    1. vocabulary: token → count, plus the corpus total (one
+       map-combined hash aggregate);
+    2. scoring: re-explode, join each token to its corpus logprob
+       ``ln(count / total)``, and average per document.
+
+    Output: ``(id_col, avg_logprob, n_tok)`` — higher (less negative)
+    avg_logprob = more typical text; gibberish and boilerplate-free
+    rare-token soup score low.
+
+    Plan: the vocab aggregate shuffles one row per distinct token per
+    task (map-side combine); the scoring join is keyed on token —
+    Catalyst broadcasts the vocab when it fits (sf-scale) and falls
+    back to a shuffle-hash join at corpus scale, which co-partitions
+    with the next aggregate's doc-key shuffle. Zipf makes hot tokens
+    ("the") skewed, but the join is build-side-small per key (one vocab
+    row), so no row explosion — only the final per-doc agg shuffles
+    document-sized data."""
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("_t")
+    ).filter(F.col("_t") != "")
+    vocab = toks.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n"))
+    scored = toks.join(vocab, "_t").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            (F.round(F.avg(F.log(F.col("_c") / F.col("_n"))), 4) + F.lit(0.0)).alias(
+                "avg_logprob"
+            ),
+            F.count("*").alias("n_tok"),
+        )
+    )
+
+
 def hashing_embeddings(
     docs: DataFrame,
     dim: int = 64,

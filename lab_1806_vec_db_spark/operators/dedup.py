@@ -48,6 +48,40 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def select_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one canonical document per duplicate cluster — the step
+    AFTER dedup grouping in a training pipeline: instead of keeping an
+    arbitrary member (min-id), keep the highest-quality one.
+
+    Output: ``(cluster_col, rep_id, rep_quality, n_members)``, one row
+    per cluster. Representative = max quality, ties to min id —
+    deterministic across engines.
+
+    Plan: one shuffle on the cluster key, then a single aggregate over
+    a (quality, -id) ordering struct. Struct-typed max has no primitive
+    agg buffer, so Catalyst picks SortAggregate rather than
+    HashAggregate — still partial map-side (one candidate struct per
+    cluster per task crosses the wire, never the members) at the cost
+    of a per-task sort on the cluster key; no window function and no
+    second pass over the members. Survives skew the same way any keyed
+    agg does: a pathological giant cluster is one hot key; AQE skew
+    handling splits it."""
+    ordk = F.struct(
+        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+    )
+    best = F.max(ordk)
+    return df.groupBy(cluster_col).agg(
+        (-best.getField("nid")).alias("rep_id"),
+        best.getField("q").alias("rep_quality"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row per distinct content (the canonical
     min-id row). A semi-join against the winners — broadcast when the

@@ -1596,3 +1596,99 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_urls"))
         .orderBy("domain")
     )
+
+
+# ---- round-8 additions: representative selection, exact-quota sampling, ----
+# ---- unigram-LM quality scoring ---------------------------------------------
+
+#: composite quality score over a `text` column — the exact DuckDB twin
+#: of functions/text.py:quality_score (shared with the corpus_clean /
+#: text_lang_quality oracles, factored here for reuse).
+_QUALITY_SQL = f"""round((least(CAST(len({_TOKS}) AS DOUBLE)/50.0, 1.0)
+       + (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) >= 3.0
+                AND CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS}) <= 10.0
+          THEN 1.0 ELSE 0.5 END)
+       + least(CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS}) * 5.0, 1.0)
+      ) / 3.0, 4) + 0.0"""
+
+
+@register(
+    "dedup_representatives",
+    f"""WITH s AS (
+  SELECT doc_id, md5(text) AS content_hash, {_QUALITY_SQL} AS quality
+  FROM documents),
+r AS (
+  SELECT content_hash, doc_id, quality,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY quality DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY content_hash) AS n_members
+  FROM s)
+SELECT content_hash, doc_id AS rep_id, quality AS rep_quality, n_members
+FROM r WHERE rk = 1 ORDER BY rep_id""",
+)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster
+    (operators/dedup.py:select_representatives): instead of keeping the
+    arbitrary min-id copy, keep the highest-quality member (ties to min
+    id). One keyed aggregate — a single max-struct per cluster, partial
+    map-side (SortAggregate on the cluster key; see
+    operators/dedup.py:select_representatives) — vs the oracle's window
+    formulation; same answer, no member-ordering window sort."""
+    docs = _docs(spark, sf_dir)
+    clustered = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        T.quality_score("text").alias("quality"),
+    )
+    return D.select_representatives(
+        clustered, "content_hash", "quality"
+    ).orderBy("rep_id")
+
+
+@register(
+    "corpus_stratified_sample",
+    """WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= ceil(0.2 * n) ORDER BY doc_id""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (operators/corpus.py:
+    stratified_sample): ceil(20%) of every source, chosen by a
+    deterministic md5 rank — hits the quota EXACTLY where mix_sample's
+    hash gate only does in expectation. One stratum-keyed shuffle
+    feeding both window functions."""
+    from lab_1806_vec_db_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        stratified_sample(docs, 0.2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest({_NETOKS}) AS token FROM documents),
+v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v),
+s AS (SELECT tok.doc_id AS doc_id, ln(v.c / tot.n) AS lp
+      FROM tok JOIN v USING (token) CROSS JOIN tot)
+SELECT doc_id, round(avg(lp), 4) + 0.0 AS avg_logprob, count(*) AS n_tok
+FROM s GROUP BY doc_id ORDER BY doc_id""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram LM
+    (operators/corpus.py:unigram_logprob_scores): per-doc mean token
+    logprob — the cheap "does this look like natural text" filter.
+    Vocab aggregate (map-combined), token-keyed probability join
+    (broadcast at sf-scale, shuffle-hash at corpus scale), one doc-key
+    aggregate."""
+    from lab_1806_vec_db_spark.operators.corpus import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -609,3 +609,70 @@ def test_pack_sequences_duplicate_ids_deterministic(spark):
         ))
         outs.add(out)
     assert len(outs) == 1   # identical across partition layouts
+
+
+def test_select_representatives_quality_and_ties(spark):
+    from lab_1806_vec_db_spark.operators.dedup import select_representatives
+
+    rows = [
+        # cluster "a": quality favors doc 11 over the lower-id doc 10
+        (10, "a", 0.3),
+        (11, "a", 0.9),
+        (12, "a", 0.5),
+        # cluster "b": quality tie -> min id wins
+        (20, "b", 0.7),
+        (21, "b", 0.7),
+        # singleton cluster
+        (30, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ck string, quality double")
+    out = {
+        r["ck"]: r
+        for r in select_representatives(df, "ck", "quality").collect()
+    }
+    assert out["a"]["rep_id"] == 11 and out["a"]["rep_quality"] == 0.9
+    assert out["a"]["n_members"] == 3
+    assert out["b"]["rep_id"] == 20 and out["b"]["n_members"] == 2
+    assert out["c"]["rep_id"] == 30 and out["c"]["n_members"] == 1
+
+
+def test_stratified_sample_exact_quotas_and_determinism(spark):
+    from lab_1806_vec_db_spark.operators.corpus import stratified_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(100)]  # strata of 34/33/33
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, 0.2, strata_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    import math
+
+    assert sorted(by_src) == ["src0", "src1", "src2"]
+    assert len(by_src["src0"]) == math.ceil(0.2 * 34) == 7
+    assert len(by_src["src1"]) == math.ceil(0.2 * 33) == 7
+    assert len(by_src["src2"]) == 7
+    # deterministic: a second run returns the identical sample
+    out2 = stratified_sample(df, 0.2, strata_col="source").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # frac=1.0 keeps everything
+    assert stratified_sample(df, 1.0, strata_col="source").count() == 100
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from lab_1806_vec_db_spark.operators.corpus import unigram_logprob_scores
+
+    # corpus: 6 tokens total — "a" x3, "b" x2, "c" x1
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    lp = {"a": math.log(3 / 6), "b": math.log(2 / 6), "c": math.log(1 / 6)}
+    exp0 = round((lp["a"] + lp["a"] + lp["b"]) / 3, 4)
+    exp1 = round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)
+    assert out[0]["avg_logprob"] == pytest.approx(exp0, abs=1e-9)
+    assert out[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert out[0]["n_tok"] == 3 and out[1]["n_tok"] == 3
+    # the common-token doc scores higher (less negative) than the rare-token doc
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]

@@ -137,3 +137,38 @@ def test_pack_sequences_shard_local_window(docs):
     assert "SinglePartition" not in plan
     # the rollup exchange is fed by a partial aggregate (k-bounded rows)
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(docs):
+    from lab_1806_vec_db_spark.operators.corpus import stratified_sample
+
+    plan = _plan(stratified_sample(docs, 0.2))
+    # both window functions (rank + stratum count) ride ONE shuffle on
+    # the stratum key; no second exchange for the count
+    assert plan.count(") Exchange") == 1
+
+
+def test_select_representatives_single_keyed_agg(docs):
+    from lab_1806_vec_db_spark.operators.dedup import select_representatives
+
+    clustered = docs.select(
+        "doc_id",
+        F.md5("text").alias("ck"),
+        F.length("text").cast("double").alias("q"),
+    )
+    plan = _plan(select_representatives(clustered, "ck", "q"))
+    # one cluster-key shuffle, aggregate formulation (max-struct), no
+    # window: members never sort by quality, only one candidate per
+    # cluster per task crosses the exchange
+    assert plan.count(") Exchange") == 1
+    assert ") Window" not in plan
+
+
+def test_unigram_logprob_vocab_join_is_broadcast_at_sf(docs):
+    from lab_1806_vec_db_spark.operators.corpus import unigram_logprob_scores
+
+    plan = _plan(unigram_logprob_scores(docs))
+    # the token→logprob join broadcasts the vocab at sf scale (falls
+    # back to shuffle-hash at corpus scale); no row-at-a-time Python
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
