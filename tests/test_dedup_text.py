@@ -676,3 +676,57 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[0]["n_tok"] == 3 and out[1]["n_tok"] == 3
     # the common-token doc scores higher (less negative) than the rare-token doc
     assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_stratified_and_representatives_match_pandas_reference(spark, seed):
+    """Randomized parity against independent pandas reference
+    implementations: quota exactness per stratum for stratified_sample,
+    and (quality desc, id asc) argmax for select_representatives."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from lab_1806_vec_db_spark.operators.corpus import stratified_sample
+    from lab_1806_vec_db_spark.operators.dedup import select_representatives
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{int(x)}" for x in rng.integers(0, 5, n)],
+            "quality": np.round(rng.random(n), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    frac = float(rng.choice([0.1, 0.33, 0.5]))
+
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, frac, strata_col="source").collect()
+    }
+    exp = set()
+    for _, grp in pdf.groupby("source"):
+        keys = sorted(
+            grp["doc_id"],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        exp |= set(keys[: math.ceil(frac * len(grp))])
+    assert got == exp
+
+    reps = {
+        r["source"]: (r["rep_id"], r["rep_quality"], r["n_members"])
+        for r in select_representatives(df, "source", "quality").collect()
+    }
+    for src, grp in pdf.groupby("source"):
+        best = grp.sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert reps[src] == (
+            best["doc_id"],
+            pytest.approx(best["quality"]),
+            len(grp),
+        )
