@@ -35,12 +35,13 @@ import math
 import os
 import re
 import shutil
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lab_1806_vec_db_spark.functions.distance import DISTANCES, norm_expr
+from lab_1806_vec_db_spark.functions.distance import DISTANCES, cast_vec_expr, norm_expr
 from lab_1806_vec_db_spark.operators import knn as knn_ops
 from lab_1806_vec_db_spark.session import get_spark
 
@@ -298,6 +299,122 @@ class VecDB:
                 # here would rewrite the whole O(N) npz on every call.
         self._save_brief()
         self._invalidate_cache(key)
+
+    def batch_add_df(
+        self,
+        key: str,
+        df: DataFrame,
+        vec_col: str = "vec",
+        meta_cols: Sequence[str] = (),
+    ) -> int:
+        """DataFrame-native bulk insert — the scale path of
+        :meth:`batch_add`: the rows NEVER hop through the driver
+        (``batch_add`` is the reference's list-based API,
+        database/mod.rs:435-450; this is its distributed twin for
+        streaming micro-batches and bulk loads).
+
+        Contiguous ids are assigned from ``next_id`` without a global
+        sort or shuffle: the batch is pinned with an eager
+        ``localCheckpoint`` (stable partitioning), then
+        ``monotonically_increasing_id``'s (partition << 33 | local)
+        encoding plus one tiny per-partition count job yields
+        ``id = next_id + partition_offset + local`` — two jobs, both
+        map-only, offsets broadcast.
+
+        The dim check runs executor-side (``raise_error`` inside the
+        stamp projection). Metadata values are stringified with Spark's
+        ``cast("string")`` (note: booleans render ``true``, not
+        Python's ``True``). Index absorption matches ``batch_add``:
+        PQ/IVF invalidate, IVF+PQ absorbs the stamped FRAME
+        executor-side (frozen quantizers, O(batch) partitioned append),
+        and only the broadcast-tier HNSW graph — if one is live —
+        pulls ``(id, vec)`` pairs to the driver (micro-batch-bounded
+        by construction; the metadata and the table write stay
+        distributed). Returns the number of rows appended."""
+        meta = self._meta(key)
+        dim = meta["dim"]
+        data_type = meta.get("data_type", "float32")
+        start = meta["next_id"]
+
+        checked = F.when(
+            F.size(F.col(vec_col)) == dim, F.col(vec_col)
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"Dimension mismatch: expected dim={dim} in table {key!r}")
+            )
+        )
+        if data_type == "uint8":
+            # saturating NaN→0 cast on ingest (vec_set.rs:142-149)
+            vec_out = cast_vec_expr(checked, "u8").cast("array<smallint>")
+        else:
+            vec_out = cast_vec_expr(checked, "f32")
+        if meta_cols:
+            pairs: list[F.Column] = []
+            for c in meta_cols:
+                pairs += [F.lit(str(c)), F.col(c).cast("string")]
+            mmap = F.create_map(*pairs)
+        else:
+            mmap = F.expr("map()").cast("map<string,string>")
+
+        staged = (
+            df.select(
+                vec_out.alias("vec"),
+                mmap.alias("metadata"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
+            # pin partitioning + _mid values across the two jobs below
+            .localCheckpoint(eager=True)
+        )
+        pid = F.shiftrightunsigned(F.col("_mid"), 33)
+        counts = (
+            staged.groupBy(pid.alias("_pid"))
+            .agg(F.count("*").alias("_c"))
+            .collect()
+        )
+        if not counts:
+            return 0
+        offs, acc = [], 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offs.append((int(r["_pid"]), acc))
+            acc += int(r["_c"])
+        off_df = self.spark.createDataFrame(offs, "_pid long, _off long")
+        local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        stamped = (
+            staged.withColumn("_pid", pid)
+            .join(F.broadcast(off_df), "_pid")
+            .select(
+                (F.lit(start) + F.col("_off") + local).alias("id"),
+                "vec",
+                "metadata",
+            )
+            .withColumn("norm", norm_expr("vec"))
+        )
+        stamped.write.mode("append").parquet(self._table_path(key))
+        meta["next_id"] = start + acc
+        meta["len"] += acc
+        self._clear_pq_state(key)
+        self._clear_ivf_state(key)
+        if meta.get("has_ivfpq"):
+            ivfpq = self._get_index(key, "ivfpq")
+            if ivfpq is not None:
+                ivfpq.add_batch(stamped)
+                ivfpq.base = self.spark.read.parquet(self._table_path(key))
+            else:
+                self._clear_ivfpq_state(key)
+        if meta["has_hnsw"]:
+            hnsw = self._get_index(key, "hnsw")
+            if hnsw is not None:
+                import numpy as np
+
+                rows = stamped.select("id", "vec").collect()
+                hnsw.add_batch(
+                    np.asarray([r["id"] for r in rows], dtype=np.int64),
+                    np.asarray([r["vec"] for r in rows], dtype=np.float64),
+                    seed=43 + start,
+                )
+        self._save_brief()
+        self._invalidate_cache(key)
+        return acc
 
     @staticmethod
     def _pattern_pred(pattern: dict[str, str]):

@@ -13,10 +13,15 @@ micro-batch through ``VecDB.batch_add``, so every streamed vector is
   dirty-mark (not per batch — the per-append O(N) artifact rewrite the
   round-4 verdict flagged stays gone under streaming load too).
 
-Scale notes: the micro-batch hops through the driver (``collect``)
-because ``batch_add`` is the reference's list-based API — bounded by
-``maxFilesPerTrigger``/``maxOffsetsPerTrigger``, which the caller
-should set to keep batches driver-sized. Re-delivered micro-batches
+Scale notes: with ``distributed=True`` (the default) each
+micro-batch lands through ``VecDB.batch_add_df`` — the table write,
+id stamping, metadata mapping, and IVF+PQ absorption all stay
+executor-side; the only driver transfer is the ``(id, vec)`` pairs a
+live broadcast-tier HNSW graph needs (nothing at all on flat/IVF/PQ/
+IVF+PQ tables). ``distributed=False`` routes through the reference's
+list-based ``batch_add`` (a full ``collect``), kept for exact API
+parity — bound micro-batches with ``maxFilesPerTrigger``/
+``maxOffsetsPerTrigger`` on that path. Re-delivered micro-batches
 (foreachBatch is at-least-once on failure) would re-append rows;
 exactly-once ingest needs an idempotence key in the metadata and a
 dedup pass downstream, same as any foreachBatch sink.
@@ -37,6 +42,7 @@ def stream_into_vecdb(
     meta_cols: Sequence[str] = (),
     checkpoint: str | None = None,
     available_now: bool = True,
+    distributed: bool = True,
 ):
     """Start a streaming query that lands ``stream_df`` into table
     ``key`` of ``db`` (a :class:`~lab_1806_vec_db_spark.db.vecdb.VecDB`).
@@ -47,13 +53,17 @@ def stream_into_vecdb(
         raise ValueError("stream_into_vecdb expects a streaming DataFrame")
     cols = [vec_col, *meta_cols]
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
-        rows = batch_df.select(*cols).collect()
-        if not rows:
-            return
-        vecs = [[float(x) for x in r[vec_col]] for r in rows]
-        metas = [{c: str(r[c]) for c in meta_cols} for r in rows]
-        db.batch_add(key, vecs, metas)
+    if distributed:
+        def _sink(batch_df: DataFrame, _epoch: int) -> None:
+            db.batch_add_df(key, batch_df, vec_col=vec_col, meta_cols=meta_cols)
+    else:
+        def _sink(batch_df: DataFrame, _epoch: int) -> None:
+            rows = batch_df.select(*cols).collect()
+            if not rows:
+                return
+            vecs = [[float(x) for x in r[vec_col]] for r in rows]
+            metas = [{c: str(r[c]) for c in meta_cols} for r in rows]
+            db.batch_add(key, vecs, metas)
 
     writer = stream_df.writeStream.foreachBatch(_sink)
     if checkpoint is not None:

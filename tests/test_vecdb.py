@@ -256,3 +256,68 @@ def test_batch_search_filtered(db, spark):
     out = db.batch_search_filtered(key, queries, k=2, pattern={"content": "d"}).collect()
     # only the 'd' row survives the filter, for BOTH queries
     assert {r["id"] for r in out} == {3} and len(out) == 2
+
+
+def test_batch_add_df_matches_batch_add(db, spark):
+    """The DataFrame-native bulk insert (W2's scale path) must land the
+    exact table state the list-based reference API produces: same
+    contiguous ids, same vectors, same stringified metadata, same
+    search results."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [[float(x) for x in rng.standard_normal(4)] for _ in range(23)]
+    metas = [{"tag": f"t{i}", "n": str(i)} for i in range(23)]
+
+    db.create_table_if_not_exists("lst", 4, "l2sqr")
+    db.batch_add("lst", vecs, metas)
+
+    db.create_table_if_not_exists("dfr", 4, "l2sqr")
+    bdf = spark.createDataFrame(
+        [(v, f"t{i}", i) for i, v in enumerate(vecs)],
+        "vec array<double>, tag string, n long",
+    ).repartition(5)  # multi-partition: offsets must still be contiguous
+    n = db.batch_add_df("dfr", bdf, vec_col="vec", meta_cols=("tag", "n"))
+    assert n == 23 and db.get_len("dfr") == 23
+
+    a = {r["id"]: r for r in db.table_df("lst").collect()}
+    b = {r["id"]: r for r in db.table_df("dfr").collect()}
+    assert sorted(a) == sorted(b) == list(range(23))
+    # ids are assigned by partition order, not input order — compare the
+    # table CONTENT as a multiset keyed by the metadata tag
+    bytag_a = {r["metadata"]["tag"]: r for r in a.values()}
+    bytag_b = {r["metadata"]["tag"]: r for r in b.values()}
+    assert set(bytag_a) == set(bytag_b)
+    for tag in bytag_a:
+        assert bytag_a[tag]["vec"] == bytag_b[tag]["vec"]
+        assert bytag_a[tag]["metadata"] == bytag_b[tag]["metadata"]
+        assert bytag_a[tag]["norm"] == pytest.approx(bytag_b[tag]["norm"])
+
+    # searches agree between the two ingest paths (identical content)
+    q = vecs[7]
+    ra = db.search("lst", q, k=3)
+    rb = db.search("dfr", q, k=3)
+    assert [round(d, 6) for _, d in ra] == [round(d, 6) for _, d in rb]
+    assert [m["tag"] for m, _ in ra] == [m["tag"] for m, _ in rb]
+
+    # a second append continues the id sequence with no gaps
+    n2 = db.batch_add_df("dfr", bdf.limit(5), vec_col="vec", meta_cols=("tag",))
+    assert n2 == 5 and db.get_len("dfr") == 28
+    assert sorted(r["id"] for r in db.table_df("dfr").collect()) == list(range(28))
+
+
+def test_batch_add_df_u8_cast_and_dim_guard(db, spark):
+    db.create_table_if_not_exists("u8t", 3, "l2sqr", data_type="uint8")
+    bdf = spark.createDataFrame(
+        [([300.0, -5.0, float("nan")],), ([1.5, 2.0, 255.0],)],
+        "vec array<double>",
+    )
+    assert db.batch_add_df("u8t", bdf) == 2
+    rows = {tuple(r["vec"]) for r in db.table_df("u8t").collect()}
+    # saturate + NaN→0 + truncate-toward-zero (scalar.rs:20-37)
+    assert rows == {(255, 0, 0), (1, 2, 255)}
+
+    bad = spark.createDataFrame([([1.0, 2.0],)], "vec array<double>")
+    with pytest.raises(Exception, match="Dimension mismatch"):
+        db.batch_add_df("u8t", bad)
+    assert db.get_len("u8t") == 2  # failed batch landed nothing
