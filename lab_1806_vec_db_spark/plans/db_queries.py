@@ -184,3 +184,50 @@ def vecdb_persistence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for md, d in hits
     ]
     return spark.createDataFrame(out, "vec_id long, dist double").orderBy("dist", "vec_id")
+
+
+@register(
+    "vecdb_df_ingest",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id AS vec_id,
+  round(1 - list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / greatest(
+        sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        * sqrt(list_dot_product(q.qv, q.qv)), 1e-10), 4) + 0.0 AS dist
+FROM embeddings e, q
+ORDER BY dist, vec_id LIMIT 10""",
+)
+def vecdb_df_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's scale path as an oracle-gated query: the whole embeddings
+    table lands through ``batch_add_df`` (db/vecdb.py) — id stamping,
+    f32 cast, metadata mapping, and the parquet append all
+    executor-side, rows never collected — then a flat cosine search
+    must return the exact brute-force top-10. A wrong id offset, a
+    dropped partition, or a mangled metadata map all surface in the
+    hash; the multi-partition repartition makes the offset arithmetic
+    load-bearing."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.db.vecdb import VecDB
+    from lab_1806_vec_db_spark.operators.knn import np_round_half_up
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    home = tempfile.mkdtemp(prefix="sg_dfingest_")
+    db = VecDB(home, spark)
+    db.create_table_if_not_exists("t", dim, "cosine")
+    n = db.batch_add_df(
+        "t", emb.repartition(8), vec_col="embedding", meta_cols=("vec_id",)
+    )
+    assert n == db.get_len("t")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    hits = db.search("t", qv, k=10)
+    out = [
+        (int(md["vec_id"]), float(np_round_half_up(np.float64(d))))
+        for md, d in hits
+    ]
+    return spark.createDataFrame(out, "vec_id long, dist double").orderBy(
+        "dist", "vec_id"
+    )
