@@ -170,6 +170,44 @@ def stratified_sample(
     return ranked.filter(keep).drop("_rk", "_n")
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture building by TOKEN quota: keep documents from each
+    stratum — in deterministic ``md5(id)`` pseudo-random order — while
+    the stratum's cumulative token count stays within
+    ``budget_tokens``. Real training mixtures are specified in tokens,
+    not document counts (a 10k-doc quota of tweets and one of books
+    differ by 100× in tokens); this is the doc-count
+    :func:`stratified_sample`'s token-denominated sibling.
+
+    A document is kept iff the running total INCLUDING it is within
+    budget (so a stratum whose first document alone exceeds the budget
+    contributes nothing — quota semantics, not truncation). Output is
+    the surviving rows plus their ``n_tokens``.
+
+    Plan: identical shape to :func:`stratified_sample` — ONE shuffle on
+    the stratum key, a running-sum window over the md5 order, and a
+    map-side filter; same skew story (a mega-stratum degrades to a
+    single-key sort; salt if one stratum dominates)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.filter(T.tokens(text_col), lambda t: t != ""))
+    out = docs.withColumn("n_tokens", n_tok.cast("bigint")).withColumn(
+        "_cum", F.sum("n_tokens").over(w)
+    )
+    return out.filter(F.col("_cum") <= int(budget_tokens)).drop("_cum")
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     text_col: str = "text",

@@ -1692,3 +1692,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lab_1806_vec_db_spark.operators.corpus import unigram_logprob_scores
 
     return unigram_logprob_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "corpus_token_budget",
+    f"""WITH t AS (
+  SELECT doc_id, source, CAST(len({_NETOKS}) AS BIGINT) AS n_tokens,
+         sum(CAST(len({_NETOKS}) AS BIGINT)) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT doc_id, source, n_tokens FROM t
+WHERE cum <= 2000 ORDER BY doc_id""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-denominated mixture quota (operators/corpus.py:
+    token_budget_sample): each source contributes documents — in
+    deterministic md5 order — until its 2000-token budget fills.
+    One stratum-keyed shuffle, running-sum window, map-side filter."""
+    from lab_1806_vec_db_spark.operators.corpus import token_budget_sample
+
+    docs = _docs(spark, sf_dir)
+    return (
+        token_budget_sample(docs, 2000)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -730,3 +730,35 @@ def test_stratified_and_representatives_match_pandas_reference(spark, seed):
             pytest.approx(best["quality"]),
             len(grp),
         )
+
+
+def test_token_budget_sample_quota_semantics(spark):
+    from lab_1806_vec_db_spark.operators.corpus import token_budget_sample
+
+    rows = [
+        (0, "a", "one two three"),          # 3 tokens
+        (1, "a", "x " * 10),                # 10 tokens
+        (2, "a", "y y"),                    # 2 tokens
+        (3, "b", "w " * 50),                # 50 tokens — alone over budget
+        (4, "c", "z"),                      # 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["n_tokens"] for r in token_budget_sample(df, 12).collect()}
+    # stratum a: md5 order determines which subset fits in 12 tokens;
+    # the kept set's total must be <= 12 and maximal under the order
+    import hashlib
+
+    order = sorted([0, 1, 2], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    toks = {0: 3, 1: 10, 2: 2}
+    cum, expect_a = 0, set()
+    for i in order:
+        cum += toks[i]
+        if cum <= 12:
+            expect_a.add(i)
+        else:
+            break
+    assert {i for i in out if i in (0, 1, 2)} == expect_a
+    assert 3 not in out          # 50 tokens > budget: stratum b contributes nothing
+    assert out.get(4) == 1       # stratum c fits entirely
+    total_a = sum(v for i, v in out.items() if i in (0, 1, 2))
+    assert total_a <= 12
