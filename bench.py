@@ -847,8 +847,35 @@ def host_calibration() -> dict:
         t0 = time.time()
         list(tp.map(work, [3] * w))
         agg = 3 * w / (time.time() - t0)
+
+    # DRAM-bandwidth probe: np.sort is cache-resident and BLIND to
+    # memory-bandwidth drift — round 8 re-ran the 1M grid on a host
+    # whose sort stamps were HEALTHIER than round 6's, yet every
+    # bandwidth-bound serve row (random-access gathers over a >1 GB
+    # working set) came out ~2× slower on BOTH the round-6 and HEAD
+    # kernels (A/B on the same artifact). A streaming reduction over a
+    # 1 GiB f64 array (far beyond LLC) measures what those rows
+    # actually depend on. GiB/s, 1 thread and all cores.
+    big = np.zeros(1 << 27)  # 1 GiB of f64
+    big[:: 4096 // 8] = 1.0  # touch every page
+
+    def stream(reps: int) -> None:
+        for _ in range(reps):
+            np.sum(big)
+
+    stream(1)
+    t0 = time.time()
+    stream(3)
+    bw1 = 3.0 / (time.time() - t0)
+    with ThreadPoolExecutor(max_workers=w) as tp:
+        list(tp.map(stream, [1] * w))
+        t0 = time.time()
+        list(tp.map(stream, [2] * w))
+        bwa = 2.0 * w / (time.time() - t0)
     return {"sort1m_per_sec_1t": round(single, 2),
-            "sort1m_per_sec_all": round(agg, 2), "threads": w}
+            "sort1m_per_sec_all": round(agg, 2),
+            "stream_gibps_1t": round(bw1, 2),
+            "stream_gibps_all": round(bwa, 2), "threads": w}
 
 
 def main() -> None:
