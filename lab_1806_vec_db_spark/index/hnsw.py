@@ -1082,6 +1082,32 @@ class HNSWIndex:
             self._pool.terminate()
             self._pool = None
             self._pool_key = None
+        tp = getattr(self, "_tpool", None)
+        if tp is not None:
+            tp.shutdown(wait=True)
+            self._tpool = None
+
+    def _thread_pool(self, w: int):
+        """Persistent thread pool for the compiled-kernel fan-out.
+
+        MUST be persistent, not a with-block per call: the C kernel
+        keeps its search scratch (visited epochs + candidate heap,
+        ~10 MB/thread at 500k rows) in thread-locals so point-serve
+        skips the malloc/page-fault cost. Fresh threads per call both
+        defeat that reuse AND leak each dead thread's scratch — ~60 MB
+        of RSS per batch call at 500k, measured — which evicts the
+        mmapped vector pages and throttled the 1M bandwidth-bound
+        serve rows 1.2-1.6× (round-8 A/B on a shared artifact)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        tp = getattr(self, "_tpool", None)
+        if tp is None or self._tpool_w != w:
+            if tp is not None:
+                tp.shutdown(wait=True)
+            tp = ThreadPoolExecutor(max_workers=w)
+            self._tpool = tp
+            self._tpool_w = w
+        return tp
 
     def search_many_parallel(
         self,
@@ -1158,8 +1184,7 @@ class HNSWIndex:
                     sub = ADCPairDist(adc.codes, lut3[s:e], None, None)
                 return self._c_search(qmat[s:e], k_, ef_, sub)
 
-            with ThreadPoolExecutor(max_workers=w) as tp:
-                parts = list(tp.map(run_span, spans))
+            parts = list(self._thread_pool(w).map(run_span, spans))
             return (
                 np.concatenate([p[0] for p in parts], axis=0),
                 np.concatenate([p[1] for p in parts], axis=0),
