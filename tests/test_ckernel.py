@@ -209,3 +209,41 @@ def test_adc_lut_c_matches_numpy_form():
         assert np.allclose(got, ref, rtol=1e-5, atol=1e-5)
         lb64 = lut_span_builder(cbs, groups, 4, "l2sqr", dtype=np.float64)
         assert np.allclose(lb64(q), ref, rtol=0, atol=1e-12)
+
+
+def test_batch_fanout_reuses_persistent_thread_pool(spark):
+    """The compiled batch fan-out must reuse ONE thread pool across
+    calls: fresh pools per call leak the C kernel's thread-local
+    scratch with every dead thread (~60 MB/call at 500k rows — the
+    round-8 1M serve regression) and defeat the scratch reuse the
+    thread-locals exist for."""
+    import numpy as np
+
+    from lab_1806_vec_db_spark.index import ckernel
+    from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+    if not ckernel.available():
+        import pytest
+
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((512, 16)).astype(np.float32)
+    graph = HNSWIndex._build_graph(vecs, "l2sqr", 8, 32, 42, spark=None)
+    idx = HNSWIndex(np.arange(512, dtype=np.int64), vecs, graph, "l2sqr",
+                    base=None, id_col="id")
+    q = rng.standard_normal((64, 16)).astype(np.float32)
+    idx.search_many_parallel(q, 5, 32, workers=8)
+    pool1 = idx._tpool
+    assert pool1 is not None
+    idx.search_many_parallel(q, 5, 32, workers=8)
+    assert idx._tpool is pool1  # reused, not rebuilt
+    idx.search_many_parallel(q, 5, 32, workers=4)
+    assert idx._tpool is not pool1  # worker change rebuilds once
+    pool2 = idx._tpool
+    idx.search_many_parallel(q, 5, 32, workers=4)
+    assert idx._tpool is pool2
+    # results still correct: self-query top-1 is exact
+    ids, dists = idx.search_many_parallel(vecs[:64], 1, 64, workers=4)
+    assert (ids[:, 0] == np.arange(64)).all()
+    idx.close_pool()
+    assert idx._tpool is None
