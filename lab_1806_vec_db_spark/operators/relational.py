@@ -184,3 +184,76 @@ def regional_volume(
         .agg(F.sum("rev").alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), F.col("n_name"))
     )
+
+
+def revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a hypothetical discount
+    change — a pure scan-bound query: every predicate (ship-date year,
+    discount band, quantity cap) is a plain column comparison that
+    reaches the parquet scan as PushedFilters, the projection is two
+    columns, and the single aggregate has no keys (map-side partials
+    collapse to one row per task). At 100 TB this is THE query shape
+    that measures scan + pushdown health; zero joins, zero wide
+    shuffles. Money math in exact BIGINT cents per row (one IEEE
+    rounding each), summed as integers."""
+    li = lineitem.filter(
+        (_ts(lineitem, "l_shipdate") >= _lit_ts(date_from))
+        & (_ts(lineitem, "l_shipdate") < _lit_ts(date_to))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.agg(
+        F.sum(rev).cast("bigint").alias("revenue_cents"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    k: int = 20,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to
+    returned items in one quarter. Plan: the return-flag filter and
+    the order-date filter push into their scans; lineitem ⋈ orders is
+    the one mandatory fact shuffle on orderkey; the per-customer
+    rollup is the second keyed shuffle; customer (+25-row nation)
+    broadcast under ``broadcast_dims`` (pass False above ~SF100 and
+    the probe becomes an AQE-sized shuffle join); the final cut is a
+    k-bounded TakeOrdered, never a global sort."""
+    maybe_bc = F.broadcast if broadcast_dims else (lambda d: d)
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    o = orders.filter(
+        (_ts(orders, "o_orderdate") >= _lit_ts(date_from))
+        & (_ts(orders, "o_orderdate") < _lit_ts(date_to))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue_cents"))
+        .join(maybe_bc(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(k)
+    )

@@ -298,7 +298,7 @@ from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
 # --- driver-window curation ------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 registry entries
 # each round (CORRECTNESS_r{N}.json == the first 50 keys of QUERIES in
-# insertion order). With 85 entries, the front window is chosen by
+# insertion order). With 87 entries, the front window is chosen by
 # EVIDENCE STALENESS, not a fixed rotation: rank every entry by the
 # last round in which a committed CORRECTNESS artifact shows it fully
 # green (rows+schema+hash matched, no error); entries that have NEVER
@@ -312,7 +312,7 @@ from lab_1806_vec_db_spark.plans import relational_queries  # noqa: E402,F401
 # indefinitely. Staleness self-corrects: whatever the driver actually
 # recorded last is exactly what moves to the back of the queue, and
 # anything skipped (or failed) stays at the front until it gets a
-# green row. With an 85-entry registry any two consecutive RECORDED
+# green row. With an 87-entry registry any two consecutive RECORDED
 # driver rounds cover everything. Gated in tests/test_entry_oracle.py
 # (window size, never-green priority, two-round coverage, scalar
 # schemas).

@@ -434,3 +434,59 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "cohort", "n_events", "sum_value", "gid")
         .orderBy("gid", "event_type", "cohort")
     )
+
+
+# ---- round-8 TPC-H additions: Q6 (scan-bound) and Q10 (join + top-k) -------
+
+_CENTS_Q6 = "CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "tpch_revenue_change",
+    f"""SELECT CAST(sum({_CENTS_Q6}) AS BIGINT) AS revenue_cents,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+)
+def tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 revenue-change forecast (operators/relational.py:
+    revenue_change): the pure scan-bound shape — every predicate
+    reaches the parquet scan, two-column projection, keyless aggregate
+    with map-side partials. Exact BIGINT cents."""
+    from lab_1806_vec_db_spark.operators.relational import revenue_change
+
+    return revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "tpch_returned_items",
+    f"""SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+  n.n_name AS n_name,
+  CAST(sum({_CENTS_DISC}) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+)
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (operators/relational.py:
+    returned_item_revenue): top-20 customers by one quarter's returned
+    revenue — pushed flag/date filters, one orderkey fact shuffle, one
+    custkey rollup shuffle, broadcast customer/nation dims, k-bounded
+    TakeOrdered."""
+    from lab_1806_vec_db_spark.operators.relational import returned_item_revenue
+
+    return returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )

@@ -127,3 +127,54 @@ def test_q5_co_national_constraint(spark, sf_correct):
     )
     euro = {r["n_name"] for r in nr.collect()}
     assert {r["n_name"] for r in rows} <= euro
+
+
+def test_revenue_change_pushdown_and_hand_values(spark):
+    from lab_1806_vec_db_spark.operators.relational import revenue_change
+
+    li = spark.createDataFrame(
+        [
+            # in window, in band, under qty: 100.00 * 0.05 -> 500 cents
+            (1, 10.0, 100.0, 0.05, 0.0, "N", "O", "1997-06-01"),
+            # discount out of band
+            (2, 10.0, 100.0, 0.10, 0.0, "N", "O", "1997-06-01"),
+            # quantity too high
+            (3, 30.0, 100.0, 0.06, 0.0, "N", "O", "1997-06-01"),
+            # outside the date window
+            (4, 10.0, 100.0, 0.06, 0.0, "N", "O", "1998-06-01"),
+            # in: 50.00 * 0.07 -> 350 cents
+            (5, 23.0, 50.0, 0.07, 0.0, "N", "O", "1997-12-31"),
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    row = revenue_change(li).first()
+    assert row["revenue_cents"] == 850 and row["n_rows"] == 2
+    # scan-bound contract: every predicate reaches the scan, no join
+    plan = revenue_change(li)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_returned_item_revenue_topk(spark):
+    from lab_1806_vec_db_spark.operators.relational import returned_item_revenue
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, "R"), (1, 50.0, 0.5, "R"), (2, 999.0, 0.0, "N"),
+         (3, 10.0, 0.0, "R")],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 7, "1997-02-01"), (2, 7, "1997-02-01"), (3, 8, "1996-01-01")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    customer = spark.createDataFrame(
+        [(7, "Ann", 1), (8, "Bo", 1)], "c_custkey long, c_name string, c_nationkey int"
+    )
+    nation = spark.createDataFrame([(1, "FR")], "n_nationkey int, n_name string")
+    out = returned_item_revenue(customer, orders, li, nation).collect()
+    # order 3 is outside the window; order 2 is not returned
+    assert len(out) == 1
+    r = out[0]
+    # 100.00 + 50.00*0.5 = 125.00 -> 12500 cents
+    assert (r["c_custkey"], r["c_name"], r["n_name"], r["revenue_cents"]) == (7, "Ann", "FR", 12500)
