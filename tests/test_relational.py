@@ -178,3 +178,31 @@ def test_returned_item_revenue_topk(spark):
     r = out[0]
     # 100.00 + 50.00*0.5 = 125.00 -> 12500 cents
     assert (r["c_custkey"], r["c_name"], r["n_name"], r["revenue_cents"]) == (7, "Ann", "FR", 12500)
+
+
+def test_q6_predicates_reach_scan(spark, sf_correct):
+    from lab_1806_vec_db_spark.operators.relational import revenue_change
+
+    plan = _plan(revenue_change(read_table(spark, sf_correct, "lineitem")))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # the discount band and quantity cap must land in the parquet scan
+    assert pushed and any("l_discount" in l and "l_quantity" in l for l in pushed)
+    assert "Join" not in plan  # scan-bound by construction
+    # only the two money columns + predicate columns are read
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all("l_returnflag" not in l for l in schema_lines)
+
+
+def test_q10_broadcasts_dims_and_bounds_topk(spark, sf_correct):
+    from lab_1806_vec_db_spark.operators.relational import returned_item_revenue
+
+    plan = _plan(returned_item_revenue(
+        read_table(spark, sf_correct, "customer"),
+        read_table(spark, sf_correct, "orders"),
+        read_table(spark, sf_correct, "lineitem"),
+        read_table(spark, sf_correct, "nation"),
+    ))
+    assert "BroadcastHashJoin" in plan       # customer/nation dims broadcast
+    assert "TakeOrderedAndProject" in plan   # k-bounded cut, no global sort
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed)  # R-flag filter at the scan
