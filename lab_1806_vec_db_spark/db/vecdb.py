@@ -111,6 +111,13 @@ class VecDB:
                 self._brief = json.load(f)
         self._cached: dict[str, DataFrame] = {}
         self._indexes: dict[str, dict[str, Any]] = {}
+        # settle any append that crashed mid-flight in a previous
+        # manager: the brief's pending marker names the reserved id
+        # range, so repair is one filter job per CRASHED table (zero
+        # jobs on a clean open)
+        for key, meta in self._brief["tables"].items():
+            if meta.get("pending_append"):
+                self._settle_pending(key)
 
     # ---- catalog ---------------------------------------------------------
 
@@ -228,6 +235,74 @@ class VecDB:
             cache["_mdmap"] = {int(r["id"]): dict(r["metadata"] or {}) for r in rows}
         return cache["_mdmap"]
 
+    # ---- append crash protocol ---------------------------------------------
+    #
+    # Every append reserves its id range DURABLY before the parquet
+    # write (the vecdb twin of the TextIndex pending-marker protocol,
+    # operators/search.py:textindex_add_documents):
+    #
+    #   1. reserve : next_id advances to start+n and a pending marker
+    #                {lo, hi} lands in the brief — one atomic brief write;
+    #   2. append  : the batch writes to parquet;
+    #   3. commit  : len advances, the marker clears, and (when the
+    #                caller passed one) the batch's idempotency token is
+    #                recorded — one atomic brief write.
+    #
+    # A crash between 1 and 3 leaves the marker behind; _settle_pending
+    # (run at open and on entry to every append) drops any rows the
+    # half-finished append landed in [lo, hi) and keeps next_id at the
+    # reserved value. Ids therefore SKIP after a crash but can never be
+    # assigned twice — the stale-next_id duplicate-id corruption the
+    # round-8 review flagged is structurally impossible. Index
+    # absorption runs AFTER commit, outside the marker window: a crash
+    # there is the already-handled graph-lags-table case (_get_index
+    # tail repair / _hnsw_tail_sync), never a base-table repair.
+
+    def _settle_pending(self, key: str) -> None:
+        """Repair a crashed append. The pending marker proves the brief
+        was never committed for that batch, so ``len`` still excludes
+        it; any rows inside the reserved range are partial output of
+        the crashed parquet job and are dropped."""
+        meta = self._meta(key)
+        pending = meta.get("pending_append")
+        if not pending:
+            return
+        lo, hi = int(pending["lo"]), int(pending["hi"])
+        df = self.spark.read.parquet(self._table_path(key))
+        in_range = (F.col("id") >= lo) & (F.col("id") < hi)
+        if df.filter(in_range).limit(1).count():
+            self._rewrite(key, df.filter(~in_range))
+            # the crashed rows never reached len, but recount from the
+            # rewritten footers so len is exact even if a previous
+            # crash overlapped
+            meta["len"] = self.spark.read.parquet(self._table_path(key)).count()
+        meta["pending_append"] = None
+        self._save_brief()
+        self._invalidate_cache(key)
+
+    def _reserve_append(self, key: str, n: int) -> int:
+        """Step 1: durably burn ids [next_id, next_id+n); returns the
+        range start."""
+        meta = self._meta(key)
+        start = int(meta["next_id"])
+        meta["next_id"] = start + n
+        meta["pending_append"] = {"lo": start, "hi": start + n}
+        self._save_brief()
+        return start
+
+    def _commit_append(self, key: str, n: int, token: str | None) -> None:
+        """Step 3: the batch is fully in parquet — advance len, clear
+        the marker, record the idempotency token (capped log; a
+        streaming sink only ever replays its most recent epochs)."""
+        meta = self._meta(key)
+        meta["len"] += n
+        meta["pending_append"] = None
+        if token is not None:
+            log = list(meta.get("absorbed_batches") or [])
+            log.append(token)
+            meta["absorbed_batches"] = log[-64:]
+        self._save_brief()
+
     # ---- DML (W1-W3) ------------------------------------------------------
 
     def add(self, key: str, vec: list[float], metadata: dict[str, str]) -> None:
@@ -249,13 +324,14 @@ class VecDB:
                 raise ValueError("Dimension mismatch")
         if not vec_list:
             return
-        start = meta["next_id"]
+        self._settle_pending(key)
         data_type = meta.get("data_type", "float32")
         if data_type == "uint8":
             # saturating NaN→0 cast on ingest (vec_set.rs:142-149 to_type)
             conv = lambda v: [_cast_u8(float(x)) for x in v]  # noqa: E731
         else:
             conv = lambda v: [float(x) for x in v]  # noqa: E731
+        start = self._reserve_append(key, len(vec_list))
         rows = [
             (start + i, conv(v), {str(a): str(b) for a, b in md.items()})
             for i, (v, md) in enumerate(zip(vec_list, metadata_list))
@@ -264,8 +340,7 @@ class VecDB:
             "norm", norm_expr("vec")
         )
         df.write.mode("append").parquet(self._table_path(key))
-        meta["next_id"] = start + len(rows)
-        meta["len"] += len(rows)
+        self._commit_append(key, len(rows), None)
         # write invalidates PQ, never HNSW (README.md:22,45) — the HNSW
         # graph absorbs the new rows incrementally (hnsw_index.rs:538-572)
         self._clear_pq_state(key)
@@ -282,21 +357,14 @@ class VecDB:
                 ivfpq.base = self.spark.read.parquet(self._table_path(key))
             else:
                 self._clear_ivfpq_state(key)
-        if meta["has_hnsw"]:
-            hnsw = self._get_index(key, "hnsw")
-            if hnsw is not None:
-                import numpy as np
-
-                hnsw.add_batch(
-                    np.asarray([r[0] for r in rows], dtype=np.int64),
-                    np.asarray([r[1] for r in rows], dtype=np.float64),
-                    seed=43 + start,
-                )
-                # add_batch marks the index dirty; the graph artifact is
-                # flushed once at force_save()/close(), not per append —
-                # the reference's dirty-mark + deferred-flush shape
-                # (thread_save.rs:97-114, 60 s cadence). An inline save
-                # here would rewrite the whole O(N) npz on every call.
+        # a live HNSW graph deliberately lags the table: _hnsw_tail_sync
+        # absorbs the new rows at the next serve or force_save, in id
+        # order — ONE absorption discipline for both ingest paths, so
+        # the "missing rows are exactly the largest ids" invariant the
+        # sync relies on always holds. (The graph artifact itself is
+        # flushed once at force_save()/close(), not per append — the
+        # reference's dirty-mark + deferred-flush shape,
+        # thread_save.rs:97-114, 60 s cadence.)
         self._save_brief()
         self._invalidate_cache(key)
 
@@ -306,6 +374,7 @@ class VecDB:
         df: DataFrame,
         vec_col: str = "vec",
         meta_cols: Sequence[str] = (),
+        idempotency_token: str | None = None,
     ) -> int:
         """DataFrame-native bulk insert — the scale path of
         :meth:`batch_add`: the rows NEVER hop through the driver
@@ -314,27 +383,50 @@ class VecDB:
         streaming micro-batches and bulk loads).
 
         Contiguous ids are assigned from ``next_id`` without a global
-        sort or shuffle: the batch is pinned with an eager
-        ``localCheckpoint`` (stable partitioning), then
-        ``monotonically_increasing_id``'s (partition << 33 | local)
-        encoding plus one tiny per-partition count job yields
-        ``id = next_id + partition_offset + local`` — two jobs, both
-        map-only, offsets broadcast.
+        sort or shuffle: the batch is pinned with an eager checkpoint
+        (stable partitioning), then ``monotonically_increasing_id``'s
+        (partition << 33 | local) encoding plus one tiny per-partition
+        count job yields ``id = next_id + partition_offset + local`` —
+        two jobs, both map-only, offsets broadcast. The pin is a
+        reliable ``checkpoint()`` when the session has a checkpoint dir
+        configured, else ``localCheckpoint`` — executor-LOCAL blocks,
+        so losing an executor mid-append fails the batch
+        non-recoverably; streaming retries it (covered by the pending
+        marker + idempotency token below), bulk loaders that need
+        executor-loss tolerance should ``spark.sparkContext.
+        setCheckpointDir(...)`` first.
+
+        Durability: ids are RESERVED in the brief before the parquet
+        append and the batch commits with a second brief write (see the
+        append crash protocol above) — a crash anywhere in between is
+        repaired, never double-assigned. ``idempotency_token`` makes a
+        redelivered batch (foreachBatch is at-least-once) a no-op: a
+        token found in the table's committed-batch log returns 0
+        without touching anything, giving exactly-once table content
+        under streaming retries.
 
         The dim check runs executor-side (``raise_error`` inside the
         stamp projection). Metadata values are stringified with Spark's
-        ``cast("string")`` (note: booleans render ``true``, not
-        Python's ``True``). Index absorption matches ``batch_add``:
-        PQ/IVF invalidate, IVF+PQ absorbs the stamped FRAME
-        executor-side (frozen quantizers, O(batch) partitioned append),
-        and only the broadcast-tier HNSW graph — if one is live —
-        pulls ``(id, vec)`` pairs to the driver (micro-batch-bounded
-        by construction; the metadata and the table write stay
-        distributed). Returns the number of rows appended."""
+        ``cast("string")`` (booleans render ``true``, not Python's
+        ``True``); NULLs are normalized to the string ``"None"`` so the
+        table content matches :meth:`batch_add`'s ``str(None)`` exactly
+        — pattern filters behave identically on both ingest paths.
+        Index absorption: PQ/IVF invalidate, IVF+PQ absorbs the stamped
+        FRAME executor-side (frozen quantizers, O(batch) partitioned
+        append). A live HNSW graph is NOT touched here — the graph
+        deliberately lags the table and ``_hnsw_tail_sync`` absorbs the
+        gap (chunked, bounded driver memory) at the next serve or
+        ``force_save``, so the streaming ingest loop moves ZERO vectors
+        through the driver on any tier. Returns the number of rows
+        appended."""
         meta = self._meta(key)
+        if idempotency_token is not None and idempotency_token in (
+            meta.get("absorbed_batches") or []
+        ):
+            return 0
+        self._settle_pending(key)
         dim = meta["dim"]
         data_type = meta.get("data_type", "float32")
-        start = meta["next_id"]
 
         checked = F.when(
             F.size(F.col(vec_col)) == dim, F.col(vec_col)
@@ -351,20 +443,27 @@ class VecDB:
         if meta_cols:
             pairs: list[F.Column] = []
             for c in meta_cols:
-                pairs += [F.lit(str(c)), F.col(c).cast("string")]
+                # coalesce: NULL → "None", matching batch_add's str(None)
+                pairs += [
+                    F.lit(str(c)),
+                    F.coalesce(F.col(c).cast("string"), F.lit("None")),
+                ]
             mmap = F.create_map(*pairs)
         else:
             mmap = F.expr("map()").cast("map<string,string>")
 
-        staged = (
-            df.select(
-                vec_out.alias("vec"),
-                mmap.alias("metadata"),
-                F.monotonically_increasing_id().alias("_mid"),
-            )
-            # pin partitioning + _mid values across the two jobs below
-            .localCheckpoint(eager=True)
+        staged = df.select(
+            vec_out.alias("vec"),
+            mmap.alias("metadata"),
+            F.monotonically_increasing_id().alias("_mid"),
         )
+        # pin partitioning + _mid values across the two jobs below:
+        # reliable checkpoint when configured (survives executor loss),
+        # executor-local blocks otherwise
+        if self.spark.sparkContext.getCheckpointDir() is not None:
+            staged = staged.checkpoint(eager=True)
+        else:
+            staged = staged.localCheckpoint(eager=True)
         pid = F.shiftrightunsigned(F.col("_mid"), 33)
         counts = (
             staged.groupBy(pid.alias("_pid"))
@@ -379,6 +478,7 @@ class VecDB:
             acc += int(r["_c"])
         off_df = self.spark.createDataFrame(offs, "_pid long, _off long")
         local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        start = self._reserve_append(key, acc)
         stamped = (
             staged.withColumn("_pid", pid)
             .join(F.broadcast(off_df), "_pid")
@@ -390,8 +490,7 @@ class VecDB:
             .withColumn("norm", norm_expr("vec"))
         )
         stamped.write.mode("append").parquet(self._table_path(key))
-        meta["next_id"] = start + acc
-        meta["len"] += acc
+        self._commit_append(key, acc, idempotency_token)
         self._clear_pq_state(key)
         self._clear_ivf_state(key)
         if meta.get("has_ivfpq"):
@@ -401,17 +500,9 @@ class VecDB:
                 ivfpq.base = self.spark.read.parquet(self._table_path(key))
             else:
                 self._clear_ivfpq_state(key)
-        if meta["has_hnsw"]:
-            hnsw = self._get_index(key, "hnsw")
-            if hnsw is not None:
-                import numpy as np
-
-                rows = stamped.select("id", "vec").collect()
-                hnsw.add_batch(
-                    np.asarray([r["id"] for r in rows], dtype=np.int64),
-                    np.asarray([r["vec"] for r in rows], dtype=np.float64),
-                    seed=43 + start,
-                )
+        # a live HNSW graph (either tier) is left to lag: _hnsw_tail_sync
+        # absorbs [start, start+acc) at the next serve or force_save —
+        # zero (id, vec) driver transfer inside the ingest loop
         self._save_brief()
         self._invalidate_cache(key)
         return acc
@@ -488,6 +579,10 @@ class VecDB:
         df = self.table_df(key)
         pq = self._get_index(key, "pq") if meta["has_pq"] else None
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+        if hnsw is not None:
+            # absorb any appended rows the live graph hasn't seen (a
+            # driver-side count check — zero jobs when current)
+            self._hnsw_tail_sync(key, hnsw)
         # knn_pq's ADC-steered traversal needs the single-graph layout;
         # a sharded index serves through its own routed branch below
         if ef is not None and pq is not None and _is_plain_hnsw(hnsw):
@@ -617,6 +712,8 @@ class VecDB:
         hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
         ivf = self._get_index(key, "ivf") if meta.get("has_ivf") else None
         ivfpq = self._get_index(key, "ivfpq") if meta.get("has_ivfpq") else None
+        if hnsw is not None:
+            self._hnsw_tail_sync(key, hnsw)
         if ef is not None and pq is not None and _is_plain_hnsw(hnsw):
             return hnsw.search_batch(queries, k, ef=ef, qid_col="query_id",
                                      qvec_col="vec", upper_bound=upper_bound,
@@ -699,6 +796,80 @@ class VecDB:
         self._indexes.get(key, {}).pop("ivfpq", None)
         shutil.rmtree(self._index_path(key, "ivfpq"), ignore_errors=True)
 
+    def _hnsw_tail_sync(self, key: str, idx, force: bool = False) -> None:
+        """Absorb table rows the HNSW graph hasn't seen — the one place
+        vectors cross to the driver for the broadcast tier, moved OUT
+        of the ingest loop: DataFrame-native appends (``batch_add_df``,
+        streaming micro-batches) leave the graph lagging and this sync
+        runs at the next serve / ``force_save`` / artifact load,
+        amortizing the pull across any number of micro-batches.
+
+        The lag check is driver-side arithmetic (``len`` vs rows
+        indexed) — ZERO Spark jobs when the graph is current, so the
+        point-serve fast path stays job-free. The pull itself streams
+        through ``toLocalIterator`` in 64k-row chunks: driver memory is
+        bounded no matter how far the graph lags (a bulk load can defer
+        millions of rows without OOMing the driver). Appends are
+        id-ordered and deletes clear the index, so the missing rows are
+        exactly the largest ids; the sharded tier instead filters on
+        its durable watermark and membership-checks per shard
+        (``force=True`` at load time runs the watermark probe even when
+        counts look current — a crash BETWEEN shard flushes and the
+        root-meta flush leaves counts overcounting)."""
+        import numpy as np
+
+        from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+        meta = self._meta(key)
+        is_sharded = isinstance(idx, ShardedHNSWIndex)
+        use_wm = is_sharded and idx.max_committed_id >= -1
+        rows_indexed = (
+            sum(idx.shard_counts.values()) if is_sharded else len(idx.ids)
+        )
+        n_missing = int(meta["len"]) - rows_indexed
+        if n_missing <= 0 and not (use_wm and force):
+            return
+        if use_wm:
+            tail = (
+                self.table_df(key)
+                .filter(F.col("id") > int(idx.max_committed_id))
+                .select("id", "vec")
+            )
+        else:
+            tail = (
+                self.table_df(key)
+                .orderBy(F.col("id").desc())
+                .limit(int(n_missing))
+                .select("id", "vec")
+            )
+        seed = 43 + int(meta["next_id"])
+        chunk = 65536
+        ids_buf: list[int] = []
+        vec_buf: list[list[float]] = []
+
+        def _flush(i: int) -> None:
+            if not ids_buf:
+                return
+            ids = np.asarray(ids_buf, dtype=np.int64)
+            vecs = np.asarray(
+                [[float(x) for x in v] for v in vec_buf], dtype=np.float64
+            )
+            if use_wm:
+                idx.absorb_tail(ids, vecs, seed=seed + i)
+            else:
+                idx.add_batch(ids, vecs, seed=seed + i)
+            ids_buf.clear()
+            vec_buf.clear()
+
+        i = 0
+        for r in tail.toLocalIterator(prefetchPartitions=True):
+            ids_buf.append(int(r["id"]))
+            vec_buf.append(r["vec"])
+            if len(ids_buf) >= chunk:
+                _flush(i)
+                i += 1
+        _flush(i)
+
     def _get_index(self, key: str, kind: str):
         """Lazy-load a persisted index artifact (S8: the reference's
         save-without-vec-set / load-with-external-vec-set pattern,
@@ -716,67 +887,20 @@ class VecDB:
                 from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
 
                 idx[kind] = ShardedHNSWIndex.load(self.spark, path)
-                wm = idx[kind].max_committed_id
-                if wm >= -1:
-                    # crash-window repair, watermark form: candidates are
-                    # every row above the last durably committed id;
-                    # absorb_tail membership-checks per target shard, so
-                    # a crash BETWEEN shard flushes and the root-meta
-                    # flush (shards ahead of recorded counts) cannot
-                    # double-insert. Count-based tail repair can (the
-                    # flushed shard already holds some of the largest
-                    # ids), hence the different shape from the plain
-                    # branch below.
-                    import numpy as np
-
-                    cand = (
-                        self.table_df(key)
-                        .filter(F.col("id") > int(wm))
-                        .select("id", "vec")
-                        .collect()
-                    )
-                    if cand:
-                        idx[kind].absorb_tail(
-                            np.asarray([r["id"] for r in cand], dtype=np.int64),
-                            np.asarray([[float(x) for x in r["vec"]] for r in cand],
-                                       dtype=np.float64),
-                            seed=43 + int(self._meta(key)["next_id"]),
-                        )
-                    return idx[kind]
-                # legacy artifact without a watermark: fall back to the
-                # count heuristic shared with the plain branch
-                rows_indexed = sum(idx[kind].shard_counts.values())
             else:
                 from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
 
                 idx[kind] = HNSWIndex.load(self.spark, path, base=self.table_df(key))
-                rows_indexed = len(idx[kind].ids)
-            # crash-window recovery: batch_add appends rows to parquet
-            # durably but defers the graph flush to force_save/close —
-            # a kill in between leaves a graph that silently misses the
-            # tail of the table. Appends are id-ordered and deletes
-            # clear the index, so the missing rows are exactly the
-            # (len - indexed) LARGEST ids: absorb them incrementally on
-            # load and dirty-mark so the next flush persists the repair.
-            # (The reference papers over the same window with a 60 s
+            # crash-window / deferred-append recovery: appends land in
+            # parquet durably but the graph flush defers to force_save —
+            # a kill (or a DataFrame-native append stream) leaves a graph
+            # missing the tail of the table; absorb it on load and
+            # dirty-mark so the next flush persists the repair. (The
+            # reference papers over the same window with a 60 s
             # background saver, thread_save.rs — this closes it exactly.)
-            n_missing = self._meta(key)["len"] - rows_indexed
-            if n_missing > 0:
-                import numpy as np
-
-                tail = (
-                    self.table_df(key)
-                    .orderBy(F.col("id").desc())
-                    .limit(int(n_missing))
-                    .select("id", "vec")
-                    .collect()
-                )
-                idx[kind].add_batch(
-                    np.asarray([r["id"] for r in tail], dtype=np.int64),
-                    np.asarray([[float(x) for x in r["vec"]] for r in tail],
-                               dtype=np.float64),
-                    seed=43 + int(self._meta(key)["next_id"]),
-                )
+            # force=True: the sharded tier's watermark probe must run
+            # even when counts look current.
+            self._hnsw_tail_sync(key, idx[kind], force=True)
         elif kind == "pq":
             from lab_1806_vec_db_spark.index.pq import PQTable
 
@@ -970,6 +1094,10 @@ class VecDB:
             for kind, idx in kinds.items():
                 if kind.startswith("_"):
                     continue  # driver-side caches, not persistable indexes
+                if kind == "hnsw":
+                    # fold in any deferred appends before the flush so
+                    # the persisted graph covers the whole table
+                    self._hnsw_tail_sync(key, idx)
                 if getattr(idx, "dirty", False):
                     idx.save(self._index_path(key, kind))
         self._save_brief()

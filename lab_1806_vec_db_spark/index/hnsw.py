@@ -113,6 +113,21 @@ def _cow_friendly_fork():
         gc.unfreeze()
 
 
+def _release_pools(holder: dict) -> None:
+    """weakref.finalize target for a dropped :class:`HNSWIndex`: tear
+    down whatever pools it still owned. Module-level and closing only
+    over the mutable holder dict — never the index — so the finalizer
+    cannot keep the index (and its mmapped vectors) alive."""
+    pool = holder.get("pool")
+    if pool is not None:
+        pool.terminate()
+        holder["pool"] = None
+    tp = holder.get("tpool")
+    if tp is not None:
+        tp.shutdown(wait=False)
+        holder["tpool"] = None
+
+
 def _fork_search(args):
     qsub, k, ef, use_pq, bw = args
     idx = _FORK_STATE["idx"]
@@ -453,6 +468,17 @@ class HNSWIndex:
         self._pq_cache: tuple[int, np.ndarray] | None = None
         self._pool = None
         self._pool_key = None
+        # pools are released deterministically when the index object is
+        # dropped (e.g. VecDB cache invalidation), not left to thread GC
+        # finalization: the worker threads pin the C kernel's
+        # thread-local scratch (~10 MB/thread at 500k rows) and a fork
+        # pool pins whole child processes. The finalizer closes over a
+        # mutable holder, never over self (that would make the index
+        # immortal); close_pool() keeps the holder in sync.
+        import weakref
+
+        self._pool_holder: dict = {"pool": None, "tpool": None}
+        weakref.finalize(self, _release_pools, self._pool_holder)
         # flattened C-contiguous graph views for the compiled kernel
         # (ckernel.py); built lazily, invalidated by add_batch
         self._c_state: dict | None = None
@@ -1065,6 +1091,9 @@ class HNSWIndex:
         key = (None if pq is None else id(pq), workers)
         if self._pool is not None and self._pool_key == key:
             return self._pool
+        # close_pool() also tears down any _tpool BEFORE the fork below:
+        # forking with live worker threads would copy their lock state
+        # (and pin their C scratch) into every child
         self.close_pool()
         if pq is not None:
             # pre-warm the aligned-code cache BEFORE forking: children
@@ -1075,6 +1104,7 @@ class HNSWIndex:
         with _cow_friendly_fork():
             self._pool = mp.get_context("fork").Pool(workers)
         self._pool_key = key
+        self._pool_holder["pool"] = self._pool
         return self._pool
 
     def close_pool(self) -> None:
@@ -1086,6 +1116,10 @@ class HNSWIndex:
         if tp is not None:
             tp.shutdown(wait=True)
             self._tpool = None
+        holder = getattr(self, "_pool_holder", None)
+        if holder is not None:
+            holder["pool"] = None
+            holder["tpool"] = None
 
     def _thread_pool(self, w: int):
         """Persistent thread pool for the compiled-kernel fan-out.
@@ -1107,6 +1141,7 @@ class HNSWIndex:
             tp = ThreadPoolExecutor(max_workers=w)
             self._tpool = tp
             self._tpool_w = w
+            self._pool_holder["tpool"] = tp
         return tp
 
     def search_many_parallel(

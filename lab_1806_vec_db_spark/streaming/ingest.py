@@ -5,30 +5,40 @@ incremental ``add`` loop a client drives against the PyO3 manager
 (database/mod.rs:425-450) with the background save thread flushing
 dirty state (thread_save.rs:28-134). This module is the Spark-native
 version of that loop: a ``foreachBatch`` sink that lands each
-micro-batch through ``VecDB.batch_add``, so every streamed vector is
+micro-batch through ``VecDB.batch_add_df``, so every streamed vector is
 
-- appended to the table's Parquet exactly once per micro-batch,
-- absorbed incrementally into a live HNSW graph (no rebuild), and
+- appended to the table's Parquet EXACTLY ONCE: foreachBatch is
+  at-least-once on failure, but each micro-batch carries an
+  idempotency token keyed by (checkpoint, epoch id) — a redelivered
+  epoch whose token is already in the table's committed-batch log
+  no-ops, and a crash mid-append is repaired by the pending-marker
+  protocol (db/vecdb.py append crash protocol) before the retry lands;
+- absorbed incrementally into live indexes WITHOUT driver traffic:
+  IVF+PQ encodes the stamped frame executor-side, and a live HNSW
+  graph deliberately lags the table — ``_hnsw_tail_sync`` absorbs the
+  gap (chunked, bounded) at the next serve or ``force_save``, outside
+  the micro-batch loop;
 - durably flushed ONCE at ``force_save()``/``close()`` via the
   dirty-mark (not per batch — the per-append O(N) artifact rewrite the
   round-4 verdict flagged stays gone under streaming load too).
 
-Scale notes: with ``distributed=True`` (the default) each
-micro-batch lands through ``VecDB.batch_add_df`` — the table write,
-id stamping, metadata mapping, and IVF+PQ absorption all stay
-executor-side; the only driver transfer is the ``(id, vec)`` pairs a
-live broadcast-tier HNSW graph needs (nothing at all on flat/IVF/PQ/
-IVF+PQ tables). ``distributed=False`` routes through the reference's
-list-based ``batch_add`` (a full ``collect``), kept for exact API
-parity — bound micro-batches with ``maxFilesPerTrigger``/
-``maxOffsetsPerTrigger`` on that path. Re-delivered micro-batches
-(foreachBatch is at-least-once on failure) would re-append rows;
-exactly-once ingest needs an idempotence key in the metadata and a
-dedup pass downstream, same as any foreachBatch sink.
+Scale notes: with ``distributed=True`` (the default) each micro-batch
+lands through ``VecDB.batch_add_df`` — the table write, id stamping,
+and metadata mapping all stay executor-side; ZERO vectors cross the
+driver per micro-batch on any tier. ``distributed=False`` routes
+through the reference's list-based ``batch_add`` (a full ``collect``),
+kept for exact API parity — bound micro-batches with
+``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` on that path, and note
+it carries no idempotency token (at-least-once, like the reference's
+own client loop on retry). Exactly-once requires a ``checkpoint``:
+without one, epoch ids restart at 0 on every run, so no token is
+attached and redelivery semantics are at-least-once.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -53,9 +63,22 @@ def stream_into_vecdb(
         raise ValueError("stream_into_vecdb expects a streaming DataFrame")
     cols = [vec_col, *meta_cols]
 
+    # epoch ids are durable/monotonic only under a checkpoint; scope the
+    # token by the checkpoint identity so two sinks into the same table
+    # (or a re-created checkpoint) can never collide
+    sink_id = (
+        hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+        if checkpoint is not None
+        else None
+    )
+
     if distributed:
-        def _sink(batch_df: DataFrame, _epoch: int) -> None:
-            db.batch_add_df(key, batch_df, vec_col=vec_col, meta_cols=meta_cols)
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
+            token = f"{sink_id}:{epoch}" if sink_id is not None else None
+            db.batch_add_df(
+                key, batch_df, vec_col=vec_col, meta_cols=meta_cols,
+                idempotency_token=token,
+            )
     else:
         def _sink(batch_df: DataFrame, _epoch: int) -> None:
             rows = batch_df.select(*cols).collect()

@@ -526,9 +526,15 @@ def test_vecdb_append_defers_graph_save(spark, tmp_path, monkeypatch):
         d1.add(key, [float(i)] * 8, {"i": f"app{i}"})
     assert saves == []  # no inline rewrite per append
     idx = d1._indexes[key]["hnsw"]
-    assert idx.dirty
+    # appends defer graph absorption entirely (zero driver vector
+    # traffic in the ingest loop): the graph lags the table and is
+    # still clean here — close() runs the tail sync (dirty-marking it)
+    # and then exactly one flush
+    assert not idx.dirty
+    assert len(idx.ids) == d1.get_len(key) - 5
     d1.close()
     assert len(saves) == 1  # one flush at close
+    assert len(idx.ids) == 30 + 5  # tail absorbed before the flush
     assert not idx.dirty
 
     # reopen: the flushed graph must contain the appended rows

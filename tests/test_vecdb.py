@@ -321,3 +321,83 @@ def test_batch_add_df_u8_cast_and_dim_guard(db, spark):
     with pytest.raises(Exception, match="Dimension mismatch"):
         db.batch_add_df("u8t", bad)
     assert db.get_len("u8t") == 2  # failed batch landed nothing
+
+
+def test_append_crash_protocol_no_duplicate_ids(spark, tmp_path):
+    """The append crash protocol (db/vecdb.py): ids are reserved
+    durably BEFORE the parquet append, so a crash between reserve and
+    commit can only SKIP ids, never reassign them — and the partial
+    rows of the crashed batch are dropped at the next open."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.functions.distance import norm_expr
+
+    path = str(tmp_path / "db")
+    d1 = VecDB(path, spark=spark)
+    d1.create_table_if_not_exists("t", 3, "l2sqr")
+    d1.batch_add("t", [[float(i)] * 3 for i in range(5)],
+                 [{"i": str(i)} for i in range(5)])
+
+    # simulate a crash mid-append: reserve 3 ids, land only 2 of the 3
+    # rows in parquet, and never commit (the marker stays in the brief)
+    start = d1._reserve_append("t", 3)
+    partial = spark.createDataFrame(
+        [(start, [9.0, 9.0, 9.0], {"i": "ghost0"}),
+         (start + 1, [8.0, 8.0, 8.0], {"i": "ghost1"})],
+        "id long, vec array<float>, metadata map<string,string>",
+    ).withColumn("norm", norm_expr("vec"))
+    partial.write.mode("append").parquet(d1._table_path("t"))
+    # "crash": release the lock without committing
+    d1._lock_fh.close()
+
+    d2 = VecDB(path, spark=spark)
+    # settle dropped the ghost rows; len and content are the committed 5
+    assert d2.get_len("t") == 5
+    ids = sorted(r["id"] for r in d2.table_df("t").collect())
+    assert ids == list(range(5))
+    assert d2._brief["tables"]["t"].get("pending_append") is None
+
+    # the reserved range [5, 8) is burned: the retry gets fresh ids
+    d2.batch_add("t", [[1.0, 2.0, 3.0]], [{"i": "retry"}])
+    ids2 = sorted(r["id"] for r in d2.table_df("t").collect())
+    assert ids2 == [0, 1, 2, 3, 4, 8]
+    assert len(ids2) == len(set(ids2))
+    d2.close()
+
+
+def test_batch_add_df_idempotency_token_replay(db, spark):
+    """A redelivered micro-batch (same idempotency token) is a no-op —
+    the exactly-once half of the streaming ingest contract."""
+    db.create_table_if_not_exists("ep", 3, "l2sqr")
+    bdf = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], "a"), ([0.0, 1.0, 0.0], "b")],
+        "vec array<double>, tag string",
+    )
+    n1 = db.batch_add_df("ep", bdf, meta_cols=("tag",),
+                         idempotency_token="sink1:0")
+    assert n1 == 2 and db.get_len("ep") == 2
+    # replay of the SAME epoch: nothing lands, ids don't advance
+    n2 = db.batch_add_df("ep", bdf, meta_cols=("tag",),
+                         idempotency_token="sink1:0")
+    assert n2 == 0 and db.get_len("ep") == 2
+    assert db._brief["tables"]["ep"]["next_id"] == 2
+    # a NEW epoch (even with identical content) lands normally
+    n3 = db.batch_add_df("ep", bdf, meta_cols=("tag",),
+                         idempotency_token="sink1:1")
+    assert n3 == 2 and db.get_len("ep") == 4
+
+
+def test_batch_add_df_null_metadata_matches_list_path(db, spark):
+    """NULL metadata values stringify to "None" on BOTH ingest paths
+    (batch_add applies Python str(None)), so pattern filters behave
+    identically regardless of how a row arrived."""
+    db.create_table_if_not_exists("nm", 2, "l2sqr")
+    db.batch_add("nm", [[1.0, 0.0]], [{"tag": str(None)}])
+    bdf = spark.createDataFrame(
+        [([0.0, 1.0], None)], "vec array<double>, tag string"
+    )
+    assert db.batch_add_df("nm", bdf, meta_cols=("tag",)) == 1
+    rows = {r["id"]: dict(r["metadata"]) for r in db.table_df("nm").collect()}
+    assert rows[0]["tag"] == "None" and rows[1]["tag"] == "None"
+    # the pattern predicate matches both rows
+    assert db.delete("nm", {"tag": "None"}) == 2
