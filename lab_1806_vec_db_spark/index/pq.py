@@ -305,6 +305,63 @@ def make_rerank_scan(spark, qids: np.ndarray, qmat: np.ndarray, metric: str,
     return rerank
 
 
+def make_grouped_rerank_scan(
+    spark,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+):
+    """Grouped variant of :func:`make_rerank_scan` for the batch path:
+    the caller joins the base table against candidates GROUPED per id
+    (``collect_list(query_id)``), so each candidate vector crosses
+    Arrow exactly once no matter how many queries want it — at bench
+    shape (ef=80, |Q|=1k over 2k rows) the flat pair join duplicated
+    every vector ~40× and the ``to_list`` conversion of the duplicates
+    dominated the re-rank task. Per-pair expansion happens here in
+    numpy against the already-deserialized block; query vectors come
+    from the same small broadcast as the flat closure."""
+    qids = np.asarray(qids, dtype=np.int64)
+    qorder = np.argsort(qids, kind="stable")
+    bc = spark.sparkContext.broadcast(
+        (qids, np.asarray(qmat, dtype=np.float64), qorder)
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bqmat, bqorder = bc.value
+        qsorted = bqids[bqorder]
+        q2 = np.einsum("ij,ij->i", bqmat, bqmat)
+        qn = np.sqrt(q2)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            qlists = pdf["_qs"].to_list()
+            cnt = np.fromiter((len(l) for l in qlists), dtype=np.int64,
+                              count=len(qlists))
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            qflat = np.concatenate([np.asarray(l, dtype=np.int64) for l in qlists])
+            qi = bqorder[np.searchsorted(qsorted, qflat)]
+            rows_rep = np.repeat(np.arange(bids.size), cnt)
+            xs = x[rows_rep]
+            ip = np.einsum("ij,ij->i", xs, bqmat[qi])
+            x2 = np.einsum("ij,ij->i", x, x)[rows_rep]
+            if metric == "l2sqr":
+                d = x2 + q2[qi] - 2.0 * ip
+            else:
+                d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
+            d = np_round_half_up(d)
+            yield pd.DataFrame(
+                {"query_id": bqids[qi], id_col: bids[rows_rep], "dist": d}
+            )
+
+    return rerank
+
+
 def aligned_codes(pq: "PQTable", ids: np.ndarray) -> np.ndarray:
     """Collect + unpack the codes table into an (N × m) uint8 matrix
     row-aligned with ``ids`` (an HNSW index's id order) — the
@@ -574,10 +631,20 @@ class PQTable:
         # m=320: ~1.6k queries per chunk; small m → one chunk for all)
         chunk = max(256, int(max_lut_bytes // (self.m * ksub * 8)))
         n_parts = self.code_partitions
+        # NOTE on parallelism: splitting queries into more chunks than
+        # the LUT byte bound requires was measured SLOWER at bench shape
+        # (per-piece broadcast + task overhead beats the win; 32 pieces
+        # cost 2× the single-piece scan) — the scan stays one piece per
+        # LUT-bound chunk and parallelism comes from code partitions.
 
         def make_scan(bc):
             def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 bqids, blut3, bsq, bqn, m, n_bits = bc.value
+                # (m, ksub, |Q|) C-contiguous LUT: the per-group gather
+                # lut_t[g][codes[:, g]] then copies contiguous |Q|-rows
+                # (≈1.8× the transposed-view gather, measured at bench
+                # shape); one cheap transpose per task
+                lut_t = np.ascontiguousarray(blut3.transpose(1, 2, 0))
                 run_d = run_id = None
                 for pdf in batches:
                     if pdf.empty:
@@ -588,9 +655,9 @@ class PQTable:
                     # (n × |Q|) approx distances, accumulated group-by-
                     # group: m cheap 2-D gathers instead of one giant
                     # (|Q|, n, m) fancy-index — no 3-D intermediate
-                    summed = np.zeros((codes.shape[0], blut3.shape[0]))
+                    summed = np.zeros((codes.shape[0], lut_t.shape[2]))
                     for g in range(m):
-                        summed += blut3[:, g, codes[:, g]].T
+                        summed += lut_t[g][codes[:, g]]
                     if bsq is not None:
                         # centroid self-dots are query-independent: one
                         # (n,) reconstructed norm shared by all queries
@@ -604,7 +671,19 @@ class PQTable:
                         summed = np.concatenate([run_d, summed], axis=0)
                         idm = np.concatenate([run_id, idm], axis=0)
                     kk = min(ef_, summed.shape[0])
-                    sel = np.lexsort((idm, summed), axis=0)[:kk, :]
+                    if kk < summed.shape[0]:
+                        # O(n) prefilter before the exact ordering sort
+                        # (~3× faster than a full-column lexsort). Under
+                        # an exact float tie at the kk-th boundary the
+                        # KEPT set is deterministic but not id-tiebroken
+                        # — fine for an ef candidate pool feeding the
+                        # exact re-rank; the oracled rounded-gate cuts
+                        # (knn_pq_adc / knn_ivf_pq) use the single-query
+                        # paths, which keep their full id-tiebroken sort
+                        part = np.argpartition(summed, kk - 1, axis=0)[:kk, :]
+                        summed = np.take_along_axis(summed, part, axis=0)
+                        idm = np.take_along_axis(idm, part, axis=0)
+                    sel = np.lexsort((idm, summed), axis=0)
                     run_d = np.take_along_axis(summed, sel, axis=0)
                     run_id = np.take_along_axis(idm, sel, axis=0)
                 if run_d is not None:
@@ -641,13 +720,25 @@ class PQTable:
             cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
         else:
             cand = approx.select("query_id", id_col)
-        # exact re-rank: broadcast only the (query_id, id) pairs into the
-        # base scan (shared closure — make_rerank_scan)
+        # exact re-rank: ONE pipelined job. The ef-bounded candidate
+        # pairs are grouped per id below the broadcast (a k-bounded
+        # agg), so the base join carries each candidate vector across
+        # Arrow exactly ONCE, with its interested-query list attached;
+        # the per-pair expansion happens in numpy inside the closure
+        # (make_grouped_rerank_scan). A flat pair join duplicated every
+        # vector |queries-wanting-it| times and its to_list conversion
+        # dominated the re-rank task (measured ~0.5 s of the old 1.38 s
+        # pq_ef80 row at sf0.1).
+        cand_grouped = cand.groupBy(id_col).agg(
+            F.collect_list("query_id").alias("_qs")
+        )
         rer = (
             self.base.select(id_col, self.vec_col)
-            .join(F.broadcast(cand), id_col)
+            .join(F.broadcast(cand_grouped), id_col)
             .mapInPandas(
-                make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
+                make_grouped_rerank_scan(
+                    spark, qids, qmat, metric, id_col, self.vec_col
+                ),
                 schema=f"query_id long, {id_col} long, dist double",
             )
         )
