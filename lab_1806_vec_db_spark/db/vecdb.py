@@ -643,23 +643,47 @@ class VecDB:
         k: int,
         pattern: dict[str, str],
         upper_bound: float | None = None,
+        ef: int | None = None,
     ) -> list[tuple[dict[str, str], float]]:
-        """Metadata-filtered exact kNN: the subset-match predicate
+        """Metadata-filtered kNN: the subset-match predicate
         (the reference's delete-pattern semantics, metadata_vec_table.rs
         :163-169) applied BELOW the distance computation — non-matching
         rows are pruned by the scan (map-type predicate; with metadata
         promoted to top-level parquet columns it reaches PushedFilters,
         tests/test_plans.py shows the shape). Beyond-reference: the
         reference can attach metadata to results (Q8) but cannot prune
-        the search space by it."""
+        the search space by it.
+
+        Dispatch mirrors :meth:`search`: with ``ef`` given and an index
+        live, the oversample-and-filter path runs (HNSW or IVF+PQ
+        ``search_filtered`` — graph/ADC pool semi-joined against the
+        filtered scan, exact-scan fallback when the pool can't fill k);
+        otherwise the exact filtered flat scan."""
         meta = self._meta(key)
         if len(query) != meta["dim"]:
             raise ValueError("Dimension mismatch")
         df = self.table_df(key).filter(self._pattern_pred(pattern))
-        out = knn_ops.knn(
-            df, query, k, metric=meta["dist"], vec_col="vec",
-            payload_cols=["id", "metadata"], id_col="id", norm_col="norm",
-        )
+        out = None
+        if ef is not None:
+            hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+            ivfpq = self._get_index(key, "ivfpq") if meta.get("has_ivfpq") else None
+            if _is_plain_hnsw(hnsw):
+                self._hnsw_tail_sync(key, hnsw)
+                out = hnsw.search_filtered(query, k, df, ef=ef)
+            elif ivfpq is not None:
+                probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
+                out = ivfpq.search_filtered(query, k, df, n_probes=probes, ef=ef)
+        if out is None:
+            out = knn_ops.knn(
+                df, query, k, metric=meta["dist"], vec_col="vec",
+                payload_cols=["id", "metadata"], id_col="id", norm_col="norm",
+            )
+        else:
+            # metadata attach on the k-bounded result only (Q8)
+            out = (
+                self.table_df(key).select("id", "metadata")
+                .join(F.broadcast(out), "id")
+            )
         result = []
         for r in out.collect():
             if upper_bound is not None and r["dist"] > upper_bound:

@@ -1264,6 +1264,70 @@ class HNSWIndex:
         rows.sort(key=lambda t: (t[1], t[0]))
         return spark.createDataFrame(rows or [], f"{self.id_col} long, dist double")
 
+    def search_filtered(
+        self,
+        query: Sequence[float],
+        k: int,
+        filtered_base: DataFrame,
+        ef: int | None = None,
+        oversample: int = 4,
+        max_rounds: int = 3,
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """Metadata-filtered ANN by oversample-and-filter. The
+        predicate stays IN SPARK: the caller passes the
+        predicate-filtered base table (so the filter pushes into the
+        parquet scan), the graph contributes only an ef-bounded
+        candidate pool, and survivors come from broadcasting the pool
+        into the filtered scan — no metadata ever crosses to the
+        driver, which is what makes this hold at 100 TB.
+
+        Escalation: the pool starts at max(ef, oversample·k) and
+        quadruples for up to ``max_rounds`` rounds until k survivors
+        exist; if the graph pool still can't fill k (very selective
+        predicates, or matches only among graph-unreachable nodes),
+        the EXACT filtered scan answers — the result never silently
+        under-fills k while matches exist.
+
+        Reference analogue: the subset-match pattern semantics
+        (metadata_vec_table.rs:163-169) applied below search — the
+        reference itself can only post-attach metadata to results (Q8,
+        metadata_vec_table.rs:194-212), it cannot filter the search.
+        Recall gate vs the exact filtered scan: tests/test_indexes.py;
+        oracle equivalence at full beam: entry knn_hnsw_filtered."""
+        from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+        spark = filtered_base.sparkSession
+        q = np.asarray([float(x) for x in query], dtype=np.float64)
+        n = self.vecs.shape[0]
+        id_col = self.id_col
+        ef_i = max(int(ef or 0), int(oversample) * int(k), int(k))
+        for _ in range(max(1, int(max_rounds))):
+            kk = min(ef_i, n) if n else int(k)
+            ids, dists = self.search_np(q, kk, ef_i)
+            pool_df = spark.createDataFrame(
+                [(int(i), float(d)) for i, d in zip(ids, dists)] or [],
+                f"{id_col} long, dist double",
+            )
+            rows = (
+                filtered_base.select(id_col)
+                .join(F.broadcast(pool_df), id_col)
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+                .limit(int(k))
+                .collect()
+            )
+            if len(rows) >= int(k):
+                return spark.createDataFrame(rows, f"{id_col} long, dist double")
+            if len(ids) >= n:
+                break  # pool already covers the reachable set
+            ef_i *= 4
+        # selective predicate (or unreachable matches): exact scan of
+        # the already-filtered base — correct by construction
+        return knn_ops.knn(
+            filtered_base, [float(x) for x in query], int(k),
+            metric=self.metric, vec_col=vec_col, id_col=id_col,
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

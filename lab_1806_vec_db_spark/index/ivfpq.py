@@ -407,6 +407,52 @@ class IVFPQIndex:
             rer = rer.filter(F.col("dist") <= F.lit(float(upper_bound)))
         return rer
 
+    def search_filtered(
+        self,
+        query: Sequence[float],
+        k: int,
+        filtered_base: DataFrame,
+        n_probes: int = 4,
+        ef: int = 64,
+        oversample: int = 4,
+    ) -> DataFrame:
+        """Metadata-filtered ANN on the distributed tier, oversample-
+        and-filter: the ADC + exact-re-rank pool of size
+        max(ef, oversample·k) is semi-joined against the caller's
+        predicate-filtered base (the predicate pushes into the parquet
+        scan; only the pool broadcasts), top-k of the survivors.
+        Escalation: round 2 probes EVERY cluster with a 4× pool; if the
+        pool still can't fill k (very selective predicates), the exact
+        filtered scan answers — never a silent under-fill while matches
+        exist. The HNSW twin (hnsw.py search_filtered) documents the
+        scale argument; here the pool stage additionally keeps IVF's
+        partition pruning."""
+        from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+        spark = filtered_base.sparkSession
+        id_col = self.id_col
+        k_clusters = int(self.model.centroids.shape[0])
+        ef_i = max(int(ef), int(oversample) * int(k), int(k))
+        probes = int(n_probes)
+        for last in (False, True):
+            pool = self.search(query, k=ef_i, n_probes=probes, ef=ef_i)
+            rows = (
+                filtered_base.select(id_col)
+                .join(F.broadcast(pool), id_col)
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+                .limit(int(k))
+                .collect()
+            )
+            if len(rows) >= int(k) or (last and probes >= k_clusters):
+                if len(rows) >= int(k):
+                    return spark.createDataFrame(rows, f"{id_col} long, dist double")
+                break
+            probes, ef_i = k_clusters, ef_i * 4
+        return knn_ops.knn(
+            filtered_base, [float(x) for x in query], int(k),
+            metric=self.model.metric, vec_col=self.vec_col, id_col=id_col,
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

@@ -220,6 +220,31 @@ def knn_hnsw_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id long, dist double")
 
 
+@register(
+    "knn_hnsw_filtered",
+    f"""{_Q0}
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM embeddings e, q WHERE e.label = 2
+ORDER BY dist, vec_id LIMIT 10""",
+)
+def knn_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN on the graph tier: oversample-and-filter
+    (index/hnsw.py search_filtered) — the label predicate pushes into
+    the parquet scan, the graph contributes an ef-bounded pool, the
+    top-k survivors come from a broadcast semi-join. At full beam the
+    pool covers the reachable set, so the result equals the exact
+    filtered scan (same equivalence-gate style as knn_hnsw); the
+    partial-beam recall gate lives in tests/test_indexes.py.
+    Beyond-reference: the reference attaches metadata to results (Q8,
+    metadata_vec_table.rs:194-212) but cannot filter the search by it."""
+    emb = _emb(spark, sf_dir).cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    filt = emb.filter(F.col("label") == 2)
+    return idx.search_filtered(_query_vec(spark, sf_dir), k=10, filtered_base=filt,
+                               ef=600, vec_col="embedding")
+
+
 @register("knn_hnsw_sharded", _FLAT_L2_ORACLE)
 def knn_hnsw_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The >50 M-row serving tier (docs/SCALE.md): per-shard HNSW

@@ -579,3 +579,79 @@ def test_hnsw_generation_commit_and_cleanup(spark, emb, tmp_path):
 
     with _pytest.raises(RuntimeError, match="unstable artifacts"):
         HNSWIndex.load(spark, path, base=emb)
+
+
+def test_hnsw_search_filtered_oversample(spark, emb):
+    """Filtered ANN, graph tier: at full beam the oversample-and-filter
+    result EQUALS the exact filtered scan; at a partial beam recall
+    must clear 0.9; a predicate too selective for the pool falls back
+    to the exact scan (never under-fills k while matches exist)."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+    emb = emb.cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    filt = emb.filter(F.col("label") == 3)
+    exact = [r["vec_id"] for r in knn_ops.knn(
+        filt, q, 10, metric="l2sqr", vec_col="embedding", id_col="vec_id").collect()]
+
+    full = [r["vec_id"] for r in idx.search_filtered(
+        q, 10, filt, ef=600, vec_col="embedding").collect()]
+    assert full == exact
+
+    part = [r["vec_id"] for r in idx.search_filtered(
+        q, 10, filt, ef=60, vec_col="embedding").collect()]
+    assert len(set(part) & set(exact)) >= 9
+
+    # selective predicate: only 3 matching rows exist -> exact fallback
+    tiny = emb.filter(F.col("vec_id").isin([7, 8, 9]))
+    got = [r["vec_id"] for r in idx.search_filtered(
+        q, 10, tiny, ef=40, max_rounds=1, vec_col="embedding").collect()]
+    assert sorted(got) == [7, 8, 9]
+
+
+def test_ivfpq_search_filtered_oversample(spark, emb):
+    """Filtered ANN, distributed tier: pool semi-join against the
+    filtered scan; full-pool equivalence + escalation fallback."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+    emb = emb.cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IVFPQIndex.build(emb, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+                           vec_col="embedding", id_col="vec_id",
+                           train_size=500, dim=64)
+    filt = emb.filter(F.col("label") == 3)
+    exact = [r["vec_id"] for r in knn_ops.knn(
+        filt, q, 10, metric="l2sqr", vec_col="embedding", id_col="vec_id").collect()]
+
+    # every cluster probed + pool >= table: survivors == exact
+    full = [r["vec_id"] for r in idx.search_filtered(
+        q, 10, filt, n_probes=8, ef=1000).collect()]
+    assert full == exact
+
+    # tiny allowed set: escalation can't fill k -> exact fallback
+    tiny = emb.filter(F.col("vec_id").isin([5, 6]))
+    got = [r["vec_id"] for r in idx.search_filtered(
+        q, 10, tiny, n_probes=2, ef=40).collect()]
+    assert sorted(got) == [5, 6]
+
+
+def test_vecdb_search_filtered_index_dispatch(spark, tmp_path):
+    """VecDB.search_filtered with ef routes through the live index's
+    oversample-and-filter path and matches the exact filtered scan."""
+    db = VecDB(str(tmp_path / "dbf"), spark=spark)
+    key, vecs = _seeded(db, n=40)
+    db.build_hnsw_index(key)
+    q = [float(x) for x in vecs[3]]
+    pat = {"i": "7"}
+    exact = db.search_filtered(key, q, 3, pat)
+    fast = db.search_filtered(key, q, 3, pat, ef=200)
+    assert fast == exact
+    db.close()
