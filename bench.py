@@ -359,6 +359,8 @@ def run_relational_suite(spark) -> dict:
     bench_op("tpch_q1_pricing", lambda: RQ.tpch_pricing_summary(spark, SF_DIR))
     bench_op("tpch_q3_topk", lambda: RQ.tpch_shipping_priority(spark, SF_DIR))
     bench_op("tpch_q5_regional", lambda: RQ.tpch_regional_volume(spark, SF_DIR))
+    bench_op("tpch_q6_revenue_change", lambda: RQ.tpch_revenue_change(spark, SF_DIR))
+    bench_op("tpch_q10_returned_items", lambda: RQ.tpch_returned_items(spark, SF_DIR))
     bench_op("bm25_topk", lambda: text_bm25_topk(spark, SF_DIR))
     bench_op("asof_attribution",
              lambda: RQ.events_asof_attribution(spark, SF_DIR))

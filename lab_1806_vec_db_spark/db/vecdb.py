@@ -699,13 +699,28 @@ class VecDB:
         k: int,
         pattern: dict[str, str],
         upper_bound: float | None = None,
+        ef: int | None = None,
     ) -> DataFrame:
         """Batch form of :meth:`search_filtered`: the subset-match
         predicate prunes the base table BEFORE the Arrow distance scan,
         then the flat batch path runs over the survivors — exact
-        results within the filtered set, one k-bounded merge shuffle."""
+        results within the filtered set, one k-bounded merge shuffle.
+        With ``ef`` given and a broadcast-tier HNSW live, the
+        oversample-and-filter batch path runs instead (graph pool →
+        filtered join → per-query window; starved queries answered
+        exactly — hnsw.py search_batch_filtered)."""
         meta = self._meta(key)
         df = self.table_df(key).filter(self._pattern_pred(pattern))
+        if ef is not None and meta["has_hnsw"]:
+            hnsw = self._get_index(key, "hnsw")
+            if _is_plain_hnsw(hnsw):
+                self._hnsw_tail_sync(key, hnsw)
+                out = hnsw.search_batch_filtered(
+                    queries, k, df, ef=ef, qid_col="query_id", qvec_col="vec"
+                )
+                if upper_bound is not None:
+                    out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
+                return out
         return knn_ops.knn_batch(
             df, queries, k, metric=meta["dist"], vec_col="vec",
             id_col="id", qid_col="query_id", qvec_col="vec",

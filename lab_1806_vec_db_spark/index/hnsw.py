@@ -1328,6 +1328,66 @@ class HNSWIndex:
             metric=self.metric, vec_col=vec_col, id_col=id_col,
         )
 
+    def search_batch_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        filtered_base: DataFrame,
+        ef: int | None = None,
+        qid_col: str = "query_id",
+        qvec_col: str = "vec",
+        oversample: int = 4,
+        exact_fallback: bool = True,
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """Batch twin of :meth:`search_filtered`: every query's
+        ef-bounded graph pool (one broadcast-graph mapInPandas pass,
+        queries as the parallel axis) is joined against the
+        predicate-filtered base — the predicate pushes into the parquet
+        scan, the pool is the k-bounded side of the join — then the
+        shared per-query window keeps k survivors.
+
+        Under-filled queries (pool ∩ filter < k) are detected with one
+        |Q|-bounded aggregate and answered EXACTLY by the flat batch
+        scan over the filtered base (``exact_fallback=False`` skips
+        that and documents the recall contract instead). One graph
+        pass + one filtered-scan join + at most one exact pass over
+        only the starved queries — no per-query driver loop."""
+        from lab_1806_vec_db_spark.operators.knn import _topk_per_query, knn_batch
+
+        pool_k = max(int(ef or 0), int(oversample) * int(k), int(k))
+        pool = self.search_batch(
+            queries, k=pool_k, ef=max(pool_k, int(ef or 0)),
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+        surv = pool.join(
+            filtered_base.select(self.id_col), self.id_col
+        ).select("query_id", self.id_col, "dist")
+        topk = _topk_per_query(surv, int(k), self.id_col, None)
+        if not exact_fallback:
+            return topk
+        got = {
+            r[0]: r[1]
+            for r in topk.groupBy("query_id").agg(F.count("*")).collect()
+        }
+        need = [
+            r[0]
+            for r in queries.select(qid_col).collect()
+            if got.get(r[0], 0) < int(k)
+        ]
+        if not need:
+            return topk
+        exact = knn_batch(
+            filtered_base,
+            queries.filter(F.col(qid_col).isin([int(q) for q in need])),
+            int(k), metric=self.metric, vec_col=vec_col,
+            id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
+        )
+        kept = topk.filter(~F.col("query_id").isin([int(q) for q in need]))
+        return kept.unionByName(exact).orderBy(
+            "query_id", F.col("dist").asc(), F.col(self.id_col).asc()
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

@@ -655,3 +655,35 @@ def test_vecdb_search_filtered_index_dispatch(spark, tmp_path):
     fast = db.search_filtered(key, q, 3, pat, ef=200)
     assert fast == exact
     db.close()
+
+
+def test_hnsw_search_batch_filtered(spark, emb):
+    """Batch filtered ANN: full-beam equivalence to the exact filtered
+    batch scan, and the starved-query exact fallback."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+    emb = emb.cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    filt = emb.filter(F.col("label") == 4)
+    exact = [tuple(r) for r in knn_ops.knn_batch(
+        filt, queries, 5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
+    got = [tuple(r) for r in idx.search_batch_filtered(
+        queries, 5, filt, ef=600, vec_col="embedding").collect()]
+    assert got == exact
+
+    # starved regime: allowed set smaller than k -> exact fallback fills
+    tiny = emb.filter(F.col("vec_id").isin([11, 12, 13]))
+    got2 = [tuple(r) for r in idx.search_batch_filtered(
+        queries, 5, tiny, ef=40, vec_col="embedding").collect()]
+    exact2 = [tuple(r) for r in knn_ops.knn_batch(
+        tiny, queries, 5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
+    assert got2 == exact2
