@@ -172,3 +172,25 @@ def test_unigram_logprob_vocab_join_is_broadcast_at_sf(docs):
     # back to shuffle-hash at corpus scale); no row-at-a-time Python
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_batch_filtered_ann_plan_shape(emb, qvec):
+    # oversample-and-filter, batch form: the label predicate must reach
+    # the parquet reader (the filter prunes the scan, not the pool),
+    # and the pool attaches via a broadcast join — the filtered base is
+    # never shuffled
+    from lab_1806_vec_db_spark.index.hnsw import HNSWIndex
+
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=8, ef_construction=80)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = idx.search_batch_filtered(
+        queries, 5, emb.filter(F.col("label") == 1), ef=100,
+        exact_fallback=False, vec_col="embedding",
+    )
+    plan = _plan(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("label" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan
