@@ -711,16 +711,26 @@ class VecDB:
         exactly — hnsw.py search_batch_filtered)."""
         meta = self._meta(key)
         df = self.table_df(key).filter(self._pattern_pred(pattern))
-        if ef is not None and meta["has_hnsw"]:
-            hnsw = self._get_index(key, "hnsw")
-            if _is_plain_hnsw(hnsw):
+        out = None
+        if ef is not None:
+            hnsw = self._get_index(key, "hnsw") if meta["has_hnsw"] else None
+            ivfpq = self._get_index(key, "ivfpq") if meta.get("has_ivfpq") else None
+            if hnsw is not None:
+                # both graph tiers share the pool→filter→fallback shape
                 self._hnsw_tail_sync(key, hnsw)
                 out = hnsw.search_batch_filtered(
                     queries, k, df, ef=ef, qid_col="query_id", qvec_col="vec"
                 )
-                if upper_bound is not None:
-                    out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
-                return out
+            elif ivfpq is not None:
+                probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
+                out = ivfpq.search_batch_filtered(
+                    queries, k, df, n_probes=probes, ef=ef,
+                    qid_col="query_id", qvec_col="vec",
+                )
+        if out is not None:
+            if upper_bound is not None:
+                out = out.filter(F.col("dist") <= F.lit(float(upper_bound)))
+            return out
         return knn_ops.knn_batch(
             df, queries, k, metric=meta["dist"], vec_col="vec",
             id_col="id", qid_col="query_id", qvec_col="vec",

@@ -1352,40 +1352,20 @@ class HNSWIndex:
         scan over the filtered base (``exact_fallback=False`` skips
         that and documents the recall contract instead). One graph
         pass + one filtered-scan join + at most one exact pass over
-        only the starved queries — no per-query driver loop."""
-        from lab_1806_vec_db_spark.operators.knn import _topk_per_query, knn_batch
+        only the starved queries — no per-query driver loop. The
+        finisher is shared by every batch tier
+        (operators/knn.py::filtered_topk_from_pool)."""
+        from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
 
         pool_k = max(int(ef or 0), int(oversample) * int(k), int(k))
         pool = self.search_batch(
             queries, k=pool_k, ef=max(pool_k, int(ef or 0)),
             qid_col=qid_col, qvec_col=qvec_col,
         )
-        surv = pool.join(
-            filtered_base.select(self.id_col), self.id_col
-        ).select("query_id", self.id_col, "dist")
-        topk = _topk_per_query(surv, int(k), self.id_col, None)
-        if not exact_fallback:
-            return topk
-        got = {
-            r[0]: r[1]
-            for r in topk.groupBy("query_id").agg(F.count("*")).collect()
-        }
-        need = [
-            r[0]
-            for r in queries.select(qid_col).collect()
-            if got.get(r[0], 0) < int(k)
-        ]
-        if not need:
-            return topk
-        exact = knn_batch(
-            filtered_base,
-            queries.filter(F.col(qid_col).isin([int(q) for q in need])),
-            int(k), metric=self.metric, vec_col=vec_col,
-            id_col=self.id_col, qid_col=qid_col, qvec_col=qvec_col,
-        )
-        kept = topk.filter(~F.col("query_id").isin([int(q) for q in need]))
-        return kept.unionByName(exact).orderBy(
-            "query_id", F.col("dist").asc(), F.col(self.id_col).asc()
+        return filtered_topk_from_pool(
+            pool, queries, k, filtered_base, self.id_col, self.metric,
+            vec_col, qid_col=qid_col, qvec_col=qvec_col,
+            exact_fallback=exact_fallback,
         )
 
     def search_batch(

@@ -453,6 +453,37 @@ class IVFPQIndex:
             metric=self.model.metric, vec_col=self.vec_col, id_col=id_col,
         )
 
+    def search_batch_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        filtered_base: DataFrame,
+        n_probes: int = 4,
+        ef: int = 64,
+        qid_col: str = "query_id",
+        qvec_col: str = "vec",
+        oversample: int = 4,
+        exact_fallback: bool = True,
+    ) -> DataFrame:
+        """Batch filtered ANN on the distributed tier: one
+        partition-pruned ADC + re-rank pass produces each query's
+        max(ef, oversample·k) pool, then the shared finisher
+        (operators/knn.py::filtered_topk_from_pool) joins it against
+        the predicate-filtered scan and answers starved queries
+        exactly."""
+        from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
+
+        pool_k = max(int(ef), int(oversample) * int(k), int(k))
+        pool = self.search_batch(
+            queries, k=pool_k, n_probes=n_probes, ef=pool_k,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+        return filtered_topk_from_pool(
+            pool, queries, k, filtered_base, self.id_col, self.model.metric,
+            self.vec_col, qid_col=qid_col, qvec_col=qvec_col,
+            exact_fallback=exact_fallback,
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

@@ -254,6 +254,39 @@ class ShardedHNSWIndex:
 
     # ---- serve: batch (one shuffle on shard_id) --------------------------
 
+    def search_batch_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        filtered_base: DataFrame,
+        ef: int | None = None,
+        n_probes: int = 4,
+        qid_col: str = "query_id",
+        qvec_col: str = "vec",
+        oversample: int = 4,
+        exact_fallback: bool = True,
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """Batch filtered ANN on the >50 M sharded tier: the routed
+        per-shard pool pass (one shard_id shuffle) produces each
+        query's max(ef, oversample·k) candidates, then the shared
+        finisher (operators/knn.py::filtered_topk_from_pool) joins the
+        pool against the predicate-filtered scan and answers starved
+        queries exactly — the same contract as the broadcast-graph and
+        IVF+PQ tiers, so filtered search survives the tier switch."""
+        from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
+
+        pool_k = max(int(ef or 0), int(oversample) * int(k), int(k))
+        pool = self.search_batch(
+            queries, k=pool_k, ef=max(pool_k, int(ef or 0)),
+            n_probes=n_probes, qid_col=qid_col, qvec_col=qvec_col,
+        )
+        return filtered_topk_from_pool(
+            pool, queries, k, filtered_base, self.id_col, self.metric,
+            vec_col, qid_col=qid_col, qvec_col=qvec_col,
+            exact_fallback=exact_fallback,
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

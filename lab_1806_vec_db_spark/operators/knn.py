@@ -258,6 +258,57 @@ def _topk_per_query(
     return out.orderBy(qid_col, F.col("dist").asc(), F.col(id_col).asc())
 
 
+def filtered_topk_from_pool(
+    pool: DataFrame,
+    queries: DataFrame,
+    k: int,
+    filtered_base: DataFrame,
+    id_col: str,
+    metric: str,
+    vec_col: str,
+    qid_col: str = "query_id",
+    qvec_col: str = "vec",
+    exact_fallback: bool = True,
+) -> DataFrame:
+    """Shared oversample-and-filter finisher for every batch ANN tier
+    (HNSW broadcast graph, IVF+PQ, sharded HNSW): join an ef-bounded
+    per-query candidate ``pool`` (query_id, id, dist) against the
+    predicate-filtered base — the predicate pushes into the parquet
+    scan, the pool is the broadcast side — and keep k survivors per
+    query through the shared window. Queries whose pool can't fill k
+    are detected with one |Q|-bounded aggregate and answered EXACTLY
+    by the flat batch scan over the filtered base, so the result never
+    silently under-fills while matches exist (``exact_fallback=False``
+    skips that pass; recall then depends on the pool width).
+    Plan gate: tests/test_plans.py::test_batch_filtered_ann_plan_shape."""
+    surv = pool.join(filtered_base.select(id_col), id_col).select(
+        "query_id", id_col, "dist"
+    )
+    topk = _topk_per_query(surv, int(k), id_col, None)
+    if not exact_fallback:
+        return topk
+    got = {
+        r[0]: r[1] for r in topk.groupBy("query_id").agg(F.count("*")).collect()
+    }
+    need = [
+        r[0]
+        for r in queries.select(qid_col).collect()
+        if got.get(r[0], 0) < int(k)
+    ]
+    if not need:
+        return topk
+    exact = knn_batch(
+        filtered_base,
+        queries.filter(F.col(qid_col).isin([int(q) for q in need])),
+        int(k), metric=metric, vec_col=vec_col,
+        id_col=id_col, qid_col=qid_col, qvec_col=qvec_col,
+    )
+    kept = topk.filter(~F.col("query_id").isin([int(q) for q in need]))
+    return kept.unionByName(exact).orderBy(
+        "query_id", F.col("dist").asc(), F.col(id_col).asc()
+    )
+
+
 def range_search(
     df: DataFrame,
     query: Sequence[float],

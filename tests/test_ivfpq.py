@@ -205,3 +205,35 @@ def test_fused_rerank_equals_legacy_two_pass(spark, emb, qvec):
     bl = legacy.search_batch(queries, k=5, n_probes=4, ef=32, qvec_col="embedding").collect()
     key = lambda r: (r["query_id"], r["dist"], r["vec_id"])
     assert sorted(map(tuple, bf)) == sorted(map(tuple, bl))
+
+
+def test_ivfpq_search_batch_filtered(spark, emb):
+    """Batch filtered ANN, distributed tier: full-pool equivalence to
+    the exact filtered batch scan + starved-query exact fallback."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+
+    emb = emb.cache()
+    idx = IVFPQIndex.build(emb, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+                           vec_col="embedding", id_col="vec_id",
+                           train_size=500, dim=64)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    filt = emb.filter(F.col("label") == 5)
+    exact = [tuple(r) for r in knn_ops.knn_batch(
+        filt, queries, 5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
+    got = [tuple(r) for r in idx.search_batch_filtered(
+        queries, 5, filt, n_probes=8, ef=1000).collect()]
+    assert got == exact
+
+    tiny = emb.filter(F.col("vec_id").isin([21, 22]))
+    got2 = [tuple(r) for r in idx.search_batch_filtered(
+        queries, 5, tiny, n_probes=2, ef=40).collect()]
+    exact2 = [tuple(r) for r in knn_ops.knn_batch(
+        tiny, queries, 5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
+    assert got2 == exact2

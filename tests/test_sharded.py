@@ -255,3 +255,30 @@ def test_crash_window_recovery_no_double_insert(spark, tmp_path):
     idx3b = ShardedHNSWIndex.load(None, str(tmp_path / "sharded_crash2"))
     assert idx3b.absorb_tail(new_ids, new_vecs) == 5
     assert sum(idx3b.shard_counts.values()) == n + 5
+
+
+def test_sharded_search_batch_filtered(spark, sf_correct, tmp_path):
+    """Batch filtered ANN on the sharded tier: all-shard wide-beam pool
+    == exact filtered batch scan; the tier switch preserves the
+    filtered-search contract."""
+    from pyspark.sql import functions as F
+
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+    from lab_1806_vec_db_spark.operators import knn as knn_ops
+    from lab_1806_vec_db_spark.session import read_table
+
+    emb = read_table(spark, sf_correct, "embeddings").cache()
+    idx = ShardedHNSWIndex.build(
+        emb, str(tmp_path / "shx"), n_shards=3, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=200,
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    filt = emb.filter(F.col("label") == 6)
+    exact = [tuple(r) for r in knn_ops.knn_batch(
+        filt, queries, 5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
+    got = [tuple(r) for r in idx.search_batch_filtered(
+        queries, 5, filt, ef=600, n_probes=3, vec_col="embedding").collect()]
+    assert got == exact
