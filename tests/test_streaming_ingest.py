@@ -217,3 +217,69 @@ def test_dropped_hnsw_index_releases_pools(spark, tmp_path):
     del idx
     gc.collect()
     assert holder["tpool"] is None and tp._shutdown
+
+
+def test_stream_redelivery_after_crash_is_exactly_once(
+    spark, tmp_path, seeded_db, monkeypatch
+):
+    """REAL foreachBatch redelivery, not a simulated token: the sink
+    crashes AFTER epoch 1's rows land in the table but BEFORE Spark
+    writes the epoch's commit marker — exactly the at-least-once window
+    foreachBatch documents. The restarted stream re-delivers epoch 1
+    with the SAME epoch id; the (checkpoint, epoch)-keyed idempotency
+    token makes the re-append a no-op, so table length, ids, and
+    next_id are unchanged — exactly-once table content end-to-end."""
+    db, rng = seeded_db
+    waves = [[_mk_vec(rng) for _ in range(8)] for _ in range(2)]
+    src = str(tmp_path / "stream_src_replay")
+    os.makedirs(src)
+    for w, wave in enumerate(waves):
+        spark.createDataFrame(
+            [(f"r{w}_{i}", v) for i, v in enumerate(wave)],
+            "tag string, vec array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_replay")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("tag string, vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_into_vecdb(
+            stream, db, "t", vec_col="vec", meta_cols=("tag",), checkpoint=ckpt
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # crash injection: the append succeeds, THEN the sink dies — the
+    # commit marker for that epoch is never written
+    real = db.batch_add_df
+    crashed = {"done": False}
+
+    def flaky(key, bdf, **kw):
+        n = real(key, bdf, **kw)
+        tok = kw.get("idempotency_token") or ""
+        if not crashed["done"] and tok.endswith(":1"):
+            crashed["done"] = True
+            raise RuntimeError("injected sink crash after append")
+        return n
+
+    monkeypatch.setattr(db, "batch_add_df", flaky)
+    with pytest.raises(Exception, match="injected sink crash"):
+        run_stream()
+    # both epochs' rows are in the table; epoch 1 is uncommitted in the
+    # CHECKPOINT (its rows DID land — that's the at-least-once hazard)
+    n_mid = db.get_len("t")
+    next_id = db._brief["tables"]["t"]["next_id"]
+    assert n_mid == 64 + 16
+
+    # restart: Spark re-delivers epoch 1; the token makes it a no-op
+    run_stream()
+    assert crashed["done"]
+    assert db.get_len("t") == n_mid
+    assert db._brief["tables"]["t"]["next_id"] == next_id
+    ids = [r["id"] for r in db.table_df("t").select("id").collect()]
+    assert len(ids) == len(set(ids))
