@@ -257,6 +257,28 @@ def run_sf_suite(spark) -> dict:
     timings["hnsw_pq_ef120"], rows = _timed(run_hnsw_pq)
     recalls["hnsw_pq_ef120"] = _recall(rows, gt)
 
+    # ---- filtered ANN (oversample-and-filter over the live graph;
+    # label predicate keeps ~10% of rows — the selective regime where
+    # the pool join and the exact-fallback detection both do work) ----
+    filt = emb.filter(F.col("label") == 1)
+    gt_f: dict[int, set[int]] = {}
+    for r in knn_ops.knn_batch(
+        filt, queries, k=K, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    ).collect():
+        gt_f.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+
+    def run_hnsw_filtered():
+        # ef = k/selectivity (10 / ~10%) — the pool width that makes
+        # starvation (and its exact-fallback pass) the exception
+        return hnsw.search_batch_filtered(
+            queries, k=K, filtered_base=filt, ef=240,
+            qvec_col="embedding", vec_col="embedding",
+        ).collect()
+
+    timings["hnsw_filtered_ef240"], rows = _timed(run_hnsw_filtered)
+    recalls["hnsw_filtered_ef240"] = _recall(rows, gt_f)
+
     # ---- HNSW point-serve (zero Spark jobs — the reference's own
     # latency regime: sequential in-memory queries, bench.rs:423-426) --
     qrows = queries.orderBy("query_id").collect()

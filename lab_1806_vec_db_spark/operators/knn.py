@@ -281,29 +281,36 @@ def filtered_topk_from_pool(
     silently under-fills while matches exist (``exact_fallback=False``
     skips that pass; recall then depends on the pool width).
     Plan gate: tests/test_plans.py::test_batch_filtered_ann_plan_shape."""
+    spark = pool.sparkSession
     surv = pool.join(filtered_base.select(id_col), id_col).select(
         "query_id", id_col, "dist"
     )
     topk = _topk_per_query(surv, int(k), id_col, None)
     if not exact_fallback:
         return topk
-    got = {
-        r[0]: r[1] for r in topk.groupBy("query_id").agg(F.count("*")).collect()
-    }
+    # the survivor top-k is k-bounded (≤ k rows per query), so ONE
+    # Arrow materialization both detects starved queries and carries
+    # the kept rows — the pool pipeline executes exactly once (a
+    # groupBy-count probe plus a filtered re-read executed it three
+    # times and tripled the wall-time at bench shape)
+    schema = f"query_id long, {id_col} long, dist double"
+    pdf = topk.toPandas()
+    counts = pdf.groupby("query_id").size() if len(pdf) else {}
     need = [
-        r[0]
+        int(r[0])
         for r in queries.select(qid_col).collect()
-        if got.get(r[0], 0) < int(k)
+        if int(counts.get(r[0], 0)) < int(k)
     ]
     if not need:
-        return topk
+        return spark.createDataFrame(pdf, schema=schema)
     exact = knn_batch(
         filtered_base,
-        queries.filter(F.col(qid_col).isin([int(q) for q in need])),
+        queries.filter(F.col(qid_col).isin(need)),
         int(k), metric=metric, vec_col=vec_col,
         id_col=id_col, qid_col=qid_col, qvec_col=qvec_col,
     )
-    kept = topk.filter(~F.col("query_id").isin([int(q) for q in need]))
+    kept_pdf = pdf[~pdf["query_id"].isin(need)] if len(pdf) else pdf
+    kept = spark.createDataFrame(kept_pdf, schema=schema)
     return kept.unionByName(exact).orderBy(
         "query_id", F.col("dist").asc(), F.col(id_col).asc()
     )
