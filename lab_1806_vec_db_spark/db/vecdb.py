@@ -793,6 +793,41 @@ class VecDB:
             upper_bound=upper_bound,
         )
 
+    def table_file_count(self, key: str) -> int:
+        """Number of parquet data files backing the table — the
+        small-files health metric streaming ingest degrades (one file
+        per micro-batch per partition)."""
+        path = self._table_path(key)
+        return sum(
+            1
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def compact_table(self, key: str, rows_per_file: int = 4_000_000) -> int:
+        """Rewrite the table into id-range-clustered files of
+        ~``rows_per_file`` rows (the default targets ≈100 MB files for
+        a 64-dim f32 table). Streaming/bulk appends leave one file per
+        micro-batch per partition — at 100 TB that is millions of tiny
+        files, and every scan pays their open/footer cost — so
+        compaction is maintenance any append-heavy table needs
+        (Delta/Iceberg OPTIMIZE; the reference never hits this because
+        it rewrites one monolithic bincode blob per save,
+        thread_save.rs). ``repartitionByRange`` on id keeps files
+        id-clustered, so the tail-sync ordered read and any id-range
+        probe prune by footer min/max. Row content is untouched:
+        indexes stay valid, ids stay stable. Returns the file count
+        after compaction. Crash-safe via the same tmp-dir + atomic
+        rename as delete (``_rewrite``)."""
+        meta = self._meta(key)
+        self._settle_pending(key)
+        n = max(int(meta["len"]), 1)
+        parts = max(1, -(-n // int(rows_per_file)))
+        df = self.spark.read.parquet(self._table_path(key))
+        self._rewrite(key, df.repartitionByRange(parts, F.col("id")))
+        return self.table_file_count(key)
+
     def extract_data(self, key: str) -> list[tuple[list[float], dict[str, str]]]:
         """Dump the whole table (metadata_vec_table.rs:215-222), id order."""
         rows = self.table_df(key).orderBy("id").select("vec", "metadata").collect()

@@ -401,3 +401,31 @@ def test_batch_add_df_null_metadata_matches_list_path(db, spark):
     assert rows[0]["tag"] == "None" and rows[1]["tag"] == "None"
     # the pattern predicate matches both rows
     assert db.delete("nm", {"tag": "None"}) == 2
+
+
+def test_compact_table_preserves_content_and_shrinks_files(spark, tmp_path):
+    """Compaction collapses the one-file-per-append accumulation into
+    id-range-clustered files without changing a single row; live
+    indexes stay valid (ids are untouched)."""
+    db = VecDB(str(tmp_path / "dbc"), spark=spark)
+    db.create_table_if_not_exists("t", 4, "l2sqr")
+    for i in range(8):  # 8 appends -> >= 8 data files
+        db.batch_add("t", [[float(i), 0.0, 0.0, 0.0]], [{"i": str(i)}])
+    db.build_hnsw_index("t")
+    before_files = db.table_file_count("t")
+    assert before_files >= 8
+    before = sorted(
+        (r["id"], tuple(r["vec"]), dict(r["metadata"]))
+        for r in db.table_df("t").collect()
+    )
+    after_files = db.compact_table("t")
+    assert after_files < before_files
+    after = sorted(
+        (r["id"], tuple(r["vec"]), dict(r["metadata"]))
+        for r in db.table_df("t").collect()
+    )
+    assert after == before
+    # the live graph still serves the compacted table
+    res = db.search("t", [5.0, 0.0, 0.0, 0.0], k=1)
+    assert res[0][0] == {"i": "5"}
+    db.close()
