@@ -311,11 +311,22 @@ class VecDB:
         self.batch_add(key, [vec], [metadata])
 
     def batch_add(
-        self, key: str, vec_list: list[list[float]], metadata_list: list[dict[str, str]]
+        self,
+        key: str,
+        vec_list: list[list[float]],
+        metadata_list: list[dict[str, str]],
+        idempotency_token: str | None = None,
     ) -> None:
         """Bulk insert (database/mod.rs:435-450) — one Parquet append,
-        Spark's native bulk path."""
+        Spark's native bulk path. ``idempotency_token`` gives the
+        list-based path the same replayed-batch no-op contract as
+        :meth:`batch_add_df` (the reference API has no such concept —
+        the kwarg is optional and additive)."""
         meta = self._meta(key)
+        if idempotency_token is not None and idempotency_token in (
+            meta.get("absorbed_batches") or []
+        ):
+            return
         if len(vec_list) != len(metadata_list):
             raise ValueError("Length mismatch between vec_list and metadata_list")
         dim = meta["dim"]
@@ -340,7 +351,7 @@ class VecDB:
             "norm", norm_expr("vec")
         )
         df.write.mode("append").parquet(self._table_path(key))
-        self._commit_append(key, len(rows), None)
+        self._commit_append(key, len(rows), idempotency_token)
         # write invalidates PQ, never HNSW (README.md:22,45) — the HNSW
         # graph absorbs the new rows incrementally (hnsw_index.rs:538-572)
         self._clear_pq_state(key)
@@ -670,6 +681,17 @@ class VecDB:
             if _is_plain_hnsw(hnsw):
                 self._hnsw_tail_sync(key, hnsw)
                 out = hnsw.search_filtered(query, k, df, ef=ef)
+            elif hnsw is not None:
+                # sharded tier: route the point query through the batch
+                # pool→filter→fallback path (one-row query frame)
+                self._hnsw_tail_sync(key, hnsw)
+                queries = self.spark.createDataFrame(
+                    [(0, [float(x) for x in query])],
+                    "query_id long, vec array<double>",
+                )
+                out = hnsw.search_batch_filtered(
+                    queries, k, df, ef=ef, qid_col="query_id", qvec_col="vec"
+                ).select("id", "dist")
             elif ivfpq is not None:
                 probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
                 out = ivfpq.search_filtered(query, k, df, n_probes=probes, ef=ef)

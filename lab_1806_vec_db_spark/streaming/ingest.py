@@ -28,11 +28,11 @@ and metadata mapping all stay executor-side; ZERO vectors cross the
 driver per micro-batch on any tier. ``distributed=False`` routes
 through the reference's list-based ``batch_add`` (a full ``collect``),
 kept for exact API parity — bound micro-batches with
-``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` on that path, and note
-it carries no idempotency token (at-least-once, like the reference's
-own client loop on retry). Exactly-once requires a ``checkpoint``:
-without one, epoch ids restart at 0 on every run, so no token is
-attached and redelivery semantics are at-least-once.
+``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` on that path; it
+carries the same epoch token, so both paths are exactly-once under
+redelivery. Exactly-once requires a ``checkpoint``: without one,
+epoch ids restart at 0 on every run, so no token is attached and
+redelivery semantics are at-least-once.
 """
 
 from __future__ import annotations
@@ -80,13 +80,14 @@ def stream_into_vecdb(
                 idempotency_token=token,
             )
     else:
-        def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
             rows = batch_df.select(*cols).collect()
             if not rows:
                 return
             vecs = [[float(x) for x in r[vec_col]] for r in rows]
             metas = [{c: str(r[c]) for c in meta_cols} for r in rows]
-            db.batch_add(key, vecs, metas)
+            token = f"{sink_id}:{epoch}" if sink_id is not None else None
+            db.batch_add(key, vecs, metas, idempotency_token=token)
 
     writer = stream_df.writeStream.foreachBatch(_sink)
     if checkpoint is not None:

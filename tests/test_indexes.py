@@ -687,3 +687,28 @@ def test_hnsw_search_batch_filtered(spark, emb):
         tiny, queries, 5, metric="l2sqr", vec_col="embedding",
         id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
     assert got2 == exact2
+
+
+def test_vecdb_search_filtered_sharded_dispatch(spark, tmp_path):
+    """search_filtered(ef=...) on a sharded-tier table routes through
+    the batch pool→filter→fallback path and matches the exact scan."""
+    db = VecDB(str(tmp_path / "dbfs"), spark=spark)
+    key, vecs = _seeded(db, n=60)
+    db.build_hnsw_index(key, sharded=True, n_shards=3)
+    q = [float(x) for x in vecs[9]]
+    pat = {"i": "21"}
+    exact = db.search_filtered(key, q, 3, pat)
+    fast = db.search_filtered(key, q, 3, pat, ef=300)
+    assert fast == exact
+    db.close()
+
+
+def test_batch_add_idempotency_token_list_path(spark, tmp_path):
+    db = VecDB(str(tmp_path / "dbtok"), spark=spark)
+    db.create_table_if_not_exists("t", 2, "l2sqr")
+    db.batch_add("t", [[1.0, 2.0]], [{"i": "0"}], idempotency_token="s:0")
+    db.batch_add("t", [[1.0, 2.0]], [{"i": "0"}], idempotency_token="s:0")
+    assert db.get_len("t") == 1
+    db.batch_add("t", [[1.0, 2.0]], [{"i": "1"}], idempotency_token="s:1")
+    assert db.get_len("t") == 2
+    db.close()
