@@ -132,7 +132,12 @@ class IVFPQIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: DataFrame) -> "IVFPQIndex":
-        """S8 parity: reopen without re-training/encoding."""
+        """S8 parity: reopen without re-training/encoding. A pending
+        append marker left by a crashed ``add_batch`` is settled first
+        (drop the possibly-partial code rows, re-encode that id range
+        from ``base``) so the codes table is exactly one row per base
+        row again — partial codes silently shrink the candidate pool,
+        duplicate codes double-rank ids in the top-k window."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         model = KMeansModel(centroids=np.load(os.path.join(path, "centroids.npy")),
@@ -143,8 +148,10 @@ class IVFPQIndex:
         pq = PQTable(codebooks, [tuple(g) for g in meta["groups"]], meta["n_bits"],
                      codes=codes_clustered.select(meta["id_col"], "code"), base=base,
                      vec_col=meta["vec_col"], id_col=meta["id_col"])
-        return cls(model, pq, codes_clustered, base, vec_col=meta["vec_col"],
-                   id_col=meta["id_col"], path=path)
+        idx = cls(model, pq, codes_clustered, base, vec_col=meta["vec_col"],
+                  id_col=meta["id_col"], path=path)
+        idx._settle_pending_codes()
+        return idx
 
     @staticmethod
     def _assign_encode(df: DataFrame, model: KMeansModel, pq: PQTable,
@@ -189,6 +196,44 @@ class IVFPQIndex:
 
     # ---- incremental append (W4 for the distributed tier) -----------------
 
+    def _settle_pending_codes(self) -> None:
+        """Repair a crashed codes append (the IVF+PQ twin of VecDB's
+        append crash protocol): the marker names the id range whose
+        codes may have landed partially (or, under an external retry,
+        twice). Drop every code row in the range via an atomic
+        tmp-dir rewrite, re-encode those ids from ``base`` (frozen
+        quantizers → bit-identical codes), and clear the marker."""
+        if self.path is None:
+            return
+        marker = os.path.join(self.path, "pending_append.json")
+        if not os.path.exists(marker):
+            return
+        import shutil
+
+        with open(marker) as f:
+            pend = json.load(f)
+        lo, hi = int(pend["lo"]), int(pend["hi"])
+        spark = self.base.sparkSession
+        codes_path = os.path.join(self.path, "codes")
+        in_range = (F.col(self.id_col) >= lo) & (F.col(self.id_col) < hi)
+        kept = spark.read.parquet(codes_path).filter(~in_range)
+        redo = self._assign_encode(
+            self.base.filter(in_range), self.model, self.pq,
+            self.vec_col, self.id_col,
+        )
+        tmp = codes_path + "__tmp"
+        kept.unionByName(redo.select(*kept.columns)).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(tmp)
+        old = codes_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(codes_path, old)
+        os.replace(tmp, codes_path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
+        self.codes_clustered = spark.read.parquet(codes_path)
+        self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+
     def add_batch(self, df_new: DataFrame) -> None:
         """Append rows without rebuilding: the quantizers are FROZEN
         (standard IVF+PQ practice — k-means centroids and PQ codebooks
@@ -223,9 +268,23 @@ class IVFPQIndex:
         # non-deterministic
         enc = enc.localCheckpoint(eager=True)
         if self.path is not None:
+            self._settle_pending_codes()  # a prior crashed append, if any
+            # pending marker BEFORE the codes append (the same
+            # reserve→write→clear protocol as VecDB appends): a crash
+            # mid-write is repaired at the next load()/add_batch()
+            lohi = enc.agg(
+                F.min(self.id_col).alias("lo"), F.max(self.id_col).alias("hi")
+            ).first()
+            marker = os.path.join(self.path, "pending_append.json")
+            if lohi["lo"] is not None:
+                with open(marker + ".tmp", "w") as f:
+                    json.dump({"lo": int(lohi["lo"]), "hi": int(lohi["hi"]) + 1}, f)
+                os.replace(marker + ".tmp", marker)
             enc.write.mode("append").partitionBy("cluster_id").parquet(
                 os.path.join(self.path, "codes")
             )
+            if lohi["lo"] is not None:
+                os.remove(marker)
             # serve from an in-memory union rather than re-listing the
             # whole codes directory per append (a streaming ingest at
             # one batch per trigger would otherwise pay an O(files)

@@ -237,3 +237,60 @@ def test_ivfpq_search_batch_filtered(spark, emb):
         tiny, queries, 5, metric="l2sqr", vec_col="embedding",
         id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
     assert got2 == exact2
+
+
+def test_ivfpq_codes_append_crash_repair(spark, emb, tmp_path):
+    """The codes-append pending marker settles a crashed (or retried)
+    add_batch at load: partial code rows in the marker's id range are
+    dropped and re-encoded from base — one code row per base row
+    again, so candidates neither vanish nor double-rank."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "ivfpq_crash")
+    base1 = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    idx = IVFPQIndex.build(base1, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+                           vec_col="embedding", id_col="vec_id",
+                           train_size=400, dim=64, path=path)
+
+    # simulate a crash mid-append: HALF the batch's codes landed, the
+    # marker is still on disk (never cleared)
+    partial = idx._assign_encode(
+        batch.filter(F.col("vec_id") < 425), idx.model, idx.pq,
+        "embedding", "vec_id",
+    )
+    partial.write.mode("append").partitionBy("cluster_id").parquet(
+        _os.path.join(path, "codes")
+    )
+    with open(_os.path.join(path, "pending_append.json"), "w") as f:
+        _json.dump({"lo": 400, "hi": 450}, f)
+
+    # reopen against the COMMITTED table (vecdb appends base before
+    # absorbing): repair re-encodes [400, 450) exactly once
+    full_base = emb.filter(F.col("vec_id") < 450)
+    loaded = IVFPQIndex.load(spark, path, base=full_base)
+    assert not _os.path.exists(_os.path.join(path, "pending_append.json"))
+    ids = [r["vec_id"] for r in loaded.codes_clustered.select("vec_id").collect()]
+    assert sorted(ids) == list(range(450))  # no gaps, no duplicates
+
+    # a batch row is served exactly
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 440).first()["embedding"]]
+    rows = loaded.search(q, k=1, n_probes=8, ef=450).collect()
+    assert rows[0]["vec_id"] == 440 and rows[0]["dist"] == 0.0
+
+    # retried-after-landing shape: the FULL batch landed but the marker
+    # survived — repair must dedupe, not double
+    more = emb.filter((F.col("vec_id") >= 450) & (F.col("vec_id") < 500))
+    enc2 = loaded._assign_encode(more, loaded.model, loaded.pq, "embedding", "vec_id")
+    enc2.write.mode("append").partitionBy("cluster_id").parquet(
+        _os.path.join(path, "codes")
+    )
+    enc2.write.mode("append").partitionBy("cluster_id").parquet(
+        _os.path.join(path, "codes")
+    )  # the double-landed retry
+    with open(_os.path.join(path, "pending_append.json"), "w") as f:
+        _json.dump({"lo": 450, "hi": 500}, f)
+    loaded2 = IVFPQIndex.load(spark, path, base=emb)
+    ids2 = [r["vec_id"] for r in loaded2.codes_clustered.select("vec_id").collect()]
+    assert sorted(ids2) == list(range(500))
