@@ -35,6 +35,7 @@ import math
 import os
 import re
 import shutil
+import threading
 from collections.abc import Sequence
 from typing import Any
 
@@ -79,6 +80,23 @@ def _is_plain_hnsw(idx) -> bool:
     return not isinstance(idx, ShardedHNSWIndex)
 
 
+def _locked_per_table(fn):
+    """Serialize a (self, key, ...) method on the table's own reentrant
+    lock — the Spark-side shape of the reference's per-table scoped
+    RwLock (database/mod.rs:283-290): writers and index-mutating paths
+    on the SAME table serialize; threads on distinct tables proceed in
+    parallel. The catalog-level brief writes are separately serialized
+    by ``VecDB._mu``."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, key, *a, **kw):
+        with self._tlock(key):
+            return fn(self, key, *a, **kw)
+
+    return wrapper
+
+
 def sanitize_key(key: str) -> str:
     """Map a table key to a safe filename: keep [A-Za-z0-9_-], cap at 32
     chars (database/mod.rs:36-45); collisions get a ``_N`` suffix at
@@ -111,21 +129,44 @@ class VecDB:
                 self._brief = json.load(f)
         self._cached: dict[str, DataFrame] = {}
         self._indexes: dict[str, dict[str, Any]] = {}
+        # catalog mutex: the reference scopes a RwLock per table plus a
+        # map lock for the catalog (database/mod.rs:283-290, its
+        # concurrency test drives two writer threads on two tables,
+        # database/mod.rs:543-610). Our per-table state is independent
+        # Parquet dirs + index artifacts, so threads on DISTINCT tables
+        # only ever contend on the shared brief — this reentrant lock
+        # serializes the brief's read-modify-write + file replace (two
+        # unsynchronized writers interleave on brief.json.tmp) and the
+        # force_save iteration. Same-table writers serialize through
+        # the same lock at the reserve/commit points, so id ranges are
+        # never double-assigned.
+        self._mu = threading.RLock()
+        self._tlocks: dict[str, threading.RLock] = {}
         # settle any append that crashed mid-flight in a previous
-        # manager: the brief's pending marker names the reserved id
-        # range, so repair is one filter job per CRASHED table (zero
-        # jobs on a clean open)
+        # manager: a crashed ``_rewrite`` swap is completed/rolled back
+        # first (directory checks only — zero jobs), then the brief's
+        # pending marker names the reserved id range, so repair is one
+        # filter job per CRASHED table (zero jobs on a clean open)
         for key, meta in self._brief["tables"].items():
+            self._recover_table_swap(key)
             if meta.get("pending_append"):
                 self._settle_pending(key)
 
     # ---- catalog ---------------------------------------------------------
 
+    def _tlock(self, key: str) -> threading.RLock:
+        """Per-table reentrant lock (created under the catalog mutex;
+        only the lock OBJECT fetch holds ``_mu`` — never the table
+        operation itself, so there is no lock-order inversion)."""
+        with self._mu:
+            return self._tlocks.setdefault(key, threading.RLock())
+
     def _save_brief(self) -> None:
-        tmp = self._brief_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._brief, f, indent=1)
-        os.replace(tmp, self._brief_path)  # atomic, thread_save.rs:10-21
+        with self._mu:
+            tmp = self._brief_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._brief, f, indent=1)
+            os.replace(tmp, self._brief_path)  # atomic, thread_save.rs:10-21
 
     def _meta(self, key: str) -> dict[str, Any]:
         try:
@@ -143,6 +184,12 @@ class VecDB:
             raise ValueError(f"Invalid distance function: {dist}")
         if data_type not in DATA_TYPES:
             raise ValueError(f"Invalid data type: {data_type} (float32/uint8)")
+        with self._mu:
+            return self._create_table_locked(key, dim, dist, data_type)
+
+    def _create_table_locked(
+        self, key: str, dim: int, dist: str, data_type: str
+    ) -> bool:
         if key in self._brief["tables"]:
             return False
         fname = sanitize_key(key)
@@ -172,15 +219,16 @@ class VecDB:
         return True
 
     def delete_table(self, key: str) -> bool:
-        if key not in self._brief["tables"]:
-            return False
-        self.remove_cached_table(key)
-        path = self._table_path(key)
-        self._drop_index_artifacts(key)
-        del self._brief["tables"][key]
-        shutil.rmtree(path, ignore_errors=True)
-        self._save_brief()
-        return True
+        with self._mu:
+            if key not in self._brief["tables"]:
+                return False
+            self.remove_cached_table(key)
+            path = self._table_path(key)
+            self._drop_index_artifacts(key)
+            del self._brief["tables"][key]
+            shutil.rmtree(path, ignore_errors=True)
+            self._save_brief()
+            return True
 
     def get_all_keys(self) -> list[str]:
         return list(self._brief["tables"].keys())
@@ -282,26 +330,29 @@ class VecDB:
 
     def _reserve_append(self, key: str, n: int) -> int:
         """Step 1: durably burn ids [next_id, next_id+n); returns the
-        range start."""
-        meta = self._meta(key)
-        start = int(meta["next_id"])
-        meta["next_id"] = start + n
-        meta["pending_append"] = {"lo": start, "hi": start + n}
-        self._save_brief()
-        return start
+        range start. Locked read-modify-write: two threads appending to
+        the same table each get a disjoint range."""
+        with self._mu:
+            meta = self._meta(key)
+            start = int(meta["next_id"])
+            meta["next_id"] = start + n
+            meta["pending_append"] = {"lo": start, "hi": start + n}
+            self._save_brief()
+            return start
 
     def _commit_append(self, key: str, n: int, token: str | None) -> None:
         """Step 3: the batch is fully in parquet — advance len, clear
         the marker, record the idempotency token (capped log; a
         streaming sink only ever replays its most recent epochs)."""
-        meta = self._meta(key)
-        meta["len"] += n
-        meta["pending_append"] = None
-        if token is not None:
-            log = list(meta.get("absorbed_batches") or [])
-            log.append(token)
-            meta["absorbed_batches"] = log[-64:]
-        self._save_brief()
+        with self._mu:
+            meta = self._meta(key)
+            meta["len"] += n
+            meta["pending_append"] = None
+            if token is not None:
+                log = list(meta.get("absorbed_batches") or [])
+                log.append(token)
+                meta["absorbed_batches"] = log[-64:]
+            self._save_brief()
 
     # ---- DML (W1-W3) ------------------------------------------------------
 
@@ -310,6 +361,7 @@ class VecDB:
         HNSW (metadata_vec_table.rs:64-68)."""
         self.batch_add(key, [vec], [metadata])
 
+    @_locked_per_table
     def batch_add(
         self,
         key: str,
@@ -379,6 +431,7 @@ class VecDB:
         self._save_brief()
         self._invalidate_cache(key)
 
+    @_locked_per_table
     def batch_add_df(
         self,
         key: str,
@@ -529,6 +582,7 @@ class VecDB:
             pred = pred & F.col("metadata").getItem(k).eqNullSafe(F.lit(str(v)))
         return pred
 
+    @_locked_per_table
     def delete(self, key: str, pattern: dict[str, str]) -> int:
         """Delete rows whose metadata subset-matches ``pattern``
         (metadata_vec_table.rs:163-187). Clears HNSW and PQ. Returns
@@ -554,7 +608,11 @@ class VecDB:
         return deleted
 
     def _rewrite(self, key: str, df: DataFrame) -> None:
-        """Atomic table replace: write tmp dir, swap (thread_save.rs:10-21)."""
+        """Table replace: write tmp dir, two-rename swap
+        (thread_save.rs:10-21). The swap window itself (live renamed to
+        __old, crash before __tmp lands) is not atomic — a crash inside
+        it is completed/rolled back by ``_recover_table_swap`` at the
+        next open."""
         path = self._table_path(key)
         tmp = path + "__tmp"
         df.write.mode("overwrite").parquet(tmp)
@@ -565,6 +623,22 @@ class VecDB:
             os.replace(path, old)
         os.replace(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
+
+    def _recover_table_swap(self, key: str) -> None:
+        """Complete (or roll back) a ``_rewrite`` swap a crash
+        interrupted: ``_SUCCESS`` (Spark's committer sentinel) proves
+        the __tmp dir is a complete rewrite — promote it; otherwise the
+        __old dir is the untouched pre-swap table — restore it."""
+        path = self._table_path(key)
+        tmp, old = path + "__tmp", path + "__old"
+        if os.path.isdir(path):
+            return
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            os.replace(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- read path (Q1-Q8, S7) --------------------------------------------
 
@@ -827,6 +901,7 @@ class VecDB:
             if f.endswith(".parquet")
         )
 
+    @_locked_per_table
     def compact_table(self, key: str, rows_per_file: int = 4_000_000) -> int:
         """Rewrite the table into id-range-clustered files of
         ~``rows_per_file`` rows (the default targets ≈100 MB files for
@@ -902,6 +977,7 @@ class VecDB:
         self._indexes.get(key, {}).pop("ivfpq", None)
         shutil.rmtree(self._index_path(key, "ivfpq"), ignore_errors=True)
 
+    @_locked_per_table
     def _hnsw_tail_sync(self, key: str, idx, force: bool = False) -> None:
         """Absorb table rows the HNSW graph hasn't seen — the one place
         vectors cross to the driver for the broadcast tier, moved OUT
@@ -942,11 +1018,20 @@ class VecDB:
                 .select("id", "vec")
             )
         else:
+            # the tail is the largest n_missing ids, but it MUST be
+            # absorbed in ASCENDING id order: an interrupted sync then
+            # leaves the graph holding a contiguous prefix of the tail,
+            # so "missing rows are exactly the largest ids" still holds
+            # at the next sync. Desc iteration absorbed the largest ids
+            # first — a mid-iteration failure left a hole in the middle
+            # band that the recomputed n_missing could never see, and
+            # the retry double-inserted the already-absorbed ids.
             tail = (
                 self.table_df(key)
                 .orderBy(F.col("id").desc())
                 .limit(int(n_missing))
                 .select("id", "vec")
+                .orderBy(F.col("id").asc())
             )
         seed = 43 + int(meta["next_id"])
         chunk = 65536
@@ -976,6 +1061,7 @@ class VecDB:
                 i += 1
         _flush(i)
 
+    @_locked_per_table
     def _get_index(self, key: str, kind: str):
         """Lazy-load a persisted index artifact (S8: the reference's
         save-without-vec-set / load-with-external-vec-set pattern,
@@ -1021,6 +1107,7 @@ class VecDB:
             idx[kind] = IVFPQIndex.load(self.spark, path, base=self.table_df(key))
         return idx.get(kind)
 
+    @_locked_per_table
     def build_hnsw_index(
         self,
         key: str,
@@ -1069,6 +1156,7 @@ class VecDB:
         meta["hnsw_params"] = params
         self._save_brief()
 
+    @_locked_per_table
     def build_ivf_index(
         self, key: str, k: int = 128, train_size: int = 10_000
     ) -> None:
@@ -1093,6 +1181,7 @@ class VecDB:
     def has_ivf_index(self, key: str) -> bool:
         return bool(self._meta(key).get("has_ivf"))
 
+    @_locked_per_table
     def build_ivfpq_index(
         self,
         key: str,
@@ -1140,6 +1229,7 @@ class VecDB:
     def has_hnsw_index(self, key: str) -> bool:
         return bool(self._meta(key)["has_hnsw"])
 
+    @_locked_per_table
     def build_pq_table(
         self,
         key: str,
@@ -1193,19 +1283,32 @@ class VecDB:
         (parity with database/mod.rs:514-521; the reference's background
         saver flushes dirty indexes on the same call path,
         thread_save.rs:97-114). Table writes are already durable on
-        action; only incrementally-updated indexes defer their save."""
-        for key, kinds in self._indexes.items():
-            if key not in self._brief["tables"]:
-                continue
-            for kind, idx in kinds.items():
-                if kind.startswith("_"):
-                    continue  # driver-side caches, not persistable indexes
-                if kind == "hnsw":
-                    # fold in any deferred appends before the flush so
-                    # the persisted graph covers the whole table
-                    self._hnsw_tail_sync(key, idx)
-                if getattr(idx, "dirty", False):
-                    idx.save(self._index_path(key, kind))
+        action; only incrementally-updated indexes defer their save.
+        Snapshots the index map under the catalog lock so a concurrent
+        writer thread (add/delete on another table) cannot mutate the
+        dict mid-iteration."""
+        with self._mu:
+            snapshot = [
+                (key, list(kinds.items()))
+                for key, kinds in self._indexes.items()
+                if key in self._brief["tables"]
+            ]
+        for key, kinds in snapshot:
+            # per-table lock: a concurrent writer thread appending to
+            # this table must not race the tail-sync/flush (force_save
+            # flushes EVERY table, including ones other threads own)
+            with self._tlock(key):
+                if key not in self._brief["tables"]:
+                    continue  # dropped since the snapshot
+                for kind, idx in kinds:
+                    if kind.startswith("_"):
+                        continue  # driver-side caches, not persistable indexes
+                    if kind == "hnsw":
+                        # fold in any deferred appends before the flush so
+                        # the persisted graph covers the whole table
+                        self._hnsw_tail_sync(key, idx)
+                    if getattr(idx, "dirty", False):
+                        idx.save(self._index_path(key, kind))
         self._save_brief()
 
     def close(self) -> None:

@@ -1435,9 +1435,12 @@ class HNSWIndex:
         # each query is answered completely inside one task (the graph is
         # broadcast), so results are already exact top-k ascending per
         # query — no cross-partition merge window, no shuffle at all
-        return queries.select(qid_col, qvec_col).repartition(
+        out = queries.select(qid_col, qvec_col).repartition(
             max(queries.sparkSession.sparkContext.defaultParallelism, 1)
         ).mapInPandas(run, schema=f"query_id long, {id_col} long, dist double")
+        if qid_col != "query_id":
+            out = out.withColumnRenamed("query_id", qid_col)
+        return out
 
     # ---- persistence (S8: hnsw_index.rs:644-670 saves links w/o vectors) --
 
@@ -1563,10 +1566,14 @@ class HNSWIndex:
         insert loop over them with the index's stored
         ``ef_construction`` (unless overridden). Marks the index dirty;
         persistence is the caller's save policy."""
+        new_vecs = np.asarray(new_vecs, dtype=self.vecs.dtype)
+        if self.vecs.ndim == 1:
+            # a graph built over an EMPTY table materializes vecs as a
+            # 1-D (0,) array (no rows to infer dim from); give it the
+            # first batch's width so the concat below is well-formed
+            self.vecs = self.vecs.reshape(0, new_vecs.shape[1])
         n_old = self.vecs.shape[0]
-        vecs = np.concatenate(
-            [self.vecs, np.asarray(new_vecs, dtype=self.vecs.dtype)], axis=0
-        )
+        vecs = np.concatenate([self.vecs, new_vecs], axis=0)
         ids = np.concatenate([self.ids, np.asarray(new_ids, dtype=np.int64)])
         n = vecs.shape[0]
         g = self.graph

@@ -127,23 +127,40 @@ class IVFPQIndex:
                            "dim": dim}, f)
             codes_clustered = spark.read.parquet(os.path.join(path, "codes"))
         pq.codes = codes_clustered.select(id_col, "code")
-        return cls(model, pq, codes_clustered, df, vec_col=vec_col, id_col=id_col,
-                   path=path)
+        idx = cls(model, pq, codes_clustered, df, vec_col=vec_col, id_col=id_col,
+                  path=path)
+        if path is not None:
+            # seed the durable codes watermark (max encoded id) — the
+            # append path advances it after every completed codes write
+            row = codes_clustered.agg(F.max(id_col)).first()[0]
+            idx._write_watermark(-1 if row is None else int(row))
+        return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, base: DataFrame) -> "IVFPQIndex":
-        """S8 parity: reopen without re-training/encoding. A pending
-        append marker left by a crashed ``add_batch`` is settled first
-        (drop the possibly-partial code rows, re-encode that id range
-        from ``base``) so the codes table is exactly one row per base
-        row again — partial codes silently shrink the candidate pool,
-        duplicate codes double-rank ids in the top-k window."""
+        """S8 parity: reopen without re-training/encoding. Recovery runs
+        in three layers, cheapest first:
+
+        1. a crashed codes-directory swap is completed/rolled back
+           (``_recover_codes_swap`` — the two-rename window in settle
+           and compact is not atomic on its own);
+        2. a pending append marker left by a crashed ``add_batch`` is
+           settled (drop the possibly-partial code rows, re-encode that
+           id range from ``base``) so the codes table is exactly one row
+           per base row again — partial codes silently shrink the
+           candidate pool, duplicate codes double-rank ids;
+        3. the durable codes watermark closes the post-commit gap: base
+           rows above it (a crash landed the base append but never
+           started the codes write, so no marker exists) are re-encoded
+           (``_codes_tail_sync``). Costs one max(id) footer-cheap agg
+           per reopen."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         model = KMeansModel(centroids=np.load(os.path.join(path, "centroids.npy")),
                             metric=meta["metric"])
         npz = np.load(os.path.join(path, "codebooks.npz"))
         codebooks = [npz[f"g{gi}"] for gi in range(len(meta["groups"]))]
+        cls._recover_codes_swap(os.path.join(path, "codes"))
         codes_clustered = spark.read.parquet(os.path.join(path, "codes"))
         pq = PQTable(codebooks, [tuple(g) for g in meta["groups"]], meta["n_bits"],
                      codes=codes_clustered.select(meta["id_col"], "code"), base=base,
@@ -151,6 +168,7 @@ class IVFPQIndex:
         idx = cls(model, pq, codes_clustered, base, vec_col=meta["vec_col"],
                   id_col=meta["id_col"], path=path)
         idx._settle_pending_codes()
+        idx._codes_tail_sync()
         return idx
 
     @staticmethod
@@ -196,15 +214,104 @@ class IVFPQIndex:
 
     # ---- incremental append (W4 for the distributed tier) -----------------
 
+    # durability protocol for the codes table (the distributed twin of
+    # VecDB's append crash protocol):
+    #   marker    — pending_append.json names the id range whose codes
+    #               may have landed partially; written BEFORE the codes
+    #               append, cleared after (covers crashes DURING a write);
+    #   watermark — codes_watermark.json holds the max id whose codes
+    #               are durably complete; advanced only AFTER a codes
+    #               write finishes (covers crashes BEFORE a write ever
+    #               started: base committed, marker never written);
+    #   swap      — directory rewrites go tmp → old → live with _SUCCESS
+    #               as the completeness sentinel; _recover_codes_swap
+    #               completes or rolls back a crash inside the window.
+    # Re-encoding is bit-identical (frozen quantizers), so every repair
+    # path is idempotent.
+
+    def _watermark_path(self) -> str:
+        return os.path.join(self.path, "codes_watermark.json")
+
+    def _read_watermark(self) -> int | None:
+        try:
+            with open(self._watermark_path()) as f:
+                return int(json.load(f)["max_id"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_watermark(self, max_id: int) -> None:
+        p = self._watermark_path()
+        with open(p + ".tmp", "w") as f:
+            json.dump({"max_id": int(max_id)}, f)
+        os.replace(p + ".tmp", p)
+
+    @staticmethod
+    def _recover_codes_swap(codes_path: str) -> None:
+        """Complete (or roll back) a directory swap a crash interrupted:
+        the two-rename window in ``_settle_pending_codes``/``compact``
+        (live → __old, then __tmp → live) can leave NO directory at the
+        live path. ``_SUCCESS`` (written by Spark's committer) proves
+        the tmp dir is a complete rewrite — promote it; otherwise the
+        __old dir is the untouched pre-swap state — restore it (the
+        still-present marker makes settle re-run)."""
+        import shutil
+
+        tmp, old = codes_path + "__tmp", codes_path + "__old"
+        if os.path.isdir(codes_path):
+            return
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, codes_path)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            os.replace(old, codes_path)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _codes_tail_sync(self) -> None:
+        """Re-encode base rows above the durable codes watermark — the
+        codes-table twin of ``VecDB._hnsw_tail_sync``. This closes the
+        one crash window the pending marker cannot see: base append
+        committed (idempotency token recorded, so the redelivered epoch
+        no-ops) but ``add_batch`` crashed before writing its marker —
+        without the watermark those rows would be missing from IVF+PQ
+        search results forever. Rows between the watermark and the
+        codes max (crash after the codes write but before the watermark
+        advance) are dropped and re-encoded bit-identically, so the
+        sync never duplicates."""
+        if self.path is None:
+            return
+        wm = self._read_watermark()
+        if wm is None:
+            # legacy artifact predating the watermark: initialize from
+            # the codes table itself (settle already ran, so codes are
+            # exactly one row per covered base row)
+            row = self.codes_clustered.agg(F.max(self.id_col)).first()[0]
+            wm = -1 if row is None else int(row)
+            self._write_watermark(wm)
+        row = self.base.agg(F.max(self.id_col)).first()[0]
+        base_max = -1 if row is None else int(row)
+        if base_max <= wm:
+            return
+        marker = os.path.join(self.path, "pending_append.json")
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"lo": wm + 1, "hi": base_max + 1}, f)
+        os.replace(marker + ".tmp", marker)
+        # settle drops any code rows already in the range and re-encodes
+        # the whole range from base, then advances the watermark
+        self._settle_pending_codes()
+
     def _settle_pending_codes(self) -> None:
         """Repair a crashed codes append (the IVF+PQ twin of VecDB's
         append crash protocol): the marker names the id range whose
         codes may have landed partially (or, under an external retry,
-        twice). Drop every code row in the range via an atomic
-        tmp-dir rewrite, re-encode those ids from ``base`` (frozen
-        quantizers → bit-identical codes), and clear the marker."""
+        twice). Drop every code row in the range via a tmp-dir rewrite
+        + two-rename swap (the swap window itself is covered by
+        ``_recover_codes_swap``), re-encode those ids from ``base``
+        (frozen quantizers → bit-identical codes), clear the marker,
+        and advance the watermark over the repaired range."""
         if self.path is None:
             return
+        codes_path = os.path.join(self.path, "codes")
+        self._recover_codes_swap(codes_path)
         marker = os.path.join(self.path, "pending_append.json")
         if not os.path.exists(marker):
             return
@@ -214,7 +321,6 @@ class IVFPQIndex:
             pend = json.load(f)
         lo, hi = int(pend["lo"]), int(pend["hi"])
         spark = self.base.sparkSession
-        codes_path = os.path.join(self.path, "codes")
         in_range = (F.col(self.id_col) >= lo) & (F.col(self.id_col) < hi)
         kept = spark.read.parquet(codes_path).filter(~in_range)
         redo = self._assign_encode(
@@ -231,6 +337,9 @@ class IVFPQIndex:
         os.replace(tmp, codes_path)
         shutil.rmtree(old, ignore_errors=True)
         os.remove(marker)
+        wm = self._read_watermark()
+        if wm is None or hi - 1 > wm:
+            self._write_watermark(hi - 1)
         self.codes_clustered = spark.read.parquet(codes_path)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
 
@@ -285,6 +394,13 @@ class IVFPQIndex:
             )
             if lohi["lo"] is not None:
                 os.remove(marker)
+                # advance the durable watermark AFTER the completed
+                # write (a crash in between is repaired by the tail
+                # sync's drop-and-re-encode — idempotent)
+                wm = self._read_watermark()
+                hi_id = int(lohi["hi"])
+                if wm is None or hi_id > wm:
+                    self._write_watermark(hi_id)
             # serve from an in-memory union rather than re-listing the
             # whole codes directory per append (a streaming ingest at
             # one batch per trigger would otherwise pay an O(files)
@@ -313,17 +429,22 @@ class IVFPQIndex:
         if self.path is None:
             return
         spark = self.codes_clustered.sparkSession
-        tmp = os.path.join(self.path, "codes__compact")
-        spark.read.parquet(os.path.join(self.path, "codes")).repartition(
+        live = os.path.join(self.path, "codes")
+        tmp = live + "__tmp"
+        spark.read.parquet(live).repartition(
             "cluster_id"
         ).sortWithinPartitions(
             "cluster_id", self.id_col
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
         import shutil
 
-        live = os.path.join(self.path, "codes")
-        shutil.rmtree(live)
-        os.rename(tmp, live)
+        # same crash-covered two-rename swap as settle: a crash inside
+        # the window is completed/rolled back by _recover_codes_swap
+        old = live + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(live, old)
+        os.replace(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
         self.codes_clustered = spark.read.parquet(live)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
 

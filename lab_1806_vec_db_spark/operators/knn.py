@@ -283,9 +283,9 @@ def filtered_topk_from_pool(
     Plan gate: tests/test_plans.py::test_batch_filtered_ann_plan_shape."""
     spark = pool.sparkSession
     surv = pool.join(filtered_base.select(id_col), id_col).select(
-        "query_id", id_col, "dist"
+        qid_col, id_col, "dist"
     )
-    topk = _topk_per_query(surv, int(k), id_col, None)
+    topk = _topk_per_query(surv, int(k), id_col, None, qid_col=qid_col)
     if not exact_fallback:
         return topk
     # the survivor top-k is k-bounded (≤ k rows per query), so ONE
@@ -293,9 +293,9 @@ def filtered_topk_from_pool(
     # the kept rows — the pool pipeline executes exactly once (a
     # groupBy-count probe plus a filtered re-read executed it three
     # times and tripled the wall-time at bench shape)
-    schema = f"query_id long, {id_col} long, dist double"
+    schema = f"{qid_col} long, {id_col} long, dist double"
     pdf = topk.toPandas()
-    counts = pdf.groupby("query_id").size() if len(pdf) else {}
+    counts = pdf.groupby(qid_col).size() if len(pdf) else {}
     need = [
         int(r[0])
         for r in queries.select(qid_col).collect()
@@ -309,10 +309,13 @@ def filtered_topk_from_pool(
         int(k), metric=metric, vec_col=vec_col,
         id_col=id_col, qid_col=qid_col, qvec_col=qvec_col,
     )
-    kept_pdf = pdf[~pdf["query_id"].isin(need)] if len(pdf) else pdf
+    if qid_col != "query_id":
+        # knn_batch's output column is always literal query_id
+        exact = exact.withColumnRenamed("query_id", qid_col)
+    kept_pdf = pdf[~pdf[qid_col].isin(need)] if len(pdf) else pdf
     kept = spark.createDataFrame(kept_pdf, schema=schema)
     return kept.unionByName(exact).orderBy(
-        "query_id", F.col("dist").asc(), F.col(id_col).asc()
+        qid_col, F.col("dist").asc(), F.col(id_col).asc()
     )
 
 

@@ -9,7 +9,7 @@ micro-batch through ``VecDB.batch_add_df``, so every streamed vector is
 
 - appended to the table's Parquet EXACTLY ONCE: foreachBatch is
   at-least-once on failure, but each micro-batch carries an
-  idempotency token keyed by (checkpoint, epoch id) — a redelivered
+  idempotency token keyed by (streaming queryId, epoch id) — a redelivered
   epoch whose token is already in the table's committed-batch log
   no-ops, and a crash mid-append is repaired by the pending-marker
   protocol (db/vecdb.py append crash protocol) before the retry lands;
@@ -37,7 +37,7 @@ redelivery semantics are at-least-once.
 
 from __future__ import annotations
 
-import hashlib
+import json
 import os
 from typing import Sequence
 
@@ -64,17 +64,28 @@ def stream_into_vecdb(
     cols = [vec_col, *meta_cols]
 
     # epoch ids are durable/monotonic only under a checkpoint; scope the
-    # token by the checkpoint identity so two sinks into the same table
-    # (or a re-created checkpoint) can never collide
-    sink_id = (
-        hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
-        if checkpoint is not None
-        else None
-    )
+    # token by the StreamingQuery's persisted queryId, NOT the checkpoint
+    # path: Spark writes <checkpoint>/metadata ({"id": "<uuid>"}) during
+    # query initialization — before the first micro-batch runs — and
+    # REGENERATES the uuid whenever the checkpoint dir is recreated, so a
+    # delete-and-reprocess run (epoch ids restart at 0) can never collide
+    # with tokens the previous run left in the table's absorbed-batch
+    # log. A path hash stayed constant across recreation and silently
+    # dropped the fresh epochs as replays.
+    _sink_id_cache: list[str | None] = []
+
+    def _sink_id() -> str | None:
+        if checkpoint is None:
+            return None
+        if not _sink_id_cache:
+            with open(os.path.join(os.path.abspath(checkpoint), "metadata")) as f:
+                _sink_id_cache.append(str(json.load(f)["id"]))
+        return _sink_id_cache[0]
 
     if distributed:
         def _sink(batch_df: DataFrame, epoch: int) -> None:
-            token = f"{sink_id}:{epoch}" if sink_id is not None else None
+            sid = _sink_id()
+            token = f"{sid}:{epoch}" if sid is not None else None
             db.batch_add_df(
                 key, batch_df, vec_col=vec_col, meta_cols=meta_cols,
                 idempotency_token=token,
@@ -86,7 +97,8 @@ def stream_into_vecdb(
                 return
             vecs = [[float(x) for x in r[vec_col]] for r in rows]
             metas = [{c: str(r[c]) for c in meta_cols} for r in rows]
-            token = f"{sink_id}:{epoch}" if sink_id is not None else None
+            sid = _sink_id()
+            token = f"{sid}:{epoch}" if sid is not None else None
             db.batch_add(key, vecs, metas, idempotency_token=token)
 
     writer = stream_df.writeStream.foreachBatch(_sink)

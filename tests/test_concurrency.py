@@ -1,0 +1,128 @@
+"""Concurrent multi-table lifecycle against ONE manager — the mirror
+of the reference's signature concurrency test (database/mod.rs:543-610):
+two scoped writer threads, one per table (one key with unicode/special
+characters), each driving create → add → build_hnsw → batch_add →
+delete → add, then the main thread creates a similarly-named table,
+builds PQ, and searches with an upper bound.
+
+What this proves on our side: the catalog lock serializes the brief's
+read-modify-write + tmp-file replace (two unsynchronized writers
+interleave on brief.json.tmp), reserve/commit keeps id ranges disjoint,
+and force_save snapshots the index map so a concurrent writer can't
+mutate it mid-iteration."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from lab_1806_vec_db_spark.db.vecdb import VecDB
+
+
+def _md(name: str) -> dict[str, str]:
+    return {"name": name}
+
+
+def test_two_writer_threads_two_tables(spark, tmp_path):
+    db = VecDB(str(tmp_path / "db"), spark=spark)
+    dim = 4
+    errors: list[BaseException] = []
+
+    def worker_a():
+        try:
+            key = "table_a"
+            db.create_table_if_not_exists(key, dim, "cosine")
+            db.add(key, [1.0, 0.0, 0.0, 0.0], _md("a"))
+            db.build_hnsw_index(key)
+            db.add(key, [0.0, 1.0, 0.0, 0.0], _md("b"))
+            db.add(key, [0.0, 0.0, 1.0, 0.0], _md("c"))
+            db.force_save()
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    def worker_b():
+        try:
+            key = "<表:b>"  # special characters (database/mod.rs:570)
+            db.create_table_if_not_exists(key, dim, "cosine")
+            db.build_hnsw_index(key)
+            db.batch_add(
+                key,
+                [[0.0, 0.0, 0.0, 0.1], [0.0, 1.0, 0.0, 0.1], [0.0, 0.0, 1.0, 0.1]],
+                [_md("a'"), _md("b'"), _md("c'")],
+            )
+            db.delete(key, _md("a'"))
+            db.add(key, [1.0, 0.0, 0.0, 0.1], _md("d"))
+            db.force_save()
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ta = threading.Thread(target=worker_a)
+    tb = threading.Thread(target=worker_b)
+    ta.start(); tb.start()
+    ta.join(300); tb.join(300)
+    assert not ta.is_alive() and not tb.is_alive(), "writer thread hung"
+    assert not errors, f"writer thread failed: {errors!r}"
+
+    # sanitized-filename collision with the unicode key resolves with a
+    # suffix, never a clobber (database/mod.rs:589-592)
+    assert db.create_table_if_not_exists("<表_b>", dim, "cosine")
+
+    # both tables landed complete: disjoint ids, exact lengths
+    assert db.get_len("table_a") == 3
+    assert db.get_len("<表:b>") == 3  # 3 added + 1 added - 1 deleted
+    ids_a = [r["id"] for r in db.table_df("table_a").select("id").collect()]
+    assert sorted(ids_a) == [0, 1, 2]
+
+    # the reference's final check: PQ build + upper_bound search on
+    # table_a returns exactly the 'c' row (database/mod.rs:595-608)
+    len_a = db.get_len("table_a")
+    db.build_pq_table("table_a")
+    results = db.search("table_a", [0.0, 0.0, 1.0, 0.0], len_a,
+                        ef=len_a, upper_bound=0.5)
+    assert [m["name"] for m, _ in results] == ["c"]
+
+    # the brief survived the concurrent writes intact: reopen and serve
+    db.close()
+    db2 = VecDB(str(tmp_path / "db"), spark=spark)
+    assert sorted(db2.get_all_keys()) == sorted(["table_a", "<表:b>", "<表_b>"])
+    res2 = db2.search("<表:b>", [1.0, 0.0, 0.0, 0.1], k=1)
+    assert res2[0][0]["name"] == "d"
+    db2.close()
+
+
+def test_concurrent_appends_same_table_disjoint_ids(spark, tmp_path):
+    """Two threads appending to the SAME table: the locked
+    reserve/commit read-modify-write hands out disjoint id ranges, so
+    every row lands exactly once with a unique id."""
+    db = VecDB(str(tmp_path / "db_same"), spark=spark)
+    db.create_table_if_not_exists("t", 4, "l2sqr")
+    errors: list[BaseException] = []
+
+    def writer(tag: str):
+        try:
+            for i in range(4):
+                db.batch_add(
+                    "t",
+                    [[float(i), 1.0 if tag == "x" else 2.0, 0.0, 0.0]] * 2,
+                    [_md(f"{tag}{i}_0"), _md(f"{tag}{i}_1")],
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("x", "y")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not any(t.is_alive() for t in ts), "writer thread hung"
+    assert not errors, f"writer thread failed: {errors!r}"
+    assert db.get_len("t") == 16
+    rows = db.table_df("t").select("id", "metadata").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 16
+    names = {r["metadata"]["name"] for r in rows}
+    assert len(names) == 16
+    # next_id advanced exactly once per reserved row
+    assert db._brief["tables"]["t"]["next_id"] == 16
+    db.close()

@@ -291,6 +291,80 @@ def test_ivfpq_codes_append_crash_repair(spark, emb, tmp_path):
     )  # the double-landed retry
     with open(_os.path.join(path, "pending_append.json"), "w") as f:
         _json.dump({"lo": 450, "hi": 500}, f)
-    loaded2 = IVFPQIndex.load(spark, path, base=emb)
+    loaded2 = IVFPQIndex.load(spark, path, base=emb.filter(F.col("vec_id") < 500))
     ids2 = [r["vec_id"] for r in loaded2.codes_clustered.select("vec_id").collect()]
     assert sorted(ids2) == list(range(500))
+
+
+def test_ivfpq_post_commit_crash_tail_sync(spark, emb, tmp_path):
+    """The crash window the pending marker CANNOT see: the base append
+    committed (idempotency token recorded — the redelivered epoch
+    no-ops) but add_batch crashed before writing its marker. Without
+    repair those rows are missing from IVF+PQ results forever. The
+    durable codes watermark detects the gap at load and re-encodes the
+    tail — the codes-table twin of _hnsw_tail_sync."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "ivfpq_gap")
+    base1 = emb.filter(F.col("vec_id") < 400)
+    IVFPQIndex.build(base1, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+                     vec_col="embedding", id_col="vec_id",
+                     train_size=400, dim=64, path=path)
+    with open(_os.path.join(path, "codes_watermark.json")) as f:
+        assert _json.load(f)["max_id"] == 399
+
+    # crash shape: base now holds [0, 450) but NO marker and NO codes
+    # for [400, 450) exist — reopen must heal the gap
+    full_base = emb.filter(F.col("vec_id") < 450)
+    loaded = IVFPQIndex.load(spark, path, base=full_base)
+    ids = [r["vec_id"] for r in loaded.codes_clustered.select("vec_id").collect()]
+    assert sorted(ids) == list(range(450))  # gap healed, no duplicates
+    with open(_os.path.join(path, "codes_watermark.json")) as f:
+        assert _json.load(f)["max_id"] == 449
+
+    # a previously-missing row is now served exactly
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 440).first()["embedding"]]
+    rows = loaded.search(q, k=1, n_probes=8, ef=450).collect()
+    assert rows[0]["vec_id"] == 440 and rows[0]["dist"] == 0.0
+
+    # idempotent: a second reopen changes nothing
+    loaded2 = IVFPQIndex.load(spark, path, base=full_base)
+    ids2 = [r["vec_id"] for r in loaded2.codes_clustered.select("vec_id").collect()]
+    assert sorted(ids2) == list(range(450))
+
+
+def test_ivfpq_codes_swap_crash_recovery(spark, emb, tmp_path):
+    """The two-rename swap window in settle/compact is not atomic on
+    its own: a crash between `codes → __old` and `__tmp → codes`
+    leaves NO live directory. load() must promote a complete __tmp
+    (proven by _SUCCESS) or roll back to __old."""
+    import os as _os
+    import shutil as _shutil
+
+    path = str(tmp_path / "ivfpq_swap")
+    base = emb.filter(F.col("vec_id") < 300)
+    idx = IVFPQIndex.build(base, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+                           vec_col="embedding", id_col="vec_id",
+                           train_size=300, dim=64, path=path)
+    before = sorted(
+        r["vec_id"] for r in idx.codes_clustered.select("vec_id").collect()
+    )
+    codes = _os.path.join(path, "codes")
+
+    # shape 1: crash right after `codes → __old` (tmp complete)
+    _shutil.copytree(codes, codes + "__tmp")
+    _os.replace(codes, codes + "__old")
+    loaded = IVFPQIndex.load(spark, path, base=base)
+    ids = sorted(r["vec_id"] for r in loaded.codes_clustered.select("vec_id").collect())
+    assert ids == before and _os.path.isdir(codes)
+    assert not _os.path.isdir(codes + "__old")
+
+    # shape 2: tmp incomplete (no _SUCCESS) → roll back to __old
+    _shutil.copytree(codes, codes + "__tmp")
+    _os.remove(_os.path.join(codes + "__tmp", "_SUCCESS"))
+    _os.replace(codes, codes + "__old")
+    loaded2 = IVFPQIndex.load(spark, path, base=base)
+    ids2 = sorted(r["vec_id"] for r in loaded2.codes_clustered.select("vec_id").collect())
+    assert ids2 == before and _os.path.isdir(codes)
+    assert not _os.path.isdir(codes + "__tmp")

@@ -104,3 +104,42 @@ def test_ground_truth_shape(spark, emb):
     for r in gt:
         assert len(r["knn_indices"]) == 10
         assert r["knn_indices"][0] == r["query_id"]  # self is nearest
+
+
+def test_filtered_topk_from_pool_custom_qid_col(spark, emb):
+    """The shared filtered-ANN finisher must honor a non-default
+    qid_col end-to-end: survivor select, starvation accounting, and
+    the exact-fallback union (knn_batch's literal query_id output is
+    renamed back)."""
+    from lab_1806_vec_db_spark.operators.knn import (
+        filtered_topk_from_pool,
+        knn_batch,
+    )
+
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("vec"))
+    queries = (
+        base.filter(F.col("id") < 3)
+        .select(F.col("id").alias("qid"), F.col("vec"))
+    )
+    filtered = base.filter(F.col("id") % 2 == 0)
+    # a deliberately narrow pool: odd-id queries starve after the even
+    # filter and must be answered by the exact fallback
+    pool = knn_batch(base, queries, 4, metric="l2sqr", qid_col="qid") \
+        .withColumnRenamed("query_id", "qid")
+    out = filtered_topk_from_pool(
+        pool, queries, 3, filtered, "id", "l2sqr", "vec", qid_col="qid",
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"qid", "id", "dist"}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) == 3
+        assert all(r["id"] % 2 == 0 for r in rs)
+    # parity with the exact filtered scan
+    exact = knn_batch(filtered, queries, 3, metric="l2sqr", qid_col="qid")
+    exp = {(r["query_id"], r["id"]) for r in exact.collect()}
+    assert {(r["qid"], r["id"]) for r in rows} == exp

@@ -283,3 +283,94 @@ def test_stream_redelivery_after_crash_is_exactly_once(
     assert db._brief["tables"]["t"]["next_id"] == next_id
     ids = [r["id"] for r in db.table_df("t").select("id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_recreated_checkpoint_reprocess_is_not_dropped(spark, tmp_path, seeded_db):
+    """Delete-and-recreate the checkpoint dir — the standard way to
+    reprocess a stream into the same table. Epoch ids restart at 0, so
+    a token keyed on the checkpoint PATH would collide with the
+    previous run's tokens and silently drop every reprocessed batch as
+    a replay. The token is keyed on the streaming queryId (persisted
+    inside the checkpoint, regenerated on recreation), so the
+    reprocessed rows land."""
+    import shutil
+
+    db, rng = seeded_db
+    wave = [_mk_vec(rng) for _ in range(8)]
+    src = str(tmp_path / "stream_src_reproc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(f"a_{i}", v) for i, v in enumerate(wave)],
+        "tag string, vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_reproc")
+
+    def run():
+        stream = (
+            spark.readStream.schema("tag string, vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_into_vecdb(
+            stream, db, "t", vec_col="vec", meta_cols=("tag",), checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert db.get_len("t") == 64 + 8
+
+    # recreate the checkpoint: the stream reprocesses the SAME source
+    # from scratch (epoch 0 again) — rows must land again, not no-op
+    shutil.rmtree(ckpt)
+    run()
+    assert db.get_len("t") == 64 + 16
+    ids = [r["id"] for r in db.table_df("t").select("id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_interrupted_tail_sync_resumes_without_double_insert(spark, tmp_path):
+    """_hnsw_tail_sync absorbs the lagging tail in ASCENDING id order,
+    so an interruption mid-sync leaves the graph holding a contiguous
+    prefix of the tail — 'missing rows are exactly the largest ids'
+    still holds and the retry absorbs exactly the remainder (desc
+    iteration double-inserted the already-absorbed largest ids and
+    permanently skipped a middle band)."""
+    db = VecDB(str(tmp_path / "db_tail"), spark)
+    db.create_table_if_not_exists("t", dim=DIM, dist="l2sqr")
+    rng = np.random.default_rng(23)
+    db.batch_add("t", [_mk_vec(rng) for _ in range(32)],
+                 [{"i": str(i)} for i in range(32)])
+    db.build_hnsw_index("t")
+    idx = db._get_index("t", "hnsw")
+
+    # defer 24 rows past the graph (DataFrame-native append lags)
+    vecs = [_mk_vec(rng) for _ in range(24)]
+    bdf = spark.createDataFrame([(v,) for v in vecs], "vec array<double>")
+    db.batch_add_df("t", bdf)
+    assert len(idx.ids) == 32
+
+    # interrupt the sync after the FIRST absorbed chunk
+    real_add = idx.add_batch
+    calls = {"n": 0}
+
+    def flaky_add(ids, vv, seed=43):
+        calls["n"] += 1
+        real_add(ids[:8], vv[:8], seed=seed)
+        raise KeyboardInterrupt("injected mid-sync interrupt")
+
+    idx.add_batch = flaky_add
+    # shrink the chunk so the flake triggers inside the iterator loop
+    with pytest.raises(KeyboardInterrupt):
+        db._hnsw_tail_sync("t", idx)
+    idx.add_batch = real_add
+
+    absorbed = sorted(int(i) for i in idx.ids)
+    # ascending absorption ⇒ the absorbed prefix is contiguous from 32
+    assert absorbed == list(range(32 + 8))
+
+    # the retry completes the tail exactly once
+    db._hnsw_tail_sync("t", idx)
+    final = sorted(int(i) for i in idx.ids)
+    assert final == list(range(56))
+    assert len(idx.ids) == len(set(int(i) for i in idx.ids))
+    db.close()

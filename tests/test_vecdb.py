@@ -429,3 +429,40 @@ def test_compact_table_preserves_content_and_shrinks_files(spark, tmp_path):
     res = db.search("t", [5.0, 0.0, 0.0, 0.0], k=1)
     assert res[0][0] == {"i": "5"}
     db.close()
+
+
+def test_rewrite_swap_crash_recovery(spark, tmp_path):
+    """A crash inside _rewrite's two-rename window (live renamed to
+    __old, __tmp not yet promoted) leaves NO table directory. The next
+    open must promote a complete __tmp (proven by _SUCCESS) or roll
+    back to __old — either way the table reads again."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "dbswap")
+    db = VecDB(d, spark=spark)
+    _tiny4d(db, "t")
+    path = db._table_path("t")
+    before = sorted(
+        (r["id"], tuple(r["vec"])) for r in db.table_df("t").collect()
+    )
+    db.close()
+
+    # shape 1: tmp complete (crash after `live -> __old`)
+    shutil.copytree(path, path + "__tmp")
+    os.replace(path, path + "__old")
+    db1 = VecDB(d, spark=spark)
+    got = sorted((r["id"], tuple(r["vec"])) for r in db1.table_df("t").collect())
+    assert got == before and os.path.isdir(path)
+    assert not os.path.isdir(path + "__old")
+    db1.close()
+
+    # shape 2: tmp incomplete (no _SUCCESS) -> restore __old
+    shutil.copytree(path, path + "__tmp")
+    os.remove(os.path.join(path + "__tmp", "_SUCCESS"))
+    os.replace(path, path + "__old")
+    db2 = VecDB(d, spark=spark)
+    got2 = sorted((r["id"], tuple(r["vec"])) for r in db2.table_df("t").collect())
+    assert got2 == before and os.path.isdir(path)
+    assert not os.path.isdir(path + "__tmp")
+    db2.close()
