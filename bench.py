@@ -82,6 +82,12 @@ from lab_1806_vec_db_spark.session import get_spark, read_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1000"))
+#: minimum sf-suite ANN table size: the raw sf0.1 embeddings table is
+#: 2,000 rows, where ms/query is fixed-overhead dominated and any
+#: driver-host speed drift reads as a code regression; the suite
+#: densifies to this size (seeded, v4 local-covariance — see
+#: _densify_rows) so per-row work dominates the timings
+SF_MIN_ROWS = int(os.environ.get("BENCH_SF_MIN_ROWS", "50000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 MATCHED = os.environ.get("BENCH_MATCHED", "1") != "0"
 MATCHED_N = int(os.environ.get("BENCH_MATCHED_N", "10000"))
@@ -124,6 +130,22 @@ _HNSW_PQ_EFS = {10_000: (60, 100, 160, 360), 1_000_000: (60, 90, 120, 180, 360, 
 _FLAT_PQ_EFS = {10_000: (40, 100, 200)}
 _IVF_PROBES = {10_000: (4, 8, 16, 32), 1_000_000: (8, 32)}
 
+#: pinned reference calibration stamp — the round-8 driver host
+#: (BENCH_r08.json), the anchor of the cross-round trend. Every
+#: artifact divides its raw timings by (this host / pinned host) so a
+#: slower driver machine cannot read as a code regression: the round-9
+#: driver host ran at 0.58× (single-thread) / 0.87× (all-core) of this
+#: stamp and its raw rows looked 11-49% slower on unchanged code.
+_REF_STAMP = {
+    "sort1m_per_sec_1t": 72.25,
+    "sort1m_per_sec_all": 1578.97,
+    "stream_gibps_1t": 6.95,
+    "stream_gibps_all": 171.94,
+}
+#: suite rows whose wall-time is GIL/driver-single-thread-bound (the
+#: rest are all-core Spark stages) — normalized by the 1t ratio
+_SINGLE_THREAD_KEYS = {"hnsw_point_serve", "pq_ef80"}
+
 
 def _recall(result_rows, gt: dict[int, set[int]]) -> float:
     got: dict[int, set[int]] = {}
@@ -146,10 +168,59 @@ def _timed(fn, runs: int = RUNS):
 # Section 1: sf-dir suite (driver regression surface, keys as in round 2)
 # ---------------------------------------------------------------------------
 
+def _densify_rows(spark, emb, target: int):
+    """Grow the sf-suite ANN table to ``target`` rows with the SAME
+    seeded v4 local-covariance scheme the matched grid uses
+    (_gist_matched): synthetic rows fill each real row's ~20-dim local
+    tangent patch, so distance geometry stays the table's own instead
+    of collapsing to near-duplicate clusters or isotropic blur. Labels
+    copy from the seed row (the filtered-ANN row keeps its ~10%
+    selectivity); vec_ids continue past the real range, so the query
+    set (vec_id < N_QUERIES) stays exactly the real rows."""
+    pdf = emb.select("vec_id", "embedding", "label").toPandas()
+    base = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+    labels = pdf["label"].to_numpy()
+    vec_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    s, dim = base.shape
+    rng = np.random.default_rng(7)
+    n2 = np.einsum("ij,ij->i", base, base)
+    dmat = n2[:, None] + n2[None, :] - 2.0 * (base @ base.T)
+    nbr = np.argsort(dmat, axis=1)[:, 1:21]
+    frames = base[nbr] - base[:, None, :]  # (s, 20, dim)
+    tau = 0.6
+    reps_v, reps_l = [base], [labels]
+    next_id = int(vec_ids.max()) + 1
+    reps_i = [vec_ids]
+    while sum(len(r) for r in reps_v) < target:
+        i = rng.integers(0, s, size=s)
+        z = rng.normal(0.0, tau / np.sqrt(20.0), size=(s, 20))
+        reps_v.append(base[i] + np.einsum("sk,skd->sd", z, frames[i]))
+        reps_l.append(labels[i])
+        reps_i.append(np.arange(next_id, next_id + s, dtype=np.int64))
+        next_id += s
+    import pandas as _pd
+
+    allv = np.concatenate(reps_v, axis=0)[:target]
+    out = _pd.DataFrame({
+        "vec_id": np.concatenate(reps_i)[:target],
+        "embedding": list(allv),
+        "label": np.concatenate(reps_l)[:target],
+    })
+    return spark.createDataFrame(
+        out, schema="vec_id long, embedding array<double>, label long"
+    ).repartition(32)
+
+
 def run_sf_suite(spark) -> dict:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     emb = read_table(spark, SF_DIR, "embeddings").cache()
-    n_rows = emb.count()  # materialize the cache (warm-up action)
+    n_real = emb.count()  # materialize the cache (warm-up action)
+    if n_real < SF_MIN_ROWS:
+        dens = _densify_rows(spark, emb, SF_MIN_ROWS).cache()
+        dens.count()
+        emb.unpersist()
+        emb = dens
+    n_rows = emb.count()
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -169,7 +240,8 @@ def run_sf_suite(spark) -> dict:
         ).collect()
 
     gt_path = os.path.join(
-        GT_DIR, f"{os.path.basename(SF_DIR.rstrip('/'))}_q{N_QUERIES}_k{K}"
+        GT_DIR,
+        f"{os.path.basename(SF_DIR.rstrip('/'))}_n{n_rows}_q{N_QUERIES}_k{K}",
     )
     gt_df = knn_ops.load_ground_truth(spark, gt_path)
     timings["flat_batch"], flat_rows = _timed(run_flat)
@@ -307,6 +379,7 @@ def run_sf_suite(spark) -> dict:
         "queries": {k_: round(v, 3) for k_, v in timings.items()},
         "sf": sf,
         "n_rows": int(n_rows),
+        "n_rows_real": int(n_real),
         "n_queries": int(n_q),
         "k": K,
         "ms_per_query": {k_: round(v / max(n_q, 1) * 1000.0, 4) for k_, v in timings.items()},
@@ -600,6 +673,82 @@ def run_matched(spark) -> dict:
             queries, K, ef, workers=32, beam_width=bw))
         point("hnsw", ef, best, _grid_recall(ids, gt))
 
+    # ---- filtered ANN at matched scale (BENCH_FILTERED=0 to skip):
+    # oversample-and-filter at 3 predicate selectivities, recall vs the
+    # exact FILTERED ground truth, with the exact-fallback rate (starved
+    # queries answered by the flat filtered scan) — the oversample-width
+    # claim measured, not argued. The pool comes from the threaded
+    # driver graph kernel (search_many_parallel) and feeds the shared
+    # Spark finisher (filtered_topk_from_pool: predicate pushed into the
+    # scan, pool broadcast) — the same decomposition the serving path
+    # uses; the mapInPandas broadcast-graph variant would replicate the
+    # multi-GB graph into every Python worker at N=1M.
+    if os.environ.get("BENCH_FILTERED", "1") == "1":
+        from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
+
+        qpdf_f = _pd.DataFrame({"query_id": np.arange(n_q, dtype=np.int64),
+                                "embedding": list(queries)})
+        qdf_f = spark.createDataFrame(
+            qpdf_f, schema="query_id long, embedding array<double>"
+        ).coalesce(8).cache()
+        del qpdf_f
+        qdf_f.count()
+        sel_efs = {50.0: (240,), 5.0: (240, 800), 0.5: (240, 4000)}
+        for sel_pct, thr in ((50.0, 500), (5.0, 50), (0.5, 5)):
+            fbase = bdf.filter((F.col("vec_id") % 1000) < thr)
+            mask = (np.arange(n) % 1000) < thr
+            idxs = np.nonzero(mask)[0]
+            gt_f = [set(int(idxs[j]) for j in s)
+                    for s in _exact_gt(base[mask], queries, K)]
+
+            def run_filtered(ef_f: int, fallback: bool, fbase=fbase):
+                pool_k = max(int(ef_f), 4 * K)
+                ids, dists = hnsw.search_many_parallel(
+                    queries, pool_k, ef_f, workers=32)
+                valid = ids >= 0
+                rows_q, rows_c = np.nonzero(valid)
+                pool_pdf = _pd.DataFrame({
+                    "query_id": rows_q.astype(np.int64),
+                    "vec_id": ids[valid].astype(np.int64),
+                    "dist": dists[valid].astype(np.float64),
+                })
+                pool_df = spark.createDataFrame(
+                    pool_pdf, schema="query_id long, vec_id long, dist double"
+                )
+                return filtered_topk_from_pool(
+                    pool_df, qdf_f, K, fbase, "vec_id", "l2sqr",
+                    "embedding", qid_col="query_id", qvec_col="embedding",
+                    exact_fallback=fallback,
+                ).collect()
+
+            for ef_f in sel_efs[sel_pct]:
+                best, rows = _timed(
+                    lambda ef_f=ef_f: run_filtered(ef_f, True),
+                    runs=max(1, RUNS - 1),
+                )
+                got_f: dict[int, set[int]] = {}
+                for r in rows:
+                    got_f.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+                rec = float(np.mean([
+                    len(got_f.get(i, set()) & gt_f[i]) / len(gt_f[i])
+                    for i in range(n_q)
+                ]))
+                # starvation rate: pool-only pass — queries whose pool ∩
+                # filter can't fill k are the ones the exact scan answered
+                cnt: dict[int, int] = {}
+                for r in run_filtered(ef_f, False):
+                    q_ = int(r["query_id"])
+                    cnt[q_] = cnt.get(q_, 0) + 1
+                fb = sum(1 for i in range(n_q) if cnt.get(i, 0) < K) / n_q
+                grid.append({
+                    "name": "hnsw_filtered_batch",
+                    "selectivity_pct": sel_pct, "ef": ef_f,
+                    "ms_per_query": round(best / n_q * 1000.0, 4),
+                    "recall_at_10": round(rec, 4),
+                    "exact_fallback_rate": round(fb, 4),
+                })
+        qdf_f.unpersist()
+
     # ---- PQ m=320 4-bit (config/bench_pq_hnsw.toml:18-24) ----------------
     t0 = time.time()
     # k_means_size=10000 training sample (config/bench_pq_hnsw.toml:22)
@@ -737,6 +886,31 @@ def run_matched(spark) -> dict:
                              "ef": ef_pq,
                              "ms_per_query": round(best / n_q * 1000.0, 4),
                              "recall_at_10": round(rec, 4)})
+        # ---- driver-local IVF+PQ serve (enable_local_serve): identical
+        # results (same probes/gates/re-rank, asserted vs the rows
+        # above), but zero Spark jobs — codes + f32 vectors mirrored
+        # driver-side, (cluster × queries) tiles through the compiled
+        # GIL-releasing ADC kernel on a thread pool. This is the
+        # point-query answer to the distributed tier's per-job floor.
+        if ivfpq.enable_local_serve(max_bytes=12 << 30):
+            for n_probes in _IVF_PROBES.get(n, (4, 8, 16, 32)):
+                for ef_pq in (max(4 * K, 40), max(20 * K, 200)):
+                    def run_ivfpq_local(n_probes=n_probes, ef_pq=ef_pq):
+                        return ivfpq.search_batch(
+                            qdf, k=K, n_probes=n_probes, ef=ef_pq,
+                            qvec_col="embedding").collect()
+                    best, rows = _timed(run_ivfpq_local, runs=max(1, RUNS - 1))
+                    got_l: dict[int, set[int]] = {}
+                    for r in rows:
+                        got_l.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+                    rec = float(np.mean([len(got_l.get(i, set()) & gt[i]) / len(gt[i])
+                                         for i in range(n_q)]))
+                    grid.append({"name": "ivfpq_k128_local", "n_probes": n_probes,
+                                 "ef": ef_pq,
+                                 "ms_per_query": round(best / n_q * 1000.0, 4),
+                                 "recall_at_10": round(rec, 4)})
+            ivfpq._local = None
+            ivfpq._local_enabled = False
         ivfpq.codes_clustered.unpersist()
 
     # ---- Sharded HNSW (the >broadcast-tier layout, index/sharded.py):
@@ -912,6 +1086,33 @@ def main() -> None:
     if MATCHED:
         out["matched"] = run_matched(spark)
     out["calibration"] = host_calibration()
+    # host-drift-proof rows: divide every suite timing by this host's
+    # speed relative to the PINNED reference stamp (the round-8 driver
+    # host), so a slow driver machine reads as a calibration delta, not
+    # a code regression. Raw rows stay alongside; single-thread-bound
+    # rows (GIL/driver paths) use the 1t ratio, Spark stages the
+    # all-core ratio.
+    cal = out["calibration"]
+    r1 = cal["sort1m_per_sec_1t"] / _REF_STAMP["sort1m_per_sec_1t"]
+    ra = cal["sort1m_per_sec_all"] / _REF_STAMP["sort1m_per_sec_all"]
+    out["normalized"] = {
+        "ref_stamp": _REF_STAMP,
+        "host_over_ref_1t": round(r1, 4),
+        "host_over_ref_all": round(ra, 4),
+        "queries_sec": {
+            k: round(v * (r1 if k in _SINGLE_THREAD_KEYS else ra), 3)
+            for k, v in out.get("queries", {}).items()
+        },
+        "ms_per_query": {
+            k: round(v * (r1 if k in _SINGLE_THREAD_KEYS else ra), 4)
+            for k, v in out.get("ms_per_query", {}).items()
+        },
+        "note": (
+            "raw seconds x host/ref calibration ratio (1t for GIL-bound "
+            "rows, all-core for Spark stages); compare THESE across "
+            "rounds, raw only within one host"
+        ),
+    }
     # Full result → repo file: the harness keeps only a ~2000-char tail
     # of stdout, which truncated the full JSON line in earlier rounds
     # ("parsed": null in BENCH_r03/r04).
@@ -926,9 +1127,15 @@ def main() -> None:
     compact = {
         "metric": out["metric"], "value": out["value"], "unit": out["unit"],
         "queries": out["queries"], "sf": out["sf"],
+        "n_rows": out.get("n_rows"),
         "ms_per_query": out.get("ms_per_query"),
         "recall_at_10": out.get("recall_at_10"),
         "calibration": out.get("calibration"),
+        "normalized": {
+            "host_over_ref_1t": out["normalized"]["host_over_ref_1t"],
+            "host_over_ref_all": out["normalized"]["host_over_ref_all"],
+            "queries_sec": out["normalized"]["queries_sec"],
+        },
         "full": "BENCH_FULL.json",
     }
     m = out.get("matched")
@@ -940,14 +1147,21 @@ def main() -> None:
             "best_ratio_at_matched_recall": m.get("best_ratio_at_matched_recall"),
             "median_ratio_at_matched_recall": m.get("median_ratio_at_matched_recall"),
         }
+    def _droppable():
+        # normalized.queries_sec goes LAST — it is the cross-round
+        # trend signal the raw rows can no longer carry alone
+        yield from ("recall_at_10", "ms_per_query", "queries")
+
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1900 and any(
-        compact.get(k) for k in ("recall_at_10", "ms_per_query", "queries")
-    ):
-        # drop detail blocks until the line fits the tail window
-        for k in ("recall_at_10", "ms_per_query", "queries"):
-            if k in compact and compact[k]:
+    while len(line) > 1900:
+        for k in _droppable():
+            if compact.get(k):
                 compact[k] = {}
+                break
+        else:
+            if compact.get("normalized", {}).get("queries_sec"):
+                compact["normalized"]["queries_sec"] = {}
+            else:
                 break
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

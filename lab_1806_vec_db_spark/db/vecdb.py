@@ -142,6 +142,14 @@ class VecDB:
         # never double-assigned.
         self._mu = threading.RLock()
         self._tlocks: dict[str, threading.RLock] = {}
+        # auto-compaction policy: streaming/bulk appends leave one file
+        # per micro-batch per partition; force_save() self-heals any
+        # table whose file count exceeds auto_compact_factor × the
+        # id-range-clustered target (ceil(len / compact_rows_per_file)).
+        # Set auto_compact=False to keep compaction a manual call.
+        self.auto_compact = True
+        self.auto_compact_factor = 8
+        self.compact_rows_per_file = 4_000_000
         # settle any append that crashed mid-flight in a previous
         # manager: a crashed ``_rewrite`` swap is completed/rolled back
         # first (directory checks only — zero jobs), then the brief's
@@ -923,6 +931,13 @@ class VecDB:
         parts = max(1, -(-n // int(rows_per_file)))
         df = self.spark.read.parquet(self._table_path(key))
         self._rewrite(key, df.repartitionByRange(parts, F.col("id")))
+        # live indexes captured a pre-compaction file listing in their
+        # ``base`` DataFrame — point them at the rewritten directory or
+        # their next base scan reads deleted files
+        fresh = self.spark.read.parquet(self._table_path(key))
+        for idx in self._indexes.get(key, {}).values():
+            if hasattr(idx, "base"):
+                idx.base = fresh
         return self.table_file_count(key)
 
     def extract_data(self, key: str) -> list[tuple[list[float], dict[str, str]]]:
@@ -1309,6 +1324,26 @@ class VecDB:
                         self._hnsw_tail_sync(key, idx)
                     if getattr(idx, "dirty", False):
                         idx.save(self._index_path(key, kind))
+        if self.auto_compact:
+            # table-health maintenance as POLICY, not a callable the
+            # operator has to remember: append-heavy (streaming) tables
+            # accumulate one file per micro-batch per partition and
+            # every scan pays their open/footer cost — when the count
+            # exceeds the factor × the id-range-clustered target,
+            # force_save folds the compaction in (ids untouched, so
+            # live indexes stay valid). The reference never needs this
+            # (one bincode blob per save, thread_save.rs:10-21); at
+            # 100 TB it is the OPTIMIZE step every lake table runs.
+            with self._mu:
+                keys = list(self._brief["tables"])
+            for key in keys:
+                with self._tlock(key):
+                    if key not in self._brief["tables"]:
+                        continue
+                    n = max(int(self._meta(key)["len"]), 1)
+                    target = -(-n // int(self.compact_rows_per_file))
+                    if self.table_file_count(key) > self.auto_compact_factor * target:
+                        self.compact_table(key, self.compact_rows_per_file)
         self._save_brief()
 
     def close(self) -> None:

@@ -1302,6 +1302,19 @@ class HNSWIndex:
         n = self.vecs.shape[0]
         id_col = self.id_col
         ef_i = max(int(ef or 0), int(oversample) * int(k), int(k))
+        # selectivity-aware dispatch: when the predicate leaves no more
+        # rows than the pool is wide, the graph pool CANNOT beat the
+        # exact filtered scan — it would pay pool + escalation rounds +
+        # the very same exact scan as fallback. One early-terminating
+        # limit-probe (stops as soon as ef_i+1 survivors are found, so
+        # it is cheap precisely when the pool path would win) routes
+        # highly selective predicates straight to the exact answer.
+        n_f = filtered_base.select(id_col).limit(ef_i + 1).count()
+        if n_f <= ef_i:
+            return knn_ops.knn(
+                filtered_base, [float(x) for x in query], int(k),
+                metric=self.metric, vec_col=vec_col, id_col=id_col,
+            )
         for _ in range(max(1, int(max_rounds))):
             kk = min(ef_i, n) if n else int(k)
             ids, dists = self.search_np(q, kk, ef_i)

@@ -76,6 +76,12 @@ class IVFPQIndex:
         self.id_col = id_col
         self.path = path
         self._appends = 0
+        # driver-local serve mirror (enable_local_serve): codes +
+        # f32 vectors grouped by cluster, for zero-Spark-job point and
+        # small-batch queries — the distributed tier's point-serve twin
+        self._local: dict | None = None
+        self._local_enabled = False
+        self._local_stale = False
 
     # ---- build ------------------------------------------------------------
 
@@ -342,6 +348,8 @@ class IVFPQIndex:
             self._write_watermark(hi - 1)
         self.codes_clustered = spark.read.parquet(codes_path)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+        if self._local_enabled:
+            self._local = None  # mid-range rows changed: full rebuild
 
     def add_batch(self, df_new: DataFrame) -> None:
         """Append rows without rebuilding: the quantizers are FROZEN
@@ -419,6 +427,10 @@ class IVFPQIndex:
             self.codes_clustered = self.codes_clustered.unionByName(enc)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
         self.base = self.base.unionByName(df_new.select(*self.base.columns))
+        if self._local_enabled:
+            # the mirror tail-refreshes lazily at the next local serve
+            # (VecDB ids are monotonic, so the gap is exactly id > max)
+            self._local_stale = True
 
     def compact(self) -> None:
         """Rewrite the codes layout in one pass — the opt-in answer to
@@ -447,6 +459,207 @@ class IVFPQIndex:
         shutil.rmtree(old, ignore_errors=True)
         self.codes_clustered = spark.read.parquet(live)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+
+    # ---- driver-local serve (the distributed tier's point-query twin) -----
+    #
+    # The partition-pruned Spark path is the 100 TB layout, but every
+    # query pays the per-job scheduling floor (~ms), which dwarfs the
+    # actual ADC math for point queries (BENCH_FULL matched grid:
+    # ivfpq 1.6-10.9 ms/q vs 0.02-0.18 for the driver-side graph tier).
+    # When the codes (+ f32 vectors for the exact re-rank) fit a driver
+    # memory cap, mirror them once and serve point/batch queries with
+    # the SAME semantics — per-cluster rounded ADC top-ef, global gate,
+    # exact re-rank, rounded top-k — entirely driver-side: the compiled
+    # lookup-sum kernel (ckernel.adc_block) releases the GIL, so a
+    # thread pool tiles (cluster × probing-queries) across cores with
+    # zero Spark jobs. This is the reference's own latency model
+    # (flat_index.rs:84-104 serves from RAM); the distributed path
+    # remains the default and the only path above the cap.
+
+    def enable_local_serve(self, max_bytes: int = 8 << 30) -> bool:
+        """Build the driver-local mirror when it fits ``max_bytes``
+        (codes m B/row + f32 vectors 4·dim B/row + ids). Returns False
+        — and every query stays on the distributed path — when the
+        table is too large or the codes layout lacks the vector column
+        needed for the local exact re-rank."""
+        if self.vec_col not in self.codes_clustered.columns:
+            return False
+        n = self.codes_clustered.count()
+        dim = sum(size for _, size in self.pq.groups)
+        if n * (self.pq.m + 4 * dim + 12) > int(max_bytes):
+            return False
+        self._local = None
+        self._local_enabled = True
+        self._local_stale = False
+        self._local_pull(full=True)
+        return True
+
+    def _local_pull(self, full: bool) -> None:
+        """(Re)build or tail-extend the mirror: one Arrow collect of
+        (id, code, cluster_id, vec) — above the cached max id on a tail
+        refresh — then regroup rows by cluster (sorted arrays +
+        searchsorted starts, so a probe is a contiguous slice)."""
+        sel = self.codes_clustered.select(
+            self.id_col, "code", "cluster_id", self.vec_col
+        )
+        old = None if full else self._local
+        if old is not None:
+            sel = sel.filter(F.col(self.id_col) > int(old["max_id"]))
+        pdf = sel.toPandas()
+        if len(pdf):
+            buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
+            codes = unpack_codes(
+                buf.reshape(len(pdf), -1), self.pq.m, self.pq.n_bits
+            )
+            ids = pdf[self.id_col].to_numpy().astype(np.int64, copy=False)
+            cl = pdf["cluster_id"].to_numpy().astype(np.int32, copy=False)
+            vecs = np.asarray(pdf[self.vec_col].to_list(), dtype=np.float32)
+        else:
+            dim = sum(size for _, size in self.pq.groups)
+            ids = np.empty(0, dtype=np.int64)
+            cl = np.empty(0, dtype=np.int32)
+            codes = np.empty((0, self.pq.m), dtype=np.uint8)
+            vecs = np.empty((0, dim), dtype=np.float32)
+        if old is not None:
+            ids = np.concatenate([old["ids"], ids])
+            cl = np.concatenate([old["cl"], cl])
+            codes = np.concatenate([old["codes"], codes], axis=0)
+            vecs = np.concatenate([old["vecs"], vecs], axis=0)
+        order = np.argsort(cl, kind="stable")
+        cl = cl[order]
+        k_clusters = int(self.model.centroids.shape[0])
+        starts = np.searchsorted(cl, np.arange(k_clusters + 1))
+        self._local = {
+            "ids": np.ascontiguousarray(ids[order]),
+            "cl": cl,
+            "codes": np.ascontiguousarray(codes[order]),
+            "vecs": np.ascontiguousarray(vecs[order]),
+            "starts": starts,
+            "max_id": int(ids.max()) if ids.size else -1,
+        }
+        self._local_stale = False
+
+    def _local_state(self) -> dict | None:
+        if not self._local_enabled:
+            return None
+        if self._local is None:
+            self._local_pull(full=True)
+        elif self._local_stale:
+            self._local_pull(full=False)
+        return self._local
+
+    def _search_local(
+        self,
+        qmat: np.ndarray,
+        k: int,
+        n_probes: int,
+        ef: int,
+        metric: str,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Driver-side batch kNN over the mirror, bit-identical to the
+        distributed two-pass plan: per-cluster ADC → 4-dp rounded
+        per-cluster top-ef (id tie-break) → global rounded top-ef →
+        exact f64 re-rank (same formula as index/pq.py::
+        make_rerank_scan) → rounded top-k. Returns flat (qidx, ids,
+        dists) triples, ascending per query."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from lab_1806_vec_db_spark.index import ckernel
+
+        L = self._local
+        assert L is not None
+        nq = qmat.shape[0]
+        ef_ = max(int(ef), int(k))
+        probes = self.model.rank_centroids_batch(qmat, n_probes)
+        by_cluster: dict[int, list[int]] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                by_cluster.setdefault(int(c), []).append(qi)
+        lut3, sq, qn = build_lookup_batch(
+            qmat, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
+        )
+        lut64 = np.ascontiguousarray(lut3, dtype=np.float64)
+        use_c = ckernel.available()
+        m = self.pq.m
+
+        def run_cluster(cid: int):
+            s, e = int(L["starts"][cid]), int(L["starts"][cid + 1])
+            if s == e:
+                return None
+            sel = np.asarray(by_cluster[cid], dtype=np.int64)
+            codes_sub = L["codes"][s:e]
+            ids = L["ids"][s:e]
+            if use_c:
+                summed = ckernel.adc_block(codes_sub, lut64, sel)  # (S × n_c)
+            else:
+                summed = np.zeros((sel.size, e - s))
+                lsel = lut3[sel]
+                for g in range(m):
+                    summed += lsel[:, g, codes_sub[:, g]]
+            if sq is not None:  # cosine: normalize like the batch scan
+                v2 = np.zeros(e - s)
+                for g in range(m):
+                    v2 += sq[g, codes_sub[:, g]]
+                vnorm = np.sqrt(np.maximum(v2, 0.0))
+                summed = 1.0 - summed / np.maximum(
+                    vnorm[None, :] * qn[sel][:, None], 1e-10
+                )
+            summed = np_round_half_up(summed)
+            kk = min(ef_, e - s)
+            idm = np.broadcast_to(ids[None, :], summed.shape)
+            top = np.lexsort((idm, summed), axis=1)[:, :kk]
+            return (
+                np.repeat(sel, kk),
+                np.take_along_axis(idm, top, axis=1).reshape(-1),
+                np.take_along_axis(summed, top, axis=1).reshape(-1),
+                (top + s).reshape(-1),  # columns ARE positions s..e
+            )
+
+        clusters = sorted(by_cluster)
+        if len(clusters) > 1 and use_c:
+            workers = min(len(clusters), os.cpu_count() or 4)
+            with ThreadPoolExecutor(max_workers=workers) as tp:
+                parts = [p for p in tp.map(run_cluster, clusters) if p is not None]
+        else:
+            parts = [p for p in map(run_cluster, clusters) if p is not None]
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
+        qidx = np.concatenate([p[0] for p in parts])
+        cids = np.concatenate([p[1] for p in parts])
+        adc = np.concatenate([p[2] for p in parts])
+        rowp = np.concatenate([p[3] for p in parts])
+        # group candidates per query ONCE (sort + searchsorted slices);
+        # a per-query boolean mask is O(nq · total) and dominated the
+        # batch finalize at measured shape
+        order = np.argsort(qidx, kind="stable")
+        qidx, cids, adc, rowp = qidx[order], cids[order], adc[order], rowp[order]
+        bounds = np.searchsorted(qidx, np.arange(nq + 1))
+        out_q, out_i, out_d = [], [], []
+        q64 = np.asarray(qmat, dtype=np.float64)
+        q2 = np.einsum("ij,ij->i", q64, q64)
+        qn2 = np.sqrt(q2)
+        for qi in range(nq):
+            s0, e0 = int(bounds[qi]), int(bounds[qi + 1])
+            if s0 == e0:
+                continue
+            a, i_, r_ = adc[s0:e0], cids[s0:e0], rowp[s0:e0]
+            gate = np.lexsort((i_, a))[: min(ef_, a.size)]
+            x = L["vecs"][r_[gate]].astype(np.float64)
+            ip = x @ q64[qi]
+            x2 = np.einsum("ij,ij->i", x, x)
+            if metric == "l2sqr":
+                ex = x2 + q2[qi] - 2.0 * ip
+            else:
+                ex = 1.0 - ip / np.maximum(np.sqrt(x2) * qn2[qi], 1e-10)
+            ex = np_round_half_up(ex)
+            ii = i_[gate]
+            fin = np.lexsort((ii, ex))[: int(k)]
+            out_q.append(np.full(fin.size, qi, dtype=np.int64))
+            out_i.append(ii[fin])
+            out_d.append(ex[fin])
+        return (np.concatenate(out_q), np.concatenate(out_i),
+                np.concatenate(out_d))
 
     # ---- search -----------------------------------------------------------
 
@@ -501,6 +714,22 @@ class IVFPQIndex:
         ``fuse_rerank``: None = auto (see _use_fused_rerank)."""
         metric = metric or self.model.metric
         q = np.asarray(list(query), dtype=np.float64)
+        if (
+            self._local_state() is not None
+            and (payload_cols is None or list(payload_cols) == [self.id_col])
+        ):
+            # zero-Spark-job point serve from the driver mirror — same
+            # probes, gates, rounding, and tie-breaks as the plan below
+            _, ids_r, d_r = self._search_local(
+                q[None, :], int(k), int(n_probes), max(int(ef), int(k)), metric
+            )
+            rows = [
+                (int(i), float(d)) for i, d in zip(ids_r, d_r)
+                if upper_bound is None or d <= float(upper_bound)
+            ]
+            return self.codes_clustered.sparkSession.createDataFrame(
+                rows or [], f"{self.id_col} long, dist double"
+            )
         probed = [int(c) for c in self.model.rank_centroids(q, n_probes)]
         lut, sq, qnorm = self.pq.build_lookup(q, metric)
         spark = self.codes_clustered.sparkSession
@@ -614,6 +843,18 @@ class IVFPQIndex:
         k_clusters = int(self.model.centroids.shape[0])
         ef_i = max(int(ef), int(oversample) * int(k), int(k))
         probes = int(n_probes)
+        # selectivity-aware dispatch (the HNSW twin documents the
+        # rationale, hnsw.py::search_filtered): a predicate that leaves
+        # ≤ pool-width rows would pay pool + full-probe escalation +
+        # the exact fallback anyway — the limit-probe below terminates
+        # early when the predicate is NOT selective, so the fast path
+        # stays cheap and the selective path skips straight to exact.
+        n_f = filtered_base.select(id_col).limit(ef_i + 1).count()
+        if n_f <= ef_i:
+            return knn_ops.knn(
+                filtered_base, [float(x) for x in query], int(k),
+                metric=self.model.metric, vec_col=self.vec_col, id_col=id_col,
+            )
         for last in (False, True):
             pool = self.search(query, k=ef_i, n_probes=probes, ef=ef_i)
             rows = (
@@ -696,6 +937,29 @@ class IVFPQIndex:
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
+
+        if self._local_state() is not None:
+            # driver-mirror batch serve: the (cluster × probing-queries)
+            # tiling below, run through the GIL-releasing compiled
+            # kernel on a thread pool — zero Spark jobs
+            qq, ii, dd = self._search_local(qmat, int(k), int(n_probes), ef_, metric)
+            keep = (
+                np.ones(dd.size, dtype=bool)
+                if upper_bound is None else dd <= float(upper_bound)
+            )
+            rows = sorted(
+                (
+                    (int(qids[q_]), int(i_), float(d_))
+                    for q_, i_, d_ in zip(qq[keep], ii[keep], dd[keep])
+                ),
+                key=lambda t: (t[0], t[2], t[1]),
+            )
+            out = spark.createDataFrame(
+                rows or [], f"query_id long, {id_col} long, dist double"
+            )
+            if qid_col != "query_id":
+                out = out.withColumnRenamed("query_id", qid_col)
+            return out
 
         fused = self._use_fused_rerank(n_probes, ef_, fuse_rerank)
         vec_col = self.vec_col

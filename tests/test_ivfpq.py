@@ -368,3 +368,73 @@ def test_ivfpq_codes_swap_crash_recovery(spark, emb, tmp_path):
     ids2 = sorted(r["vec_id"] for r in loaded2.codes_clustered.select("vec_id").collect())
     assert ids2 == before and _os.path.isdir(codes)
     assert not _os.path.isdir(codes + "__tmp")
+
+
+def test_selective_filtered_dispatch_skips_pool(spark, emb, ivfpq):
+    """A highly selective predicate (matches ≤ pool width) routes
+    straight to the exact filtered scan — the pool pass, full-probe
+    escalation, and fallback would all be wasted work."""
+    calls = {"pool": 0}
+    real = ivfpq.search
+
+    def spy(*a, **kw):
+        calls["pool"] += 1
+        return real(*a, **kw)
+
+    ivfpq.search = spy
+    try:
+        filtered = emb.filter(F.col("vec_id") < 3)  # 3 of 2000 rows
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+        rows = ivfpq.search_filtered(q, k=2, filtered_base=filtered).collect()
+    finally:
+        ivfpq.search = real
+    assert calls["pool"] == 0, "pool pass ran for a selective predicate"
+    assert [r["vec_id"] for r in rows][0] == 1 and rows[0]["dist"] == 0.0
+    assert len(rows) == 2 and all(r["vec_id"] < 3 for r in rows)
+
+
+def test_local_serve_matches_distributed(spark, emb, qvec):
+    """The driver-local mirror (enable_local_serve) must reproduce the
+    distributed two-pass plan bit-for-bit — same probes, rounded ADC
+    gates, exact re-rank, and tie-breaks — for single and batch, both
+    metrics, and stay current through an append."""
+    for metric in ("l2sqr", "cosine"):
+        base = emb.filter(F.col("vec_id") < 450)
+        idx = IVFPQIndex.build(base, k_coarse=16, m=16, n_bits=8,
+                               metric=metric, vec_col="embedding",
+                               id_col="vec_id", train_size=500)
+        queries = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dist_single = idx.search(qvec, k=10, n_probes=4, ef=64).collect()
+        dist_batch = idx.search_batch(queries, k=10, n_probes=4, ef=64,
+                                      qvec_col="embedding").collect()
+        assert idx.enable_local_serve()
+        loc_single = idx.search(qvec, k=10, n_probes=4, ef=64).collect()
+        loc_batch = idx.search_batch(queries, k=10, n_probes=4, ef=64,
+                                     qvec_col="embedding").collect()
+        assert _pairs(loc_single) == _pairs(dist_single), metric
+        assert sorted(map(tuple, loc_batch)) == sorted(map(tuple, dist_batch)), metric
+
+        # append: the mirror tail-refreshes lazily and serves the new row
+        more = emb.filter((F.col("vec_id") >= 450) & (F.col("vec_id") < 470))
+        idx.add_batch(more)
+        probe = [float(x) for x in
+                 emb.filter(F.col("vec_id") == 460).first()["embedding"]]
+        got = idx.search(probe, k=1, n_probes=16, ef=64).collect()
+        assert got[0]["vec_id"] == 460 and got[0]["dist"] == 0.0
+
+
+def test_local_serve_upper_bound_and_cap(spark, emb, qvec, ivfpq):
+    """upper_bound filters the local path like the distributed one; a
+    too-small byte cap refuses the mirror and stays distributed."""
+    assert not ivfpq.enable_local_serve(max_bytes=100)
+    assert ivfpq._local is None
+    idx = IVFPQIndex.build(emb.filter(F.col("vec_id") < 400), k_coarse=8,
+                           m=16, n_bits=8, metric="l2sqr",
+                           vec_col="embedding", id_col="vec_id",
+                           train_size=400)
+    dist = idx.search(qvec, k=10, n_probes=8, ef=64, upper_bound=0.9).collect()
+    assert idx.enable_local_serve()
+    loc = idx.search(qvec, k=10, n_probes=8, ef=64, upper_bound=0.9).collect()
+    assert _pairs(loc) == _pairs(dist)

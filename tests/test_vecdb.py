@@ -466,3 +466,56 @@ def test_rewrite_swap_crash_recovery(spark, tmp_path):
     assert got2 == before and os.path.isdir(path)
     assert not os.path.isdir(path + "__tmp")
     db2.close()
+
+
+def test_force_save_auto_compacts_append_heavy_table(spark, tmp_path):
+    """Streaming-shaped ingest (many tiny appends) degrades a table to
+    one file per micro-batch; force_save() self-heals it back to the
+    id-range-clustered target without changing a row — compaction is
+    policy, not a manual call an operator must remember."""
+    db = VecDB(str(tmp_path / "dbac"), spark=spark)
+    db.create_table_if_not_exists("t", 4, "l2sqr")
+    for i in range(12):  # 12 micro-batch-shaped appends
+        db.batch_add("t", [[float(i), 0.0, 0.0, 0.0]], [{"i": str(i)}])
+    assert db.table_file_count("t") >= 12
+    before = sorted(
+        (r["id"], tuple(r["vec"]), dict(r["metadata"]))
+        for r in db.table_df("t").collect()
+    )
+    db.force_save()
+    # target = ceil(12 / 4M) = 1 id-range-clustered file
+    assert db.table_file_count("t") <= 1
+    after = sorted(
+        (r["id"], tuple(r["vec"]), dict(r["metadata"]))
+        for r in db.table_df("t").collect()
+    )
+    assert after == before
+    # opt-out respected
+    db.auto_compact = False
+    for i in range(12, 24):
+        db.batch_add("t", [[float(i), 0.0, 0.0, 0.0]], [{"i": str(i)}])
+    files = db.table_file_count("t")
+    db.force_save()
+    assert db.table_file_count("t") == files
+    db.close()
+
+
+def test_auto_compaction_keeps_live_ivfpq_serving(spark, tmp_path):
+    """force_save's auto-compaction rewrites the table directory; a
+    live IVF+PQ index must keep serving (its base DataFrame is
+    re-pointed at the rewritten files, and its codes are untouched)."""
+    import numpy as np
+
+    db = VecDB(str(tmp_path / "dbacq"), spark=spark)
+    db.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(3)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(32)]
+    db.batch_add("t", vecs[:16], [{"i": str(i)} for i in range(16)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=16, n_probes=4)
+    for i in range(16, 32):  # append-heavy: one file per call
+        db.batch_add("t", [vecs[i]], [{"i": str(i)}])
+    db.force_save()
+    assert db.table_file_count("t") <= 1
+    res = db.search("t", vecs[20], k=1, ef=32)
+    assert res[0][0] == {"i": "20"}
+    db.close()
