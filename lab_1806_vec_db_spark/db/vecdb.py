@@ -715,6 +715,45 @@ class VecDB:
             ]
             result.sort(key=lambda t: t[1])
             return result[:k]
+        elif ef is not None and meta.get("has_ivfpq"):
+            # beyond-reference tier, same latency model as the HNSW
+            # branch above: serve the point query from the driver-local
+            # codes mirror when it fits (zero Spark jobs, bit-identical
+            # to the distributed plan); the partition-pruned Spark path
+            # answers above the cap
+            ivfpq = self._get_index(key, "ivfpq")
+            if ivfpq is None:
+                out = knn_ops.knn(
+                    df, query, k, metric=meta["dist"], vec_col="vec",
+                    payload_cols=["id", "metadata"], id_col="id",
+                    norm_col="norm",
+                )
+            else:
+                probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
+                if not ivfpq._local_enabled and not getattr(
+                    ivfpq, "_local_denied", False
+                ):
+                    ivfpq.enable_local_serve()
+                if ivfpq._local_state() is not None:
+                    import numpy as np
+
+                    _, ids, dists = ivfpq._search_local(
+                        np.asarray([[float(x) for x in query]]),
+                        int(k), int(probes), max(int(ef), int(k)),
+                        ivfpq.model.metric,
+                    )
+                    md = self._metadata_map(key)
+                    result = [
+                        (md.get(int(i), {}), float(d))
+                        for i, d in zip(ids, dists)
+                        if upper_bound is None or float(d) <= upper_bound
+                    ]
+                    result.sort(key=lambda t: t[1])
+                    return result[:k]
+                out = ivfpq.search(
+                    query, k, n_probes=probes, ef=ef,
+                    payload_cols=["id", "metadata"],
+                )
         else:
             out = knn_ops.knn(
                 df, query, k, metric=meta["dist"], vec_col="vec",

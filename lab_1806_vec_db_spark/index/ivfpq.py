@@ -483,10 +483,12 @@ class IVFPQIndex:
         table is too large or the codes layout lacks the vector column
         needed for the local exact re-rank."""
         if self.vec_col not in self.codes_clustered.columns:
+            self._local_denied = True  # callers stop re-probing per query
             return False
         n = self.codes_clustered.count()
         dim = sum(size for _, size in self.pq.groups)
         if n * (self.pq.m + 4 * dim + 12) > int(max_bytes):
+            self._local_denied = True
             return False
         self._local = None
         self._local_enabled = True

@@ -519,3 +519,37 @@ def test_auto_compaction_keeps_live_ivfpq_serving(spark, tmp_path):
     res = db.search("t", vecs[20], k=1, ef=32)
     assert res[0][0] == {"i": "20"}
     db.close()
+
+
+def test_point_search_dispatches_to_ivfpq_local(spark, tmp_path):
+    """VecDB point search on an IVF+PQ-only table serves from the
+    driver-local mirror (zero Spark jobs after warm-up) and matches
+    the exact answer at full probes; writes keep it current."""
+    import numpy as np
+
+    db = VecDB(str(tmp_path / "dbpt"), spark=spark)
+    db.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(48)]
+    db.batch_add("t", vecs, [{"i": str(i)} for i in range(48)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=48,
+                         n_probes=4)
+    res = db.search("t", vecs[7], k=3, ef=48)
+    assert res[0][0] == {"i": "7"} and res[0][1] == pytest.approx(0.0, abs=1e-9)
+    idx = db._get_index("t", "ivfpq")
+    assert idx._local_enabled  # the mirror engaged
+
+    # warm path: no Spark job per query (job counter unchanged)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    res2 = db.search("t", vecs[9], k=1, ef=48)
+    after = tracker.getJobIdsForGroup(None)
+    assert res2[0][0] == {"i": "9"}
+    assert len(after) == len(before), "local point serve launched Spark jobs"
+
+    # a write is absorbed: the mirror tail-refreshes and serves it
+    db.batch_add("t", [[9.0] * 8], [{"i": "new"}])
+    res3 = db.search("t", [9.0] * 8, k=1, ef=64)
+    assert res3[0][0] == {"i": "new"} and res3[0][1] == pytest.approx(0.0, abs=1e-9)
+    db.close()
