@@ -1,0 +1,50 @@
+"""Bench artifact contract: the pieces the cross-round comparison
+depends on must not silently disappear — the calibration stamp, the
+pinned reference stamp, and the normalized rows (round-9's only open
+question was a driver-host slowdown reading as a regression; these
+fields are what makes that diagnosable)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_module_pins_reference_stamp():
+    import bench
+
+    for k in ("sort1m_per_sec_1t", "sort1m_per_sec_all",
+              "stream_gibps_1t", "stream_gibps_all"):
+        assert k in bench._REF_STAMP and bench._REF_STAMP[k] > 0
+    assert bench._SINGLE_THREAD_KEYS  # GIL-bound rows normalize by 1t
+
+
+def test_committed_bench_full_carries_normalized_rows():
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+        d = json.load(f)
+    assert d["calibration"]["sort1m_per_sec_1t"] > 0
+    norm = d["normalized"]
+    assert norm["ref_stamp"] == {
+        k: v for k, v in norm["ref_stamp"].items()
+    } and norm["host_over_ref_1t"] > 0
+    # every raw suite row has a normalized twin
+    assert set(norm["queries_sec"]) == set(d["queries"])
+    # the suite table is big enough that ms/query is not
+    # fixed-overhead dominated (round-9 finding: 2,000 rows was)
+    assert d["n_rows"] >= 50_000
+
+
+def test_committed_bench_full_has_measured_filtered_rows():
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+        d = json.load(f)
+    rows = [r for r in d["matched"]["grid"] if r["name"] == "hnsw_filtered_batch"]
+    sels = {r["selectivity_pct"] for r in rows}
+    assert {50.0, 5.0, 0.5} <= sels
+    assert all("exact_fallback_rate" in r and "recall_at_10" in r for r in rows)
+    # the oversample-width claim, measured: moderate selectivities hit
+    # high recall without falling back on every query
+    r50 = [r for r in rows if r["selectivity_pct"] == 50.0]
+    assert any(r["recall_at_10"] >= 0.95 and r["exact_fallback_rate"] <= 0.5
+               for r in r50)
