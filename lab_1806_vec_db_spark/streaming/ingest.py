@@ -71,7 +71,11 @@ def stream_into_vecdb(
     # delete-and-reprocess run (epoch ids restart at 0) can never collide
     # with tokens the previous run left in the table's absorbed-batch
     # log. A path hash stayed constant across recreation and silently
-    # dropped the fresh epochs as replays.
+    # dropped the fresh epochs as replays. Known limitation: the read is
+    # a local filesystem open — a checkpoint on a remote FS (hdfs://,
+    # s3a://) fails FAST at the first micro-batch with FileNotFoundError
+    # rather than degrading to collision-prone semantics; pass your own
+    # tokens through db.batch_add_df for that deployment shape.
     _sink_id_cache: list[str | None] = []
 
     def _sink_id() -> str | None:
