@@ -94,6 +94,22 @@ static pair_t heap_pop(pair_t *h, long *sz, int is_max) {
     }
     return top;
 }
+
+/* (dist, id, tile-row) triple for the fused ADC top-k tile kernel */
+typedef struct { double d; long id; long row; } trip_t;
+
+static int trip_cmp(const void *a, const void *b) {
+    const trip_t *x = (const trip_t *)a, *y = (const trip_t *)b;
+    if (x->d < y->d) return -1;
+    if (x->d > y->d) return 1;
+    if (x->id < y->id) return -1;
+    if (x->id > y->id) return 1;
+    return 0;
+}
+
+static int trip_lt(const trip_t *x, const trip_t *y) {
+    return x->d < y->d || (x->d == y->d && x->id < y->id);
+}
 """
 
 # Per-dtype implementation; instantiated for float32 and float64 by
@@ -530,6 +546,69 @@ int adc_block_SUF(
 }
 
 /*
+ * Block ADC + fused per-query top-k (the IVF+PQ driver-local tile,
+ * index/ivfpq.py::_search_local): for each selected query, score the
+ * tile, round HALF-UP to 4 decimals (floor(x*1e4+0.5)/1e4 — the exact
+ * operation np_round_half_up performs, so the gate is bit-identical to
+ * the numpy/Spark paths), and keep the kk smallest by (rounded, id)
+ * with a bounded max-heap. Everything the Python side previously did
+ * per tile under the GIL (round ufunc, 2-key lexsort, take_along_axis)
+ * happens inside this one GIL-released call — the thread pool actually
+ * scales. Outputs are padded with id = -1 past the tile's row count.
+ */
+int adc_topk_SUF(
+    const unsigned char *codes, const long *ids, long n, int m, int ksub,
+    const VT *lut, const long *sel, long S,
+    int kk,
+    long *out_id, long *out_row, double *out_d)
+{
+    trip_t *heap = (trip_t *)malloc((size_t)(kk > 0 ? kk : 1) * sizeof(trip_t));
+    if (!heap) return 1;
+    for (long s = 0; s < S; s++) {
+        const VT *lut_q = lut + (size_t)(sel ? sel[s] : s) * m * ksub;
+        long hs = 0;
+        for (long u = 0; u < n; u++) {
+            double v = adc_SUF(codes, lut_q, m, ksub, u);
+            v = floor(v * 10000.0 + 0.5) / 10000.0;
+            trip_t t = { v, ids[u], u };
+            if (hs < kk) {
+                /* sift-up into the max-heap (root = worst kept) */
+                long i = hs++;
+                heap[i] = t;
+                while (i > 0) {
+                    long p = (i - 1) / 2;
+                    if (!trip_lt(&heap[p], &heap[i])) break;
+                    trip_t tmp = heap[p]; heap[p] = heap[i]; heap[i] = tmp;
+                    i = p;
+                }
+            } else if (kk > 0 && trip_lt(&t, &heap[0])) {
+                /* replace root, sift-down */
+                heap[0] = t;
+                long i = 0;
+                for (;;) {
+                    long l = 2 * i + 1, r = l + 1, mx = i;
+                    if (l < hs && trip_lt(&heap[mx], &heap[l])) mx = l;
+                    if (r < hs && trip_lt(&heap[mx], &heap[r])) mx = r;
+                    if (mx == i) break;
+                    trip_t tmp = heap[mx]; heap[mx] = heap[i]; heap[i] = tmp;
+                    i = mx;
+                }
+            }
+        }
+        qsort(heap, (size_t)hs, sizeof(trip_t), trip_cmp);
+        long *oi = out_id + (size_t)s * kk;
+        long *orw = out_row + (size_t)s * kk;
+        double *od = out_d + (size_t)s * kk;
+        for (long i = 0; i < kk; i++) {
+            if (i < hs) { oi[i] = heap[i].id; orw[i] = heap[i].row; od[i] = heap[i].d; }
+            else { oi[i] = -1; orw[i] = -1; od[i] = HUGE_VAL; }
+        }
+    }
+    free(heap);
+    return 0;
+}
+
+/*
  * ADC lookup-table build for the uniform-group l2sqr serving regime
  * (pq_table.rs:195-224): out[q][j][c] = ||q_j - C_{j,c}||^2 as the
  * direct sum of squared differences (>= 0 by construction, no clamp).
@@ -651,6 +730,14 @@ def _bind(lib: ctypes.CDLL) -> None:
             dp,
         ]
         ab.restype = ctypes.c_int
+        at = getattr(lib, f"adc_topk_{suf}")
+        at.argtypes = [
+            ctypes.c_char_p, lp, ctypes.c_long, ctypes.c_int, ctypes.c_int,  # codes, ids, n, m, ksub
+            vp, lp, ctypes.c_long,                                           # lut, sel, S
+            ctypes.c_int,                                                    # kk
+            lp, lp, dp,                                                      # out_id, out_row, out_d
+        ]
+        at.restype = ctypes.c_int
         al = getattr(lib, f"adc_lut_{suf}")
         al.argtypes = [
             vp, ctypes.c_long, ctypes.c_int,              # qs, nq, d
@@ -909,6 +996,48 @@ def adc_block(codes: np.ndarray, lut: np.ndarray, sel: np.ndarray | None = None)
     )
     assert rc == 0
     return out
+
+
+def adc_topk(
+    codes: np.ndarray,
+    ids: np.ndarray,
+    lut: np.ndarray,
+    sel: np.ndarray | None,
+    kk: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused tile kernel: ADC lookup-sums + 4-dp half-up rounding +
+    per-query top-``kk`` by (rounded, id) — one GIL-released call.
+    ``codes`` (n × m) uint8 unpacked, ``ids`` (n,) int64 (tie-break
+    ids), ``lut`` (Q × m × ksub) f32/f64 contiguous, ``sel`` (S,) int64
+    query rows. Returns (ids, tile_rows, rounded_d), each (S × kk),
+    padded with -1 / inf past the tile's row count. l2sqr-shaped sums
+    only (cosine needs the normalization pass — callers use adc_block
+    there)."""
+    lib = get_lib()
+    assert lib is not None
+    n, m = codes.shape
+    _, m2, ksub = lut.shape
+    S = lut.shape[0] if sel is None else sel.shape[0]
+    assert m2 == m and codes.flags["C_CONTIGUOUS"] and lut.flags["C_CONTIGUOUS"]
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if sel is not None:
+        sel = np.ascontiguousarray(sel, dtype=np.int64)
+    vt = ctypes.c_float if lut.dtype == np.float32 else ctypes.c_double
+    fn = getattr(lib, "adc_topk_f32" if lut.dtype == np.float32 else "adc_topk_f64")
+    out_id = np.empty((S, kk), dtype=np.int64)
+    out_row = np.empty((S, kk), dtype=np.int64)
+    out_d = np.empty((S, kk), dtype=np.float64)
+    rc = fn(
+        codes.ctypes.data_as(ctypes.c_char_p),
+        _ptr(ids, ctypes.c_long), n, m, ksub,
+        _ptr(lut, vt),
+        None if sel is None else _ptr(sel, ctypes.c_long),
+        S, int(kk),
+        _ptr(out_id, ctypes.c_long), _ptr(out_row, ctypes.c_long),
+        _ptr(out_d, ctypes.c_double),
+    )
+    assert rc == 0
+    return out_id, out_row, out_d
 
 
 def pq_flat(

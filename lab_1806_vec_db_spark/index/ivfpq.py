@@ -584,13 +584,24 @@ class IVFPQIndex:
         use_c = ckernel.available()
         m = self.pq.m
 
-        def run_cluster(cid: int):
-            s, e = int(L["starts"][cid]), int(L["starts"][cid + 1])
-            if s == e:
-                return None
-            sel = np.asarray(by_cluster[cid], dtype=np.int64)
+        def run_tile(cid: int, s: int, e: int, qlo: int, qhi: int):
+            sel = np.asarray(by_cluster[cid][qlo:qhi], dtype=np.int64)
             codes_sub = L["codes"][s:e]
             ids = L["ids"][s:e]
+            if use_c and sq is None:
+                # fused l2sqr tile: score + round + per-query top-kk all
+                # inside one GIL-released C call (ckernel.adc_topk) —
+                # the separate round/lexsort/gather ufunc passes held
+                # the GIL per tile and serialized the pool (measured:
+                # 22 s → ~1 s at the worst-skew N=1M shape)
+                kk = min(ef_, e - s)
+                oid, orow, od = ckernel.adc_topk(codes_sub, ids, lut64, sel, kk)
+                return (
+                    np.repeat(sel, kk),
+                    oid.reshape(-1),
+                    od.reshape(-1),
+                    (orow + s).reshape(-1),
+                )
             if use_c:
                 summed = ckernel.adc_block(codes_sub, lut64, sel)  # (S × n_c)
             else:
@@ -617,13 +628,35 @@ class IVFPQIndex:
                 (top + s).reshape(-1),  # columns ARE positions s..e
             )
 
-        clusters = sorted(by_cluster)
-        if len(clusters) > 1 and use_c:
-            workers = min(len(clusters), os.cpu_count() or 4)
+        # tile = (cluster, QUERY-chunk): k-means clusters are SKEWED, and
+        # a popular cluster draws both more rows and more probing
+        # queries — one giant (cluster × all-queries) tile on a single
+        # thread was the whole critical path at N=1M. Chunking the
+        # QUERY axis (not the rows) keeps the pool balanced while each
+        # tile still sees the cluster's FULL row range, so per-tile
+        # top-kk is exactly the per-cluster top-kk — candidate volume
+        # stays n_probes·kk per query (a row-chunk variant inflated it
+        # by the chunk count and drowned the finalize), and the tile's
+        # LUT slice (a few queries × m·2^b) stays cache-resident.
+        budget_pairs = 2_000_000
+        tiles: list[tuple[int, int, int, int, int]] = []
+        for cid in sorted(by_cluster):
+            s, e = int(L["starts"][cid]), int(L["starts"][cid + 1])
+            if s == e:
+                continue
+            nq_c = len(by_cluster[cid])
+            step_q = max(4, budget_pairs // max(1, e - s))
+            for qlo in range(0, nq_c, step_q):
+                tiles.append((cid, s, e, qlo, min(qlo + step_q, nq_c)))
+        if len(tiles) > 1 and use_c:
+            workers = min(len(tiles), os.cpu_count() or 4)
             with ThreadPoolExecutor(max_workers=workers) as tp:
-                parts = [p for p in tp.map(run_cluster, clusters) if p is not None]
+                parts = [
+                    p for p in tp.map(lambda t: run_tile(*t), tiles)
+                    if p is not None
+                ]
         else:
-            parts = [p for p in map(run_cluster, clusters) if p is not None]
+            parts = [p for p in (run_tile(*t) for t in tiles) if p is not None]
         if not parts:
             return (np.empty(0, np.int64), np.empty(0, np.int64),
                     np.empty(0, np.float64))
@@ -631,37 +664,47 @@ class IVFPQIndex:
         cids = np.concatenate([p[1] for p in parts])
         adc = np.concatenate([p[2] for p in parts])
         rowp = np.concatenate([p[3] for p in parts])
-        # group candidates per query ONCE (sort + searchsorted slices);
-        # a per-query boolean mask is O(nq · total) and dominated the
-        # batch finalize at measured shape
-        order = np.argsort(qidx, kind="stable")
-        qidx, cids, adc, rowp = qidx[order], cids[order], adc[order], rowp[order]
-        bounds = np.searchsorted(qidx, np.arange(nq + 1))
-        out_q, out_i, out_d = [], [], []
+        # fully vectorized finalize (a per-query Python loop ran 1000
+        # small numpy ops per query and serialized the batch): ONE
+        # global (qid, adc_r, id) sort ranks every candidate inside its
+        # query segment; the gate keeps rank < ef; one batched gather +
+        # row-dot re-ranks every gated pair; a second global sort cuts
+        # rank < k. (q, id) pairs are unique — a row belongs to exactly
+        # one cluster and a query probes distinct clusters — so the
+        # strict (adc_r, id) order matches the distributed plan's gate.
         q64 = np.asarray(qmat, dtype=np.float64)
         q2 = np.einsum("ij,ij->i", q64, q64)
         qn2 = np.sqrt(q2)
-        for qi in range(nq):
-            s0, e0 = int(bounds[qi]), int(bounds[qi + 1])
-            if s0 == e0:
-                continue
-            a, i_, r_ = adc[s0:e0], cids[s0:e0], rowp[s0:e0]
-            gate = np.lexsort((i_, a))[: min(ef_, a.size)]
-            x = L["vecs"][r_[gate]].astype(np.float64)
-            ip = x @ q64[qi]
-            x2 = np.einsum("ij,ij->i", x, x)
+        order = np.lexsort((cids, adc, qidx))
+        qidx, cids, rowp = qidx[order], cids[order], rowp[order]
+        bounds = np.searchsorted(qidx, np.arange(nq + 1))
+        rank = np.arange(qidx.size) - bounds[qidx]
+        gate = rank < ef_
+        qg, ig, rg = qidx[gate], cids[gate], rowp[gate]
+        # bounded (pairs × dim) gather — the same 16k-row step the
+        # distributed fused scan uses: one unchunked gather at
+        # ef=200 × |Q|=1000 materialized 2.3 GB of f64 temporaries and
+        # the allocator/page faults cost more than the math
+        ex = np.empty(qg.size)
+        step = 16384
+        for s0 in range(0, qg.size, step):
+            sl = slice(s0, min(s0 + step, qg.size))
+            xs = L["vecs"][rg[sl]].astype(np.float64)
+            ip = np.einsum("ij,ij->i", xs, q64[qg[sl]])
+            x2s = np.einsum("ij,ij->i", xs, xs)
             if metric == "l2sqr":
-                ex = x2 + q2[qi] - 2.0 * ip
+                ex[sl] = x2s + q2[qg[sl]] - 2.0 * ip
             else:
-                ex = 1.0 - ip / np.maximum(np.sqrt(x2) * qn2[qi], 1e-10)
-            ex = np_round_half_up(ex)
-            ii = i_[gate]
-            fin = np.lexsort((ii, ex))[: int(k)]
-            out_q.append(np.full(fin.size, qi, dtype=np.int64))
-            out_i.append(ii[fin])
-            out_d.append(ex[fin])
-        return (np.concatenate(out_q), np.concatenate(out_i),
-                np.concatenate(out_d))
+                ex[sl] = 1.0 - ip / np.maximum(
+                    np.sqrt(x2s) * qn2[qg[sl]], 1e-10
+                )
+        ex = np_round_half_up(ex)
+        order2 = np.lexsort((ig, ex, qg))
+        qs2, is2, ds2 = qg[order2], ig[order2], ex[order2]
+        b2 = np.searchsorted(qs2, np.arange(nq + 1))
+        rank2 = np.arange(qs2.size) - b2[qs2]
+        keep = rank2 < int(k)
+        return qs2[keep], is2[keep], ds2[keep]
 
     # ---- search -----------------------------------------------------------
 
