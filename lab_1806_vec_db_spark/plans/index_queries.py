@@ -475,6 +475,34 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4, ef=64)
 
 
+@register("knn_ivf_pq_local", _ivf_pq_oracle())
+def knn_ivf_pq_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-local IVF+PQ serve (index/ivfpq.py::enable_local_serve
+    — round 10): codes + f32 vectors mirrored driver-side, the query
+    answered with ZERO Spark jobs through the fused compiled ADC top-k
+    tile kernel (ckernel.adc_topk). Same probes, rounded gates, exact
+    re-rank, and tie-breaks as the distributed plan, so it shares
+    knn_ivf_pq's oracle verbatim — the driver hash-checks that the
+    local tier is bit-identical, not merely close."""
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    emb = _emb(spark, sf_dir).cache()
+    crows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    model = KMeansModel(centroids=cmat, metric="l2sqr")
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    codes_clustered = IVFPQIndex._assign_encode(emb, model, pq, "embedding", "vec_id")
+    pq.codes = codes_clustered.select("vec_id", "code")
+    idx = IVFPQIndex(model, pq, codes_clustered, emb, vec_col="embedding", id_col="vec_id")
+    if not idx.enable_local_serve():
+        raise RuntimeError("local serve mirror refused at test scale")
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4, ef=64)
+
+
 _SAMPLE_ORACLE = """
 SELECT vec_id FROM (
   SELECT vec_id FROM embeddings
