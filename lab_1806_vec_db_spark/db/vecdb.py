@@ -324,6 +324,12 @@ class VecDB:
         if not pending:
             return
         lo, hi = int(pending["lo"]), int(pending["hi"])
+        # drop any stale session state for the path FIRST: a cached
+        # table_df (e.g. pinned by an index build) makes a fresh
+        # read.parquet(path) resolve to the cached in-memory relation —
+        # the repair would then judge (and rewrite!) a pre-crash
+        # snapshot instead of the directory's real content
+        self.spark.catalog.refreshByPath(self._table_path(key))
         df = self.spark.read.parquet(self._table_path(key))
         in_range = (F.col("id") >= lo) & (F.col("id") < hi)
         if df.filter(in_range).limit(1).count():
@@ -631,6 +637,10 @@ class VecDB:
             os.replace(path, old)
         os.replace(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
+        # invalidate Spark's session-level state for the path (cached
+        # relations + file-status listings): readers created after the
+        # swap must see the rewritten directory, not a stale snapshot
+        self.spark.catalog.refreshByPath(path)
 
     def _recover_table_swap(self, key: str) -> None:
         """Complete (or roll back) a ``_rewrite`` swap a crash

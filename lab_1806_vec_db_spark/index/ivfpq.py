@@ -327,6 +327,10 @@ class IVFPQIndex:
             pend = json.load(f)
         lo, hi = int(pend["lo"]), int(pend["hi"])
         spark = self.base.sparkSession
+        # stale-session guard (the table-repair twin documents why,
+        # db/vecdb.py::_settle_pending): a cached codes relation must
+        # not stand in for the directory's real content during repair
+        spark.catalog.refreshByPath(codes_path)
         in_range = (F.col(self.id_col) >= lo) & (F.col(self.id_col) < hi)
         kept = spark.read.parquet(codes_path).filter(~in_range)
         redo = self._assign_encode(
@@ -342,6 +346,7 @@ class IVFPQIndex:
         os.replace(codes_path, old)
         os.replace(tmp, codes_path)
         shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(codes_path)
         os.remove(marker)
         wm = self._read_watermark()
         if wm is None or hi - 1 > wm:
@@ -457,6 +462,7 @@ class IVFPQIndex:
         os.replace(live, old)
         os.replace(tmp, live)
         shutil.rmtree(old, ignore_errors=True)
+        spark.catalog.refreshByPath(live)
         self.codes_clustered = spark.read.parquet(live)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
 
