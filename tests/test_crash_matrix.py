@@ -63,12 +63,23 @@ def seeded(spark, tmp_path):
     return db, rng
 
 
+@pytest.mark.parametrize("path_kind", ["list", "df"])
 @pytest.mark.parametrize("crash_at", ["reserve", "append", "absorb", "watermark"])
 def test_crash_point_then_reopen_repairs(spark, tmp_path, seeded, crash_at,
-                                         monkeypatch):
+                                         path_kind, monkeypatch):
     db, rng = seeded
     new = [_vec(rng) for _ in range(6)]
     metas = [{"i": f"n{j}"} for j in range(6)]
+
+    def do_append():
+        if path_kind == "list":
+            db.batch_add("t", new, metas)
+        else:  # the DataFrame-native / streaming micro-batch path
+            bdf = spark.createDataFrame(
+                [(v, m["i"]) for v, m in zip(new, metas)],
+                "vec array<double>, i string",
+            )
+            db.batch_add_df("t", bdf, vec_col="vec", meta_cols=("i",))
 
     if crash_at == "reserve":
         real = db._reserve_append
@@ -97,7 +108,7 @@ def test_crash_point_then_reopen_repairs(spark, tmp_path, seeded, crash_at,
         )
 
     with pytest.raises(RuntimeError, match="crash"):
-        db.batch_add("t", new, metas)
+        do_append()
 
     monkeypatch.undo()
     db2 = _crash_reopen(db, spark)
