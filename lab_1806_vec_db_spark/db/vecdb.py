@@ -150,6 +150,16 @@ class VecDB:
         self.auto_compact = True
         self.auto_compact_factor = 8
         self.compact_rows_per_file = 4_000_000
+        # driver-local IVF+PQ serve policy, exposed as a setting (like
+        # auto_compact) instead of being decided silently inside the
+        # query path: the first point query against an IVF+PQ table
+        # mirrors up to local_serve_max_bytes of codes + f32 vectors to
+        # the driver (index/ivfpq.py:enable_local_serve) and collects
+        # the table's metadata map. Set local_serve=False to keep every
+        # query on the distributed partition-pruned path (memory-tight
+        # drivers), or tune the cap for bigger/smaller driver heaps.
+        self.local_serve = True
+        self.local_serve_max_bytes = 8 << 30
         # settle any append that crashed mid-flight in a previous
         # manager: a crashed ``_rewrite`` swap is completed/rolled back
         # first (directory checks only — zero jobs), then the brief's
@@ -227,16 +237,26 @@ class VecDB:
         return True
 
     def delete_table(self, key: str) -> bool:
-        with self._mu:
-            if key not in self._brief["tables"]:
-                return False
-            self.remove_cached_table(key)
-            path = self._table_path(key)
-            self._drop_index_artifacts(key)
-            del self._brief["tables"][key]
-            shutil.rmtree(path, ignore_errors=True)
-            self._save_brief()
-            return True
+        # per-table lock FIRST, catalog mutex second — the same
+        # tlock→_mu order every writer uses (batch_add holds tlock and
+        # takes _mu at reserve/commit), so a drop can neither deadlock
+        # against an in-flight append nor race it: the rmtree waits for
+        # the writer's parquet write to finish instead of deleting the
+        # directory out from under it (which left an orphaned table dir
+        # and a _commit_append failing on the missing brief entry).
+        # Mirrors the reference's per-table scoped lock on remove
+        # (database/mod.rs:283-290).
+        with self._tlock(key):
+            with self._mu:
+                if key not in self._brief["tables"]:
+                    return False
+                self.remove_cached_table(key)
+                path = self._table_path(key)
+                self._drop_index_artifacts(key)
+                del self._brief["tables"][key]
+                shutil.rmtree(path, ignore_errors=True)
+                self._save_brief()
+                return True
 
     def get_all_keys(self) -> list[str]:
         return list(self._brief["tables"].keys())
@@ -740,11 +760,13 @@ class VecDB:
                 )
             else:
                 probes = (meta.get("ivfpq_params") or {}).get("n_probes", 8)
-                if not ivfpq._local_enabled and not getattr(
-                    ivfpq, "_local_denied", False
+                if (
+                    self.local_serve
+                    and not ivfpq._local_enabled
+                    and not getattr(ivfpq, "_local_denied", False)
                 ):
-                    ivfpq.enable_local_serve()
-                if ivfpq._local_state() is not None:
+                    ivfpq.enable_local_serve(self.local_serve_max_bytes)
+                if self.local_serve and ivfpq._local_state() is not None:
                     import numpy as np
 
                     _, ids, dists = ivfpq._search_local(

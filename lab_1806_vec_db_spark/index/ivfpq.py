@@ -563,13 +563,18 @@ class IVFPQIndex:
         n_probes: int,
         ef: int,
         metric: str,
+        max_lut_bytes: int = 64 << 20,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Driver-side batch kNN over the mirror, bit-identical to the
         distributed two-pass plan: per-cluster ADC → 4-dp rounded
         per-cluster top-ef (id tie-break) → global rounded top-ef →
         exact f64 re-rank (same formula as index/pq.py::
         make_rerank_scan) → rounded top-k. Returns flat (qidx, ids,
-        dists) triples, ascending per query."""
+        dists) triples, ascending per query. The batch is chunked so
+        the f64 lookup tensor stays under ``max_lut_bytes`` — the same
+        budget the distributed path applies per broadcast — so a
+        200k-query batch never allocates a multi-GB LUT on the driver
+        regardless of the mirror cap."""
         from concurrent.futures import ThreadPoolExecutor
 
         from lab_1806_vec_db_spark.index import ckernel
@@ -577,6 +582,23 @@ class IVFPQIndex:
         L = self._local
         assert L is not None
         nq = qmat.shape[0]
+        lut_chunk = max(
+            4, int(max_lut_bytes) // (self.pq.m * (1 << self.pq.n_bits) * 8)
+        )
+        if nq > lut_chunk:
+            qs_p, is_p, ds_p = [], [], []
+            for s in range(0, nq, lut_chunk):
+                q_, i_, d_ = self._search_local(
+                    qmat[s : s + lut_chunk], k, n_probes, ef, metric,
+                    max_lut_bytes,
+                )
+                qs_p.append(q_ + s)
+                is_p.append(i_)
+                ds_p.append(d_)
+            return (
+                np.concatenate(qs_p), np.concatenate(is_p),
+                np.concatenate(ds_p),
+            )
         ef_ = max(int(ef), int(k))
         probes = self.model.rank_centroids_batch(qmat, n_probes)
         by_cluster: dict[int, list[int]] = {}
@@ -993,7 +1015,10 @@ class IVFPQIndex:
             # driver-mirror batch serve: the (cluster × probing-queries)
             # tiling below, run through the GIL-releasing compiled
             # kernel on a thread pool — zero Spark jobs
-            qq, ii, dd = self._search_local(qmat, int(k), int(n_probes), ef_, metric)
+            qq, ii, dd = self._search_local(
+                qmat, int(k), int(n_probes), ef_, metric,
+                max_lut_bytes=max_lut_bytes,
+            )
             keep = (
                 np.ones(dd.size, dtype=bool)
                 if upper_bound is None else dd <= float(upper_bound)

@@ -41,7 +41,45 @@ import json
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
+    """Read the StreamingQuery's persisted id from
+    ``<checkpoint>/metadata`` through the JVM Hadoop FileSystem API, so
+    the token scope works for ANY checkpoint filesystem — local paths,
+    file:// URIs, hdfs://, s3a:// — not just paths the driver can
+    ``open()``. Spark writes this file ({"id": "<uuid>"}) during query
+    initialization, before the first micro-batch, and regenerates the
+    uuid whenever the checkpoint dir is recreated (see the token-scope
+    rationale in :func:`stream_into_vecdb`). Still fail-fast: a missing
+    metadata file raises instead of degrading to collision-prone
+    path-derived tokens."""
+    # Relative local paths resolve against the process CWD (matching
+    # Spark's own resolveURI for checkpointLocation); URIs pass through.
+    loc = checkpoint if "://" in checkpoint else os.path.abspath(checkpoint)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(loc, "metadata")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(
+            f"streaming checkpoint metadata not found at {loc}/metadata — "
+            "the query has not initialized its checkpoint yet"
+        )
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    return str(json.loads("\n".join(lines))["id"])
 
 
 def stream_into_vecdb(
@@ -71,19 +109,18 @@ def stream_into_vecdb(
     # delete-and-reprocess run (epoch ids restart at 0) can never collide
     # with tokens the previous run left in the table's absorbed-batch
     # log. A path hash stayed constant across recreation and silently
-    # dropped the fresh epochs as replays. Known limitation: the read is
-    # a local filesystem open — a checkpoint on a remote FS (hdfs://,
-    # s3a://) fails FAST at the first micro-batch with FileNotFoundError
-    # rather than degrading to collision-prone semantics; pass your own
-    # tokens through db.batch_add_df for that deployment shape.
+    # dropped the fresh epochs as replays. The read goes through the
+    # Hadoop FileSystem API (_checkpoint_query_id), so remote
+    # checkpoints (hdfs://, s3a://) — the normal shape for a 100 TB
+    # deployment — carry the same exactly-once tokens as local ones.
+    spark = stream_df.sparkSession
     _sink_id_cache: list[str | None] = []
 
     def _sink_id() -> str | None:
         if checkpoint is None:
             return None
         if not _sink_id_cache:
-            with open(os.path.join(os.path.abspath(checkpoint), "metadata")) as f:
-                _sink_id_cache.append(str(json.load(f)["id"]))
+            _sink_id_cache.append(_checkpoint_query_id(spark, checkpoint))
         return _sink_id_cache[0]
 
     if distributed:

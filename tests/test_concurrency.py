@@ -126,3 +126,51 @@ def test_concurrent_appends_same_table_disjoint_ids(spark, tmp_path):
     # next_id advanced exactly once per reserved row
     assert db._brief["tables"]["t"]["next_id"] == 16
     db.close()
+
+
+def test_delete_table_serializes_with_inflight_append(spark, tmp_path):
+    """delete_table takes the table's per-table lock BEFORE the catalog
+    mutex (the same tlock→_mu order writers use), so a drop cannot
+    rmtree the parquet dir out from under an in-flight batch_add: the
+    drop waits for the append to commit, and any append that starts
+    after the drop refuses cleanly with KeyError. Without the ordering,
+    the racing parquet write recreated an orphaned table dir and
+    _commit_append blew up on the missing brief entry."""
+    import os
+    import time
+
+    db = VecDB(str(tmp_path / "db_droprace"), spark=spark)
+    db.create_table_if_not_exists("t", 4, "l2sqr")
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            for i in range(8):
+                try:
+                    db.batch_add(
+                        "t",
+                        [[float(i), 0.0, 0.0, 0.0]] * 4,
+                        [_md(f"w{i}_{j}") for j in range(4)],
+                    )
+                except KeyError:
+                    return  # table dropped mid-loop — clean refusal
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    time.sleep(0.3)  # let at least one append get in flight
+    assert db.delete_table("t")
+    t.join(300)
+    assert not t.is_alive(), "writer thread hung"
+    assert not errors, f"writer thread failed: {errors!r}"
+
+    # no orphaned dir, no catalog entry, no pending marker
+    assert not db.contains_key("t")
+    tables_dir = os.path.join(db.dir, "tables")
+    assert "t" not in (os.listdir(tables_dir) if os.path.isdir(tables_dir) else [])
+
+    # the key is immediately reusable and starts empty
+    assert db.create_table_if_not_exists("t", 4, "l2sqr")
+    assert db.get_len("t") == 0
+    db.close()

@@ -438,3 +438,36 @@ def test_local_serve_upper_bound_and_cap(spark, emb, qvec, ivfpq):
     assert idx.enable_local_serve()
     loc = idx.search(qvec, k=10, n_probes=8, ef=64, upper_bound=0.9).collect()
     assert _pairs(loc) == _pairs(dist)
+
+
+def test_local_serve_lut_chunking_matches(spark, emb):
+    """_search_local bounds its f64 lookup tensor by the SAME
+    max_lut_bytes budget the distributed path applies per broadcast
+    (a 200k-query batch otherwise allocated a multi-GB driver LUT
+    independent of the mirror cap). Chunked and unchunked runs must be
+    identical — chunking only splits the query axis."""
+    idx = IVFPQIndex.build(
+        emb.filter(F.col("vec_id") < 450), k_coarse=16, m=16, n_bits=8,
+        metric="l2sqr", vec_col="embedding", id_col="vec_id", train_size=500,
+    )
+    assert idx.enable_local_serve()
+    qmat = np.asarray(
+        [r["embedding"] for r in
+         emb.filter(F.col("vec_id") < 40).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    big = idx._search_local(qmat, 10, 4, 64, "l2sqr")
+    # one query's LUT is m*ksub*8 = 32 KiB > 16 KiB budget → chunk of 4
+    tiny = idx._search_local(qmat, 10, 4, 64, "l2sqr", max_lut_bytes=16 << 10)
+    for a, b in zip(big, tiny):
+        assert np.array_equal(a, b)
+    # and through the public batch API with a forced tiny budget
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ref = idx.search_batch(queries, k=10, n_probes=4, ef=64,
+                           qvec_col="embedding").collect()
+    chunked = idx.search_batch(queries, k=10, n_probes=4, ef=64,
+                               qvec_col="embedding",
+                               max_lut_bytes=16 << 10).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, ref))

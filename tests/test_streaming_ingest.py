@@ -374,3 +374,56 @@ def test_interrupted_tail_sync_resumes_without_double_insert(spark, tmp_path):
     assert final == list(range(56))
     assert len(idx.ids) == len(set(int(i) for i in idx.ids))
     db.close()
+
+
+def test_checkpoint_query_id_reads_uri_checkpoints(spark, tmp_path, seeded_db):
+    """Exactly-once tokens must work when the checkpoint is named by a
+    filesystem URI (file://, and by the same mechanism hdfs://s3a://):
+    the queryId is read through the Hadoop FileSystem API, not a local
+    ``open()``. A file:// URI exercises the full JVM-FS code path —
+    Path(uri)/getFileSystem/open — which a plain local open() cannot
+    resolve at all (it would look for a literal './file:...' path)."""
+    from lab_1806_vec_db_spark.streaming.ingest import _checkpoint_query_id
+
+    db, rng = seeded_db
+    wave = [_mk_vec(rng) for _ in range(8)]
+    src = str(tmp_path / "stream_src_uri")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(f"u_{i}", v) for i, v in enumerate(wave)],
+        "tag string, vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    ckpt_uri = (tmp_path / "ckpt_uri").as_uri()  # file:///...
+
+    stream = (
+        spark.readStream.schema("tag string, vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_vecdb(
+        stream, db, "t", vec_col="vec", meta_cols=("tag",), checkpoint=ckpt_uri
+    )
+    q.awaitTermination(120)
+    assert db.get_len("t") == 64 + 8
+
+    # the token scope IS the persisted queryId: reading it back through
+    # the Hadoop FS API must agree with the query Spark just ran, and a
+    # replayed epoch under this token must no-op (exactly-once held)
+    assert _checkpoint_query_id(spark, ckpt_uri) == q.id
+    tok = f"{q.id}:0"
+    assert tok in (db._meta("t").get("absorbed_batches") or [])
+    replay = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(wave)], "i long, vec array<double>"
+    )
+    db.batch_add_df("t", replay, vec_col="vec", idempotency_token=tok)
+    assert db.get_len("t") == 64 + 8
+
+
+def test_checkpoint_query_id_missing_metadata_fails_fast(spark, tmp_path):
+    from lab_1806_vec_db_spark.streaming.ingest import _checkpoint_query_id
+
+    empty = tmp_path / "no_such_ckpt"
+    with pytest.raises(FileNotFoundError):
+        _checkpoint_query_id(spark, str(empty))
+    with pytest.raises(FileNotFoundError):
+        _checkpoint_query_id(spark, empty.as_uri())

@@ -553,3 +553,33 @@ def test_point_search_dispatches_to_ivfpq_local(spark, tmp_path):
     res3 = db.search("t", [9.0] * 8, k=1, ef=64)
     assert res3[0][0] == {"i": "new"} and res3[0][1] == pytest.approx(0.0, abs=1e-9)
     db.close()
+
+
+def test_local_serve_setting_opts_out_of_mirror(spark, tmp_path):
+    """local_serve is a VecDB SETTING (like auto_compact), not a silent
+    query-path decision: with local_serve=False the first IVF+PQ point
+    query neither mirrors codes to the driver nor collects the metadata
+    map — it answers on the distributed partition-pruned path — and the
+    byte cap is tunable via local_serve_max_bytes."""
+    import numpy as np
+
+    db = VecDB(str(tmp_path / "dbopt"), spark=spark)
+    db.local_serve = False
+    db.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(48)]
+    db.batch_add("t", vecs, [{"i": str(i)} for i in range(48)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=48,
+                         n_probes=4)
+    res = db.search("t", vecs[7], k=3, ef=48)
+    assert res[0][0] == {"i": "7"} and res[0][1] == pytest.approx(0.0, abs=1e-9)
+    idx = db._get_index("t", "ivfpq")
+    assert not idx._local_enabled and idx._local is None
+
+    # a too-small cap refuses the mirror once (then stays distributed)
+    db.local_serve = True
+    db.local_serve_max_bytes = 64
+    res2 = db.search("t", vecs[9], k=1, ef=48)
+    assert res2[0][0] == {"i": "9"}
+    assert not idx._local_enabled and getattr(idx, "_local_denied", False)
+    db.close()
