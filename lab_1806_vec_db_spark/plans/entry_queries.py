@@ -64,6 +64,30 @@ def _cos_sql(a: str, b: str) -> str:
 _Q0 = f"WITH q AS (SELECT {_dd('embedding')} AS qv FROM embeddings WHERE vec_id = 0)"
 _E = _dd("e.embedding")
 
+#: DuckDB twin of functions.distance.cast_vec_expr(x*100+128, "u8") —
+#: the reference's saturating, NaN→0, truncate-toward-zero u8 cast
+#: (scalar.rs:20-37) applied to a deterministic re-scale that puts the
+#: unit-norm embeddings into the u8 range. Shared by every u8-typed
+#: entry (flat + index tiers) so the fixture can never drift.
+_U8_SQL = (
+    "list_transform(embedding, x -> CASE "
+    "WHEN isnan(CAST(x AS DOUBLE) * 100.0 + 128.0) THEN 0 "
+    "ELSE CAST(floor(least(greatest(CAST(x AS DOUBLE) * 100.0 + 128.0, 0.0), 255.0)) AS BIGINT) END)"
+)
+
+
+def _emb_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The u8-quantized embeddings fixture (Spark twin of _U8_SQL):
+    vec_id + u8 vector column named ``embedding`` so index builders
+    run unchanged on the typed table (S2, scalar.rs:117-119)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * 100.0 + 128.0
+    )
+    return emb.select(
+        "vec_id", cast_vec_expr(scaled, "u8").alias("embedding")
+    )
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")

@@ -36,8 +36,10 @@ from lab_1806_vec_db_spark.operators import knn as knn_ops
 from lab_1806_vec_db_spark.plans.entry_queries import (
     _Q0,
     _E,
+    _U8_SQL,
     _dd,
     _emb,
+    _emb_u8,
     _l2_sql,
     _query_vec,
     register,
@@ -397,20 +399,24 @@ def knn_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(src: str = "embeddings", prelude: str = "") -> str:
     from lab_1806_vec_db_spark.index.pq import pq_groups
 
     grp_rows = ",".join(
         f"({g},{start + 1},{start + size})"
         for g, (start, size) in enumerate(pq_groups(64, 16))
     )
-    return f"""{_Q0},
-c AS (SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM embeddings WHERE vec_id < 16),
+    q0 = (
+        f"WITH {prelude}q AS (SELECT {_dd('embedding')} AS qv "
+        f"FROM {src} WHERE vec_id = 0)"
+    )
+    return f"""{q0},
+c AS (SELECT vec_id AS cid, {_dd('embedding')} AS cv FROM {src} WHERE vec_id < 16),
 coarse AS (
   SELECT e.vec_id, c.cid AS cluster_id,
          list_dot_product({_E},{_E}) + list_dot_product(c.cv,c.cv)
            - 2*list_dot_product({_E},c.cv) AS d
-  FROM embeddings e, c
+  FROM {src} e, c
   QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cid) = 1),
 probes AS (
   SELECT c.cid,
@@ -422,13 +428,13 @@ grp AS (SELECT * FROM (VALUES {grp_rows}) t(g, lo, hi)),
 cb AS (
   SELECT c2.vec_id AS ccid, grp.g, grp.lo, grp.hi,
          ({_dd('c2.embedding')})[grp.lo:grp.hi] AS cv
-  FROM embeddings c2, grp WHERE c2.vec_id < 16),
+  FROM {src} c2, grp WHERE c2.vec_id < 16),
 assign AS (
   SELECT e.vec_id, cb.g, cb.ccid,
          list_dot_product(({_E})[cb.lo:cb.hi], ({_E})[cb.lo:cb.hi])
            + list_dot_product(cb.cv, cb.cv)
            - 2*list_dot_product(({_E})[cb.lo:cb.hi], cb.cv) AS d
-  FROM embeddings e, cb
+  FROM {src} e, cb
   QUALIFY row_number() OVER (PARTITION BY e.vec_id, cb.g ORDER BY d, cb.ccid) = 1),
 adc AS (
   SELECT a.vec_id,
@@ -443,7 +449,7 @@ cand AS (
   JOIN probes ON coarse.cluster_id = probes.cid
   ORDER BY adc.adc_r, adc.vec_id LIMIT 64)
 SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
-FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+FROM {src} e JOIN cand ON e.vec_id = cand.vec_id, q
 ORDER BY dist, vec_id LIMIT 10"""
 
 
@@ -501,6 +507,72 @@ def knn_ivf_pq_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not idx.enable_local_serve():
         raise RuntimeError("local serve mirror refused at test scale")
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4, ef=64)
+
+
+# ---- u8 vectors through the index tiers ------------------------------------
+#
+# The reference runs u8 vectors through EVERY index, not just the flat
+# scan (scalar.rs:117-119 VecData dispatch; vec_set.rs:237-253 typed
+# storage; dynamic_index.rs routes both dtypes through the same
+# Flat/HNSW/PQ impls). These entries are the same dtype-cast fixture as
+# knn_flat_u8 (_emb_u8 / _U8_SQL, integer-exact distances) pushed
+# through the graph tier and the combined IVF+PQ tier; the per-tier
+# u8 == f32-cast equivalence gates live in tests/test_indexes.py.
+
+_U8_PRELUDE = (
+    f"u AS (SELECT vec_id, CAST({_U8_SQL} AS DOUBLE[]) AS embedding "
+    "FROM embeddings), "
+)
+
+_FLAT_L2_U8_ORACLE = f"""WITH {_U8_PRELUDE}q AS (SELECT {_dd('embedding')} AS qv FROM u WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM u e, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_hnsw_u8", _FLAT_L2_U8_ORACLE)
+def knn_hnsw_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW over a u8-quantized table (dynamic_index.rs u8 arm): the
+    graph is BUILT on the integer vectors and searched with a wide
+    beam, so the result equals the flat u8 scan — the same
+    equivalence gate as knn_hnsw, on the typed table. Distances stay
+    integer-exact (u8 values in f64), so the DuckDB oracle reproduces
+    them digit-for-digit."""
+    emb = _emb_u8(spark, sf_dir).cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return idx.search(q, k=10, ef=400)
+
+
+@register(
+    "knn_ivf_pq_u8", _ivf_pq_oracle(src="u", prelude=_U8_PRELUDE)
+)
+def knn_ivf_pq_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf_pq on the u8-quantized table — coarse argmin, probe
+    ranking, per-group encode argmin, ADC lookup sum, candidate cut,
+    and exact re-rank all run on integer vectors (the reference
+    quantizes u8 through PQ unchanged, pq_table.rs via VecData
+    dispatch). Same FIXED first-16-row quantizers as knn_ivf_pq, so
+    the whole pipeline stays exactly SQL-reproducible."""
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    emb = _emb_u8(spark, sf_dir).cache()
+    crows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    model = KMeansModel(centroids=cmat, metric="l2sqr")
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    codes_clustered = IVFPQIndex._assign_encode(emb, model, pq, "embedding", "vec_id")
+    pq.codes = codes_clustered.select("vec_id", "code")
+    idx = IVFPQIndex(model, pq, codes_clustered, emb, vec_col="embedding", id_col="vec_id")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return idx.search(q, k=10, n_probes=4, ef=64)
 
 
 _SAMPLE_ORACLE = """

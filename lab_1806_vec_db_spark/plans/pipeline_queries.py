@@ -18,7 +18,7 @@ from lab_1806_vec_db_spark.functions import text as T
 from lab_1806_vec_db_spark.functions.distance import cast_vec_expr
 from lab_1806_vec_db_spark.operators import dedup as D
 from lab_1806_vec_db_spark.operators import knn as knn_ops
-from lab_1806_vec_db_spark.plans.entry_queries import _dd, register
+from lab_1806_vec_db_spark.plans.entry_queries import _U8_SQL, _dd, register
 from lab_1806_vec_db_spark.session import read_table
 from lab_1806_vec_db_spark.streaming.windows import tumbling_agg
 
@@ -372,11 +372,6 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- u8 typed vectors (S2/F7 in query form) --------------------------------
 
-_U8_SQL = (
-    "list_transform(embedding, x -> CASE "
-    "WHEN isnan(CAST(x AS DOUBLE) * 100.0 + 128.0) THEN 0 "
-    "ELSE CAST(floor(least(greatest(CAST(x AS DOUBLE) * 100.0 + 128.0, 0.0), 255.0)) AS BIGINT) END)"
-)
 
 
 @register(

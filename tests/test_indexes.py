@@ -741,3 +741,78 @@ def test_hnsw_selective_filtered_dispatch_skips_pool(spark, emb):
     assert calls["pool"] == 0
     assert [r["vec_id"] for r in rows] == [0, 1]
     assert rows[0]["dist"] == 0.0
+
+
+# ---- u8 through the index tiers (scalar.rs:117-119, dynamic_index.rs) -------
+
+
+@pytest.fixture(scope="module")
+def emb_u8(spark, sf_correct):
+    """The driver entries' u8 fixture (plans/entry_queries._emb_u8):
+    unit-norm embeddings re-scaled into [0,255] and cast with the
+    reference's saturating/NaN→0 semantics — integer-exact distances."""
+    from lab_1806_vec_db_spark.plans.entry_queries import _emb_u8
+
+    return _emb_u8(spark, sf_correct).cache()
+
+
+def _flat_u8(emb_u8, q, k=10):
+    return knn_ops.knn(emb_u8, q, k=k, metric="l2sqr",
+                       vec_col="embedding", id_col="vec_id").collect()
+
+
+def test_u8_flat_distances_are_integers(emb_u8):
+    q = [float(x) for x in
+         emb_u8.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = _flat_u8(emb_u8, q)
+    assert rows[0] ["vec_id"] == 0 and rows[0]["dist"] == 0.0
+    assert all(float(r["dist"]).is_integer() for r in rows)
+
+
+def test_hnsw_u8_equals_flat(emb_u8):
+    """Graph tier on the typed table: wide-beam HNSW over u8 vectors
+    reproduces the flat u8 scan exactly (the same equivalence gate as
+    hnsw_index.rs:713-790, on the u8 arm of the dtype dispatch)."""
+    q = [float(x) for x in
+         emb_u8.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = HNSWIndex.build(emb_u8, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    got = idx.search(q, k=10, ef=400).collect()
+    assert _pairs(got) == _pairs(_flat_u8(emb_u8, q))
+
+
+def test_ivf_u8_full_probe_equals_flat(emb_u8):
+    q = [float(x) for x in
+         emb_u8.filter(F.col("vec_id") == 5).first()["embedding"]]
+    idx = IVFIndex.build(emb_u8, k=8, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=400)
+    got = idx.search(q, k=10, n_probes=8).collect()
+    assert _pairs(got) == _pairs(_flat_u8(emb_u8, q))
+
+
+def test_ivfpq_u8_full_probe_full_ef_equals_flat(emb_u8):
+    """Combined tier on u8: all probes + table-sized ef removes the
+    approximation, so IVF+PQ on the integer vectors equals flat — the
+    codes/ADC/re-rank machinery all run on the u8 table."""
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+
+    q = [float(x) for x in
+         emb_u8.filter(F.col("vec_id") == 3).first()["embedding"]]
+    idx = IVFPQIndex.build(emb_u8, k_coarse=8, m=16, n_bits=8,
+                           metric="l2sqr", vec_col="embedding",
+                           id_col="vec_id", train_size=400)
+    got = idx.search(q, k=10, n_probes=8, ef=1_000_000).collect()
+    assert _pairs(got) == _pairs(_flat_u8(emb_u8, q))
+    # and the driver-local mirror serves the u8 table identically
+    assert idx.enable_local_serve()
+    loc = idx.search(q, k=10, n_probes=8, ef=1_000_000).collect()
+    assert _pairs(loc) == _pairs(got)
+
+
+def test_pq_u8_full_ef_equals_flat(emb_u8):
+    q = [float(x) for x in
+         emb_u8.filter(F.col("vec_id") == 7).first()["embedding"]]
+    pq = PQTable.train(emb_u8, dim=64, m=16, n_bits=8, train_proportion=0.5,
+                       vec_col="embedding", id_col="vec_id")
+    got = pq.search(q, k=10, ef=1_000_000, metric="l2sqr").collect()
+    assert _pairs(got) == _pairs(_flat_u8(emb_u8, q))
