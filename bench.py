@@ -1076,6 +1076,55 @@ def host_calibration() -> dict:
             "stream_gibps_all": round(bwa, 2), "threads": w}
 
 
+def _latest_committed_normalized() -> tuple[dict, int]:
+    """The normalized queries_sec block of the newest committed
+    BENCH_r{N}.json (the driver parses bench stdout into a 'parsed'
+    dict; rounds before the normalized schema simply lack the block)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[dict, int] = ({}, -1)
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = d.get("parsed") or {}
+        norm = (parsed.get("normalized") or {}).get("queries_sec") or {}
+        if norm and rnd > best[1]:
+            best = (norm, rnd)
+    return best
+
+
+def _vs_prev_normalized(cur: dict) -> dict:
+    """Per-query ratio of this run's normalized seconds to the last
+    committed round's; ratios > 1.2 are listed as regressions (the
+    round-10 contract: normalized-vs-normalized is the only
+    comparison defined across rounds)."""
+    prev, rnd = _latest_committed_normalized()
+    if not prev:
+        return {"prev_round": None,
+                "note": "no committed BENCH_r{N}.json carries a normalized block"}
+    ratios = {
+        k: round(v / prev[k], 3)
+        for k, v in cur.items() if prev.get(k, 0) > 0
+    }
+    return {
+        "prev_round": rnd,
+        "ratio_vs_prev": ratios,
+        "regressions_gt_1p2": {k: r for k, r in ratios.items() if r > 1.2},
+        "note": ("normalized sec this run / normalized sec in "
+                 f"BENCH_r{rnd}.json; >1.2 = real regression "
+                 "(raw rows drift with the host, these must not)"),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     if SF_SUITE:
@@ -1113,6 +1162,14 @@ def main() -> None:
             "rounds, raw only within one host"
         ),
     }
+    # Cross-round regression gate: compare THIS run's normalized rows
+    # against the newest committed BENCH_r{N}.json's normalized block
+    # (the calibration-normalized numbers are the only rows defined to
+    # be host-drift-proof). A ratio > 1.2 is flagged as a real
+    # regression — raw rows may drift with the host, these must not.
+    out["vs_prev_normalized"] = _vs_prev_normalized(
+        out["normalized"]["queries_sec"]
+    )
     # Full result → repo file: the harness keeps only a ~2000-char tail
     # of stdout, which truncated the full JSON line in earlier rounds
     # ("parsed": null in BENCH_r03/r04).

@@ -167,6 +167,8 @@ class VecDB:
         # filter job per CRASHED table (zero jobs on a clean open)
         for key, meta in self._brief["tables"].items():
             self._recover_table_swap(key)
+            if meta.get("pending_rewrite"):
+                self._settle_rewrite(key)
             if meta.get("pending_append"):
                 self._settle_pending(key)
 
@@ -629,15 +631,27 @@ class VecDB:
         meta = self._meta(key)
         df = self.spark.read.parquet(self._table_path(key))
         keep = df.filter(~self._pattern_pred(pattern))
+        # durable rewrite marker BEFORE the swap (the delete twin of the
+        # append pending-marker): a crash anywhere between the first
+        # rename and the brief update below leaves the directory fixed
+        # by _recover_table_swap but the BRIEF unknowing — len stale and
+        # live index artifacts still covering deleted rows. The marker
+        # makes the next open re-derive len from the parquet and clear
+        # the derived indexes (_settle_rewrite).
+        with self._mu:
+            meta["pending_rewrite"] = {"clear_indexes": True}
+            self._save_brief()
         self._rewrite(key, keep)
         kept = self.spark.read.parquet(self._table_path(key)).count()
         deleted = meta["len"] - kept
-        if deleted:
-            meta["len"] = kept
-            self._clear_pq_state(key)
-            self._clear_hnsw_state(key)
-            self._clear_ivf_state(key)
-            self._clear_ivfpq_state(key)
+        with self._mu:
+            if deleted:
+                meta["len"] = kept
+                self._clear_pq_state(key)
+                self._clear_hnsw_state(key)
+                self._clear_ivf_state(key)
+                self._clear_ivfpq_state(key)
+            meta["pending_rewrite"] = None
             self._save_brief()
         return deleted
 
@@ -661,6 +675,28 @@ class VecDB:
         # relations + file-status listings): readers created after the
         # swap must see the rewritten directory, not a stale snapshot
         self.spark.catalog.refreshByPath(path)
+
+    def _settle_rewrite(self, key: str) -> None:
+        """A delete/compact crashed inside its rewrite window: the
+        DIRECTORY was already completed or rolled back by
+        ``_recover_table_swap``, but which side landed is unknowable
+        from the brief — so re-derive ``len`` from the parquet footers
+        and, for a delete (``clear_indexes``), conservatively drop the
+        derived indexes: a promoted rewrite means they cover deleted
+        rows (serving ghosts); a rolled-back one just costs a rebuild.
+        Compaction rewrites carry ``clear_indexes=False`` — row content
+        is identical on both sides, so the indexes stay."""
+        meta = self._meta(key)
+        marker = meta.get("pending_rewrite") or {}
+        meta["len"] = self.spark.read.parquet(self._table_path(key)).count()
+        if marker.get("clear_indexes"):
+            self._clear_pq_state(key)
+            self._clear_hnsw_state(key)
+            self._clear_ivf_state(key)
+            self._clear_ivfpq_state(key)
+        meta["pending_rewrite"] = None
+        self._save_brief()
+        self._invalidate_cache(key)
 
     def _recover_table_swap(self, key: str) -> None:
         """Complete (or roll back) a ``_rewrite`` swap a crash
@@ -1001,7 +1037,17 @@ class VecDB:
         n = max(int(meta["len"]), 1)
         parts = max(1, -(-n // int(rows_per_file)))
         df = self.spark.read.parquet(self._table_path(key))
+        # same rewrite marker as delete, but compaction changes no row
+        # content: whichever side of the swap survives a crash, ids and
+        # len are identical and every live index stays valid — so the
+        # settle re-derives len (a no-op check) and KEEPS the indexes.
+        with self._mu:
+            meta["pending_rewrite"] = {"clear_indexes": False}
+            self._save_brief()
         self._rewrite(key, df.repartitionByRange(parts, F.col("id")))
+        with self._mu:
+            meta["pending_rewrite"] = None
+            self._save_brief()
         # live indexes captured a pre-compaction file listing in their
         # ``base`` DataFrame — point them at the rewritten directory or
         # their next base scan reads deleted files

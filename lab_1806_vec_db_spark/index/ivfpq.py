@@ -1072,33 +1072,52 @@ class IVFPQIndex:
                     rows = np.nonzero(cl_all == cid)[0]
                     codes_sub = np.ascontiguousarray(codes_all[rows])
                     ids = ids_all[rows]
-                    if use_c:
-                        summed = ckernel.adc_block(
-                            codes_sub, lut64, np.asarray(sel, dtype=np.int64)
-                        ).T  # (n_c × |sel|)
-                    else:
-                        summed = np.zeros((codes_sub.shape[0], len(sel)))
-                        lsel = blut3[sel]
-                        for g in range(m):
-                            summed += lsel[:, g, codes_sub[:, g]].T
-                    if bsq is not None:
-                        v2 = np.zeros(codes_sub.shape[0])
-                        for g in range(m):
-                            v2 += bsq[g, codes_sub[:, g]]
-                        vnorm = np.sqrt(np.maximum(v2, 0.0))
-                        summed = 1.0 - summed / np.maximum(
-                            vnorm[:, None] * bqn[sel][None, :], 1e-10
-                        )
+                    sel_arr = np.asarray(sel, dtype=np.int64)
+                    kk = min(ef_, codes_sub.shape[0])
                     # 4-dp rounded candidate gate with id tie-break —
                     # the SAME cut the single-query path applies
                     # (round_dist over adc_r), so batch == single on
                     # near-tie boundaries
-                    summed = np_round_half_up(summed)
-                    kk = min(ef_, summed.shape[0])
-                    idm = np.broadcast_to(ids[:, None], summed.shape)
-                    top = np.lexsort((idm, summed), axis=0)[:kk, :]
-                    out_ids = np.take_along_axis(idm, top, axis=0).T.reshape(-1)
-                    out_adc = np.take_along_axis(summed, top, axis=0).T.reshape(-1)
+                    if use_c and bsq is None:
+                        # fused C tile: ADC sums + rounding + per-query
+                        # top-kk by (rounded, id) in ONE GIL-released
+                        # call — the same kernel the driver-local
+                        # mirror runs (_search_local), so the executor
+                        # threads sharing this Python worker stay
+                        # parallel instead of serializing on the
+                        # GIL-held round/lexsort/gather ufunc passes
+                        oid, orow, od = ckernel.adc_topk(
+                            codes_sub,
+                            np.ascontiguousarray(ids, dtype=np.int64),
+                            lut64, sel_arr, kk,
+                        )
+                        out_ids = oid.reshape(-1)
+                        out_adc = od.reshape(-1)
+                        flat_rows = orow.reshape(-1)
+                    else:
+                        if use_c:
+                            summed = ckernel.adc_block(
+                                codes_sub, lut64, sel_arr
+                            ).T  # (n_c × |sel|)
+                        else:
+                            summed = np.zeros((codes_sub.shape[0], len(sel)))
+                            lsel = blut3[sel]
+                            for g in range(m):
+                                summed += lsel[:, g, codes_sub[:, g]].T
+                        if bsq is not None:
+                            v2 = np.zeros(codes_sub.shape[0])
+                            for g in range(m):
+                                v2 += bsq[g, codes_sub[:, g]]
+                            vnorm = np.sqrt(np.maximum(v2, 0.0))
+                            summed = 1.0 - summed / np.maximum(
+                                vnorm[:, None] * bqn[sel][None, :], 1e-10
+                            )
+                        summed = np_round_half_up(summed)
+                        idm = np.broadcast_to(ids[:, None], summed.shape)
+                        top = np.lexsort((idm, summed), axis=0)[:kk, :]
+                        out_ids = np.take_along_axis(idm, top, axis=0).T.reshape(-1)
+                        out_adc = np.take_along_axis(summed, top, axis=0).T.reshape(-1)
+                        flat_rows = top.T.reshape(-1)
                     out_qid = np.repeat(bqids[sel], kk)
                     if bqmat is None:
                         yield pd.DataFrame({
@@ -1109,15 +1128,15 @@ class IVFPQIndex:
                     # group): exact distances for the per-partition
                     # ADC top-ef; the global ADC gate still applies at
                     # the merge, so results match the two-pass plan
-                    need = np.unique(top.reshape(-1))
+                    need = np.unique(flat_rows)
                     pos = np.empty(rows.size, dtype=np.int64)
                     pos[need] = np.arange(need.size)
                     x = np.asarray(
                         pdf[vec_col].iloc[rows[need]].to_list(), dtype=np.float64
                     )
                     x2 = np.einsum("ij,ij->i", x, x)
-                    qidx = np.repeat(np.asarray(sel, dtype=np.int64), kk)
-                    xi = pos[top.T.reshape(-1)]
+                    qidx = np.repeat(sel_arr, kk)
+                    xi = pos[flat_rows]
                     ex = np.empty(xi.size)
                     step = 16384  # bound the (pairs × dim) gather
                     for s0 in range(0, xi.size, step):

@@ -48,3 +48,18 @@ def test_committed_bench_full_has_measured_filtered_rows():
     r50 = [r for r in rows if r["selectivity_pct"] == 50.0]
     assert any(r["recall_at_10"] >= 0.95 and r["exact_fallback_rate"] <= 0.5
                for r in r50)
+
+
+def test_vs_prev_normalized_compares_against_committed_round():
+    """The cross-round gate must anchor on the newest committed
+    normalized block and flag >1.2 ratios as regressions."""
+    import bench
+
+    prev, rnd = bench._latest_committed_normalized()
+    assert rnd >= 10 and prev, "no committed normalized block found"
+    cmp = bench._vs_prev_normalized({k: v * 1.5 for k, v in prev.items()})
+    assert cmp["prev_round"] == rnd
+    assert set(cmp["ratio_vs_prev"]) == set(prev)
+    assert set(cmp["regressions_gt_1p2"]) == set(prev)  # all 1.5x
+    clean = bench._vs_prev_normalized(dict(prev))
+    assert not clean["regressions_gt_1p2"]

@@ -174,3 +174,63 @@ def test_delete_table_serializes_with_inflight_append(spark, tmp_path):
     assert db.create_table_if_not_exists("t", 4, "l2sqr")
     assert db.get_len("t") == 0
     db.close()
+
+
+def test_ivfpq_mirror_staleness_under_concurrent_append(spark, tmp_path):
+    """The driver-local IVF+PQ mirror tail-refreshes LAZILY
+    (index/ivfpq.py add_batch marks _local_stale; the next serve
+    pulls the tail). Race a writer thread appending batches against a
+    reader thread hammering point serves: in-flight serves must never
+    corrupt (the refresh swaps in a NEW state dict, readers keep the
+    snapshot they captured), every serve returns a sane ascending
+    result, and after the writer finishes every appended row is
+    visible to the next serve."""
+    import numpy as np
+
+    db = VecDB(str(tmp_path / "db_mirror"), spark=spark)
+    db.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(3)
+    seed = [[float(x) for x in rng.standard_normal(8)] for _ in range(48)]
+    db.batch_add("t", seed, [{"i": str(i)} for i in range(48)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=48,
+                         n_probes=4)
+    # warm the mirror
+    assert db.search("t", seed[0], k=1, ef=48)[0][0] == {"i": "0"}
+    idx = db._get_index("t", "ivfpq")
+    assert idx._local_enabled
+
+    errors: list[BaseException] = []
+    waves = 5
+
+    def writer():
+        try:
+            for w in range(waves):
+                vecs = [[10.0 + w, float(j), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                        for j in range(4)]
+                db.batch_add("t", vecs,
+                             [{"i": f"new{w}_{j}"} for j in range(4)])
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(40):
+                res = db.search("t", seed[7], k=3, ef=48)
+                assert res and res[0][0] == {"i": "7"}
+                dists = [d for _, d in res]
+                assert dists == sorted(dists)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    tw, tr = threading.Thread(target=writer), threading.Thread(target=reader)
+    tw.start(); tr.start()
+    tw.join(300); tr.join(300)
+    assert not tw.is_alive() and not tr.is_alive(), "race thread hung"
+    assert not errors, f"race thread failed: {errors!r}"
+
+    # post-append visibility: the lazy refresh serves every new row
+    for w in range(waves):
+        probe = [10.0 + w, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        res = db.search("t", probe, k=1, ef=64)
+        assert res[0][0] == {"i": f"new{w}_2"} and res[0][1] == 0.0
+    db.close()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.db.vecdb import VecDB
 
@@ -128,5 +129,120 @@ def test_crash_point_then_reopen_repairs(spark, tmp_path, seeded, crash_at,
         _assert_invariants(db2)
         res = db2.search("t", more, k=1, ef=64)
         assert res[0][0]["i"] == "post"
+    finally:
+        db2.close()
+
+
+# ---- delete / compact rewrite-swap windows ----------------------------------
+#
+# delete and compact_table replace the table directory through
+# _rewrite's two-rename swap. The DIRECTORY is healed by
+# _recover_table_swap at the next open; the BRIEF is healed by the
+# pending_rewrite marker (_settle_rewrite): a delete that crashed after
+# the swap landed would otherwise leave len stale and live indexes
+# serving deleted rows' ids as ghost (empty-metadata) results.
+
+import os as _os
+
+
+def _crash_swap_at(monkeypatch, target_call: int):
+    """Raise on the Nth rename of the swap window (1 = live→__old,
+    2 = __tmp→live); every non-swap os.replace (brief.json writes)
+    passes through untouched."""
+    real = _os.replace
+    seen = {"n": 0}
+
+    def boom(src, dst):
+        if "__old" in str(dst) or "__tmp" in str(src):
+            seen["n"] += 1
+            if seen["n"] == target_call:
+                raise RuntimeError("crash mid-swap")
+        return real(src, dst)
+
+    monkeypatch.setattr("lab_1806_vec_db_spark.db.vecdb.os.replace", boom)
+
+
+@pytest.mark.parametrize("crash_at", ["tmp_written", "old_renamed", "pre_brief"])
+def test_delete_rewrite_crash_then_reopen_repairs(spark, tmp_path, seeded,
+                                                  crash_at, monkeypatch):
+    db, rng = seeded
+    db.build_hnsw_index("t")
+    pre_len = db.get_len("t")
+    victim = db.table_df("t").filter(F.col("metadata").getItem("i") == "3")
+    assert victim.count() == 1
+
+    if crash_at == "tmp_written":
+        _crash_swap_at(monkeypatch, 1)   # live dir untouched → rollback
+    elif crash_at == "old_renamed":
+        _crash_swap_at(monkeypatch, 2)   # __tmp complete → promote
+    else:  # swap landed; crash before the brief learns about it
+        monkeypatch.setattr(
+            db, "_clear_pq_state",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash pre-brief")),
+        )
+
+    with pytest.raises(RuntimeError, match="crash"):
+        db.delete("t", {"i": "3"})
+
+    monkeypatch.undo()
+    db2 = _crash_reopen(db, spark)
+    try:
+        # brief len == parquet truth on whichever side the swap settled
+        rows = db2.table_df("t").select("id").collect()
+        assert len(rows) == len({r["id"] for r in rows}) == db2.get_len("t")
+        assert db2.get_len("t") in (pre_len, pre_len - 1)
+        # indexes were conservatively cleared — no artifact can serve
+        # a deleted id as a ghost row
+        assert not db2.has_hnsw_index("t")
+        assert not db2.has_ivfpq_index("t")
+        # the delete is cleanly repeatable and the table keeps working
+        db2.delete("t", {"i": "3"})
+        assert db2.get_len("t") == pre_len - 1
+        assert all(r["metadata"]["i"] != "3"
+                   for r in db2.table_df("t").select("metadata").collect())
+        v = _vec(rng)
+        db2.batch_add("t", [v], [{"i": "post"}])
+        assert db2.search("t", v, k=1)[0][0]["i"] == "post"
+    finally:
+        db2.close()
+
+
+@pytest.mark.parametrize("crash_at", ["tmp_written", "old_renamed"])
+@pytest.mark.parametrize("via_force_save", [False, True])
+def test_compact_rewrite_crash_then_reopen_repairs(spark, tmp_path, seeded,
+                                                   crash_at, via_force_save,
+                                                   monkeypatch):
+    """Compaction through the same swap window — including the
+    auto_compact policy path inside force_save — must land on a state
+    with identical rows, correct len, and LIVE indexes (content is
+    unchanged on both sides of the swap, so nothing needs clearing)."""
+    db, rng = seeded
+    pre_ids = sorted(r["id"] for r in db.table_df("t").select("id").collect())
+    probe = _vec(rng)
+    db.batch_add("t", [probe], [{"i": "probe"}])
+    pre_len = db.get_len("t")
+
+    _crash_swap_at(monkeypatch, 1 if crash_at == "tmp_written" else 2)
+    with pytest.raises(RuntimeError, match="crash"):
+        if via_force_save:
+            db.auto_compact_factor = 0  # any file count trips the policy
+            db.force_save()
+        else:
+            db.compact_table("t", rows_per_file=1_000)
+
+    monkeypatch.undo()
+    db2 = _crash_reopen(db, spark)
+    try:
+        _assert_invariants(db2)
+        assert db2.get_len("t") == pre_len
+        ids = sorted(r["id"] for r in db2.table_df("t").select("id").collect())
+        assert ids == pre_ids + [pre_len - 1]
+        # indexes survived and still serve (content untouched)
+        assert db2.has_ivfpq_index("t")
+        res = db2.search("t", probe, k=1, ef=64)
+        assert res[0][0]["i"] == "probe"
+        # a clean compaction completes after the crash
+        db2.compact_table("t", rows_per_file=1_000)
+        _assert_invariants(db2)
     finally:
         db2.close()
