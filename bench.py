@@ -341,15 +341,21 @@ def run_sf_suite(spark) -> dict:
         gt_f.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
 
     def run_hnsw_filtered():
-        # ef = k/selectivity (10 / ~10%) — the pool width that makes
-        # starvation (and its exact-fallback pass) the exception
+        # ef=360 ≈ 1.5× k/selectivity with a 1.2 thin-intersection
+        # escalation margin — the round-10 verdict's operating point:
+        # the wider pool keeps recall ≥0.97 AND shrinks the exact-
+        # fallback pass enough that the row is net FASTER than the old
+        # ef=240/strict-starvation config (measured both at sf0.1).
+        # Key renamed ef240→ef360 so the cross-round normalized gate
+        # re-baselines instead of comparing different configs.
         return hnsw.search_batch_filtered(
-            queries, k=K, filtered_base=filt, ef=240,
+            queries, k=K, filtered_base=filt, ef=360,
             qvec_col="embedding", vec_col="embedding",
+            fallback_margin=1.2,
         ).collect()
 
-    timings["hnsw_filtered_ef240"], rows = _timed(run_hnsw_filtered)
-    recalls["hnsw_filtered_ef240"] = _recall(rows, gt_f)
+    timings["hnsw_filtered_ef360"], rows = _timed(run_hnsw_filtered)
+    recalls["hnsw_filtered_ef360"] = _recall(rows, gt_f)
 
     # ---- HNSW point-serve (zero Spark jobs — the reference's own
     # latency regime: sequential in-memory queries, bench.rs:423-426) --

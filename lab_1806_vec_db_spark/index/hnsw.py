@@ -1352,6 +1352,7 @@ class HNSWIndex:
         oversample: int = 4,
         exact_fallback: bool = True,
         vec_col: str = "vec",
+        fallback_margin: float = 1.0,
     ) -> DataFrame:
         """Batch twin of :meth:`search_filtered`: every query's
         ef-bounded graph pool (one broadcast-graph mapInPandas pass,
@@ -1378,7 +1379,7 @@ class HNSWIndex:
         return filtered_topk_from_pool(
             pool, queries, k, filtered_base, self.id_col, self.metric,
             vec_col, qid_col=qid_col, qvec_col=qvec_col,
-            exact_fallback=exact_fallback,
+            exact_fallback=exact_fallback, fallback_margin=fallback_margin,
         )
 
     def search_batch(

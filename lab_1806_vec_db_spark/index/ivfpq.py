@@ -958,13 +958,15 @@ class IVFPQIndex:
         qvec_col: str = "vec",
         oversample: int = 4,
         exact_fallback: bool = True,
+        fallback_margin: float = 1.0,
     ) -> DataFrame:
         """Batch filtered ANN on the distributed tier: one
         partition-pruned ADC + re-rank pass produces each query's
         max(ef, oversample·k) pool, then the shared finisher
         (operators/knn.py::filtered_topk_from_pool) joins it against
         the predicate-filtered scan and answers starved queries
-        exactly."""
+        exactly (``fallback_margin`` > 1 also escalates thin-
+        intersection queries — see the finisher's contract)."""
         from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
 
         pool_k = max(int(ef), int(oversample) * int(k), int(k))
@@ -975,7 +977,7 @@ class IVFPQIndex:
         return filtered_topk_from_pool(
             pool, queries, k, filtered_base, self.id_col, self.model.metric,
             self.vec_col, qid_col=qid_col, qvec_col=qvec_col,
-            exact_fallback=exact_fallback,
+            exact_fallback=exact_fallback, fallback_margin=fallback_margin,
         )
 
     def search_batch(
@@ -1046,7 +1048,8 @@ class IVFPQIndex:
 
             bqids, bclusters, blut3, bsq, bqn, m, n_bits, bqmat, bmetric = bc.value
             ksub = 1 << n_bits
-            if bqmat is not None:
+            fused_t = bqmat is not None
+            if fused_t:
                 bq2 = np.einsum("ij,ij->i", bqmat, bqmat)
                 bqnorm2 = np.sqrt(bq2)
             # Per-(cluster, probing-queries) tile through the compiled
@@ -1058,6 +1061,54 @@ class IVFPQIndex:
             # overhead. Falls back to the numpy loop when no cc exists.
             use_c = ckernel.available()
             lut64 = np.ascontiguousarray(blut3, dtype=np.float64)
+
+            # Per-TASK candidate accumulator. Arrow hands a cluster to
+            # this closure as ~10k-row FRAGMENTS; emitting a top-kk per
+            # fragment multiplied the shuffle input and the fused exact
+            # re-rank by the fragmentation factor (measured 18× at 200k
+            # rows). Buffer every fragment's rounded-ADC top-kk,
+            # periodically prune to the per-query top-ef (one
+            # vectorized grouped rank), exact-re-rank only the
+            # end-of-task survivors, emit ONE frame per task. The
+            # output SET is identical: a candidate pruned here has
+            # ≥ ef better same-query candidates inside this task, so
+            # the downstream global ADC gate could never keep it.
+            acc_q: list[np.ndarray] = []  # query index into bqids/bqmat
+            acc_i: list[np.ndarray] = []  # candidate id
+            acc_d: list[np.ndarray] = []  # rounded ADC distance
+            vec_i: list[np.ndarray] = []  # fused: candidate row ids
+            vec_x: list[np.ndarray] = []  # fused: candidate vectors
+            n_buf = n_vec = 0
+            cap = 2_000_000
+            vcap = max(65_536, (256 << 20) // (8 * (bqmat.shape[1] if fused_t else 1)))
+
+            def _topef(qx, ids, adc):
+                # per-query top-ef by (rounded adc, id) — the same
+                # total order the global gate's window applies
+                order = np.lexsort((ids, adc, qx))
+                qs = qx[order]
+                starts = np.r_[0, 1 + np.flatnonzero(qs[1:] != qs[:-1])]
+                sizes = np.diff(np.r_[starts, qs.size])
+                pos = np.arange(qs.size) - np.repeat(starts, sizes)
+                return order[pos < ef_]
+
+            def _compact():
+                nonlocal acc_q, acc_i, acc_d, vec_i, vec_x, n_buf, n_vec
+                qx = np.concatenate(acc_q)
+                ids = np.concatenate(acc_i)
+                adc = np.concatenate(acc_d)
+                keep = _topef(qx, ids, adc)
+                qx, ids, adc = qx[keep], ids[keep], adc[keep]
+                acc_q, acc_i, acc_d = [qx], [ids], [adc]
+                n_buf = ids.size
+                if fused_t and vec_i:
+                    vi = np.concatenate(vec_i)
+                    vx = np.concatenate(vec_x)
+                    sel = np.isin(vi, np.unique(ids))
+                    vec_i, vec_x = [vi[sel]], [vx[sel]]
+                    n_vec = vec_i[0].size
+                return qx, ids, adc
+
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -1118,40 +1169,57 @@ class IVFPQIndex:
                         out_ids = np.take_along_axis(idm, top, axis=0).T.reshape(-1)
                         out_adc = np.take_along_axis(summed, top, axis=0).T.reshape(-1)
                         flat_rows = top.T.reshape(-1)
-                    out_qid = np.repeat(bqids[sel], kk)
-                    if bqmat is None:
-                        yield pd.DataFrame({
-                            "query_id": out_qid, id_col: out_ids, "dist": out_adc,
-                        })
-                        continue
-                    # fused exact re-rank (vectors are in this row
-                    # group): exact distances for the per-partition
-                    # ADC top-ef; the global ADC gate still applies at
-                    # the merge, so results match the two-pass plan
-                    need = np.unique(flat_rows)
-                    pos = np.empty(rows.size, dtype=np.int64)
-                    pos[need] = np.arange(need.size)
-                    x = np.asarray(
-                        pdf[vec_col].iloc[rows[need]].to_list(), dtype=np.float64
+                    acc_q.append(np.repeat(sel_arr, kk))
+                    acc_i.append(out_ids)
+                    acc_d.append(out_adc)
+                    n_buf += out_ids.size
+                    if fused_t:
+                        # buffer the fragment's candidate vectors (each
+                        # row lives in exactly one fragment, so ids are
+                        # unique across the buffer)
+                        need = np.unique(flat_rows)
+                        vec_i.append(ids[need])
+                        vec_x.append(np.asarray(
+                            pdf[vec_col].iloc[rows[need]].to_list(),
+                            dtype=np.float64,
+                        ))
+                        n_vec += need.size
+                if n_buf > cap or n_vec > vcap:
+                    _compact()
+            if not acc_q or n_buf == 0:
+                return
+            qx, ids, adc = _compact()
+            out_qid = bqids[qx]
+            if not fused_t:
+                yield pd.DataFrame({
+                    "query_id": out_qid, id_col: ids, "dist": adc,
+                })
+                return
+            # fused exact re-rank over ONLY the surviving candidates
+            # (vectors were buffered per fragment): same float64 ops
+            # and rounding as the per-fragment form, so results stay
+            # bit-identical to the two-pass plan
+            vi = np.concatenate(vec_i)
+            vx = np.concatenate(vec_x)
+            o = np.argsort(vi, kind="stable")
+            vi_s, vx_s = vi[o], vx[o]
+            xg = vx_s[np.searchsorted(vi_s, ids)]
+            x2 = np.einsum("ij,ij->i", xg, xg)
+            ex = np.empty(ids.size)
+            step = 16384  # bound the (pairs × dim) gather
+            for s0 in range(0, ids.size, step):
+                sl = slice(s0, s0 + step)
+                ip = np.einsum("ij,ij->i", xg[sl], bqmat[qx[sl]])
+                if bmetric == "l2sqr":
+                    ex[sl] = x2[sl] + bq2[qx[sl]] - 2.0 * ip
+                else:
+                    ex[sl] = 1.0 - ip / np.maximum(
+                        np.sqrt(x2[sl]) * bqnorm2[qx[sl]], 1e-10
                     )
-                    x2 = np.einsum("ij,ij->i", x, x)
-                    qidx = np.repeat(sel_arr, kk)
-                    xi = pos[flat_rows]
-                    ex = np.empty(xi.size)
-                    step = 16384  # bound the (pairs × dim) gather
-                    for s0 in range(0, xi.size, step):
-                        sl = slice(s0, s0 + step)
-                        ip = np.einsum("ij,ij->i", x[xi[sl]], bqmat[qidx[sl]])
-                        if bmetric == "l2sqr":
-                            ex[sl] = x2[xi[sl]] + bq2[qidx[sl]] - 2.0 * ip
-                        else:
-                            ex[sl] = 1.0 - ip / np.maximum(
-                                np.sqrt(x2[xi[sl]]) * bqnorm2[qidx[sl]], 1e-10
-                            )
-                    yield pd.DataFrame({
-                        "query_id": out_qid, id_col: out_ids,
-                        "adc_r": out_adc, "dist": np_round_half_up(ex),
-                    })
+            yield pd.DataFrame({
+                "query_id": out_qid, id_col: ids,
+                "adc_r": adc, "dist": np_round_half_up(ex),
+            })
           return scan
 
         # bound each broadcast lookup tensor (same ≤64 MB budget as

@@ -266,6 +266,7 @@ class ShardedHNSWIndex:
         oversample: int = 4,
         exact_fallback: bool = True,
         vec_col: str = "vec",
+        fallback_margin: float = 1.0,
     ) -> DataFrame:
         """Batch filtered ANN on the >50 M sharded tier: the routed
         per-shard pool pass (one shard_id shuffle) produces each
@@ -284,7 +285,7 @@ class ShardedHNSWIndex:
         return filtered_topk_from_pool(
             pool, queries, k, filtered_base, self.id_col, self.metric,
             vec_col, qid_col=qid_col, qvec_col=qvec_col,
-            exact_fallback=exact_fallback,
+            exact_fallback=exact_fallback, fallback_margin=fallback_margin,
         )
 
     def search_batch(

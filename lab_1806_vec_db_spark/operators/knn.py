@@ -35,6 +35,7 @@ same contract, so row sets hash-match.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -269,6 +270,7 @@ def filtered_topk_from_pool(
     qid_col: str = "query_id",
     qvec_col: str = "vec",
     exact_fallback: bool = True,
+    fallback_margin: float = 1.0,
 ) -> DataFrame:
     """Shared oversample-and-filter finisher for every batch ANN tier
     (HNSW broadcast graph, IVF+PQ, sharded HNSW): join an ef-bounded
@@ -280,27 +282,44 @@ def filtered_topk_from_pool(
     by the flat batch scan over the filtered base, so the result never
     silently under-fills while matches exist (``exact_fallback=False``
     skips that pass; recall then depends on the pool width).
+
+    ``fallback_margin`` widens the escalation trigger: queries whose
+    pool ∩ filter holds fewer than ``ceil(margin·k)`` survivors go to
+    the exact scan too. A pool that BARELY fills k is the thin-
+    intersection regime where the graph most likely missed true
+    neighbors — escalating it trades one bounded exact pass for the
+    recall the pool can't certify. margin=1.0 keeps the strict
+    "under-filled only" contract.
     Plan gate: tests/test_plans.py::test_batch_filtered_ann_plan_shape."""
     spark = pool.sparkSession
     surv = pool.join(filtered_base.select(id_col), id_col).select(
         qid_col, id_col, "dist"
     )
-    topk = _topk_per_query(surv, int(k), id_col, None, qid_col=qid_col)
+    probe_k = int(k)
+    if exact_fallback and float(fallback_margin) > 1.0:
+        probe_k = int(math.ceil(float(fallback_margin) * int(k)))
+    topk = _topk_per_query(surv, probe_k, id_col, None, qid_col=qid_col)
     if not exact_fallback:
         return topk
-    # the survivor top-k is k-bounded (≤ k rows per query), so ONE
-    # Arrow materialization both detects starved queries and carries
-    # the kept rows — the pool pipeline executes exactly once (a
-    # groupBy-count probe plus a filtered re-read executed it three
-    # times and tripled the wall-time at bench shape)
+    # the survivor top-k is probe_k-bounded (≤ ceil(margin·k) rows per
+    # query), so ONE Arrow materialization both detects starved/thin
+    # queries and carries the kept rows — the pool pipeline executes
+    # exactly once (a groupBy-count probe plus a filtered re-read
+    # executed it three times and tripled the wall-time at bench shape)
     schema = f"{qid_col} long, {id_col} long, dist double"
     pdf = topk.toPandas()
     counts = pdf.groupby(qid_col).size() if len(pdf) else {}
     need = [
         int(r[0])
         for r in queries.select(qid_col).collect()
-        if int(counts.get(r[0], 0)) < int(k)
+        if int(counts.get(r[0], 0)) < probe_k
     ]
+    if len(pdf) and probe_k > int(k):
+        pdf = (
+            pdf.sort_values([qid_col, "dist", id_col])
+            .groupby(qid_col, sort=False)
+            .head(int(k))
+        )
     if not need:
         return spark.createDataFrame(pdf, schema=schema)
     exact = knn_batch(

@@ -143,3 +143,50 @@ def test_filtered_topk_from_pool_custom_qid_col(spark, emb):
     exact = knn_batch(filtered, queries, 3, metric="l2sqr", qid_col="qid")
     exp = {(r["query_id"], r["id"]) for r in exact.collect()}
     assert {(r["qid"], r["id"]) for r in rows} == exp
+
+def test_filtered_topk_fallback_margin(spark, emb):
+    """fallback_margin > 1 escalates thin-intersection queries (pool
+    fills k but with fewer than ceil(margin*k) survivors) to the exact
+    scan — the result then matches the exact filtered answer — while
+    still returning exactly k rows per query."""
+    from lab_1806_vec_db_spark.operators.knn import (
+        filtered_topk_from_pool,
+        knn_batch,
+    )
+
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("vec"))
+    queries = (
+        base.filter(F.col("id") < 4)
+        .select(F.col("id").alias("query_id"), F.col("vec"))
+    )
+    filtered = base.filter(F.col("id") % 3 == 0)  # ~1/3 selectivity
+    k = 3
+    # pool of 12 per query: intersection with a 1/3 filter is ~4 — at
+    # margin=2 (needs 6 survivors) every query is thin and escalates,
+    # so the output must EQUAL the exact filtered scan
+    pool = knn_batch(base, queries, 12, metric="l2sqr")
+    out = filtered_topk_from_pool(
+        pool, queries, k, filtered, "id", "l2sqr", "vec",
+        fallback_margin=2.0,
+    ).collect()
+    exact = knn_batch(filtered, queries, k, metric="l2sqr").collect()
+    assert {(r["query_id"], r["id"], r["dist"]) for r in out} == \
+        {(r["query_id"], r["id"], r["dist"]) for r in exact}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(rs) == k for rs in by_q.values())
+    # margin=1.0 keeps the strict contract: wide pool, no escalation,
+    # and the trim back to k rows per query still applies
+    wide = knn_batch(base, queries, 60, metric="l2sqr")
+    out1 = filtered_topk_from_pool(
+        wide, queries, k, filtered, "id", "l2sqr", "vec",
+        fallback_margin=1.5,
+    ).collect()
+    assert {(r["query_id"], r["id"]) for r in out1} == \
+        {(r["query_id"], r["id"]) for r in exact}
+    by_q1 = {}
+    for r in out1:
+        by_q1.setdefault(r["query_id"], []).append(r)
+    assert all(len(rs) == k for rs in by_q1.values())
