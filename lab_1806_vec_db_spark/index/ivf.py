@@ -178,7 +178,31 @@ class IVFIndex:
         k_ = int(k)
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
+
             bqids, bq, bclusters, metric = bc.value
+            # task-level candidate accumulator: a cluster arrives as
+            # ~10k-row Arrow FRAGMENTS; emitting a top-k per fragment
+            # multiplies the merge-window shuffle by the fragmentation
+            # factor. Buffer fragment top-ks, prune to the per-query
+            # top-k in-task (same (dist, id) order as the global
+            # window, so the final result is identical), emit once.
+            acc_q: list[np.ndarray] = []
+            acc_i: list[np.ndarray] = []
+            acc_d: list[np.ndarray] = []
+            n_buf = 0
+
+            def _compact():
+                nonlocal acc_q, acc_i, acc_d, n_buf
+                qx = np.concatenate(acc_q)
+                ids_a = np.concatenate(acc_i)
+                d_a = np.concatenate(acc_d)
+                keep = local_topk_grouped(qx, ids_a, d_a, k_)
+                qx, ids_a, d_a = qx[keep], ids_a[keep], d_a[keep]
+                acc_q, acc_i, acc_d = [qx], [ids_a], [d_a]
+                n_buf = ids_a.size
+                return qx, ids_a, d_a
+
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -193,13 +217,18 @@ class IVFIndex:
                     kk = min(k_, d.shape[0])
                     order_ids = np.broadcast_to(ids[:, None], d.shape)
                     top = np.lexsort((order_ids, d), axis=0)[:kk, :]
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.repeat(bqids[sel], kk),
-                            id_col: ids[top].T.reshape(-1),
-                            "dist": np.take_along_axis(d, top, axis=0).T.reshape(-1),
-                        }
-                    )
+                    acc_q.append(np.repeat(np.asarray(sel, dtype=np.int64), kk))
+                    acc_i.append(ids[top].T.reshape(-1))
+                    acc_d.append(np.take_along_axis(d, top, axis=0).T.reshape(-1))
+                    n_buf += kk * len(sel)
+                if n_buf > 2_000_000:
+                    _compact()
+            if not acc_q or n_buf == 0:
+                return
+            qx, ids_a, d_a = _compact()
+            yield pd.DataFrame({
+                "query_id": bqids[qx], id_col: ids_a, "dist": d_a,
+            })
 
         probed_any = sorted(by_cluster.keys())
         scored = (

@@ -1085,12 +1085,9 @@ class IVFPQIndex:
             def _topef(qx, ids, adc):
                 # per-query top-ef by (rounded adc, id) — the same
                 # total order the global gate's window applies
-                order = np.lexsort((ids, adc, qx))
-                qs = qx[order]
-                starts = np.r_[0, 1 + np.flatnonzero(qs[1:] != qs[:-1])]
-                sizes = np.diff(np.r_[starts, qs.size])
-                pos = np.arange(qs.size) - np.repeat(starts, sizes)
-                return order[pos < ef_]
+                from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
+
+                return local_topk_grouped(qx, ids, adc, ef_)
 
             def _compact():
                 nonlocal acc_q, acc_i, acc_d, vec_i, vec_x, n_buf, n_vec

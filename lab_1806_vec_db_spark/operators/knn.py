@@ -218,6 +218,12 @@ def knn_batch(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bqids, bq = bc.value
+        # running per-TASK top-k (k × |Q|): merging across Arrow
+        # batches keeps the shuffle input at tasks × |Q| × k instead of
+        # arrow_batches × |Q| × k — identical final result (the global
+        # window keeps top-k by the same (dist, id) order; anything
+        # pruned here is dominated in-task)
+        run_d = run_i = None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -226,19 +232,45 @@ def knn_batch(
             d = np_round_half_up(d)
             ids = pdf[id_col].to_numpy()
             kk = min(k, d.shape[0])
-            # local top-k per query with (dist, id) tie-break; a global
-            # window pass finalizes, so emitting a superset is safe
             order_ids = np.broadcast_to(ids[:, None], d.shape)
             sel = np.lexsort((order_ids, d), axis=0)[:kk, :]
-            out_qid = np.repeat(bqids, kk)
-            out_id = ids[sel].T.reshape(-1)
-            out_d = np.take_along_axis(d, sel, axis=0).T.reshape(-1)
-            yield pd.DataFrame({"query_id": out_qid, id_col: out_id, "dist": out_d})
+            new_i = ids[sel]
+            new_d = np.take_along_axis(d, sel, axis=0)
+            if run_d is None:
+                run_d, run_i = new_d, new_i
+                continue
+            md = np.concatenate([run_d, new_d], axis=0)
+            mi = np.concatenate([run_i, new_i], axis=0)
+            sel2 = np.lexsort((mi, md), axis=0)[: min(k, md.shape[0]), :]
+            run_d = np.take_along_axis(md, sel2, axis=0)
+            run_i = np.take_along_axis(mi, sel2, axis=0)
+        if run_d is None:
+            return
+        kk = run_d.shape[0]
+        yield pd.DataFrame({
+            "query_id": np.repeat(bqids, kk),
+            id_col: run_i.T.reshape(-1),
+            "dist": run_d.T.reshape(-1),
+        })
 
     scored = df.select(id_col, vec_col).mapInPandas(
         scan, schema=f"query_id long, {id_col} long, dist double"
     )
     return _topk_per_query(scored, k, id_col, upper_bound)
+
+
+def local_topk_grouped(qx: np.ndarray, ids: np.ndarray, dist: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized per-group top-k: indices of the rows that rank < k
+    within their ``qx`` group under the (dist asc, id asc) total order
+    — the SAME order the global merge window applies, which is what
+    makes in-task pruning with this helper output-preserving. Shared
+    by the task-level candidate accumulators (IVF / IVF+PQ scans)."""
+    order = np.lexsort((ids, dist, qx))
+    qs = qx[order]
+    starts = np.r_[0, 1 + np.flatnonzero(qs[1:] != qs[:-1])]
+    sizes = np.diff(np.r_[starts, qs.size])
+    pos = np.arange(qs.size) - np.repeat(starts, sizes)
+    return order[pos < int(k)]
 
 
 def _topk_per_query(
