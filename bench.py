@@ -377,6 +377,17 @@ def run_sf_suite(spark) -> dict:
         np.mean([len(set(map(int, ids)) & gt[q]) / len(gt[q]) for q, ids in out])
     )
 
+    # ---- host-noise canary: re-time one already-measured row at the
+    # END of the suite. On a quiet host this re-run reproduces the
+    # row's best-of-RUNS within ~±15%; a large ratio means the host's
+    # effective speed DRIFTED during the suite (noisy-neighbor /
+    # frequency scaling), in which case cross-round normalized ratios
+    # for individual rows are suspect — the start-of-run calibration
+    # stamp cannot see mid-run drift. (Motivated by round-11 A/B runs
+    # of identical code moving single rows 1.9x run-to-run.)
+    canary_best, _ = _timed(run_hnsw, runs=2)
+    canary_ratio = canary_best / max(timings["hnsw_ef120"], 1e-9)
+
     total = float(sum(timings.values()))
     return {
         "metric": "ann_suite_sec",
@@ -391,6 +402,13 @@ def run_sf_suite(spark) -> dict:
         "ms_per_query": {k_: round(v / max(n_q, 1) * 1000.0, 4) for k_, v in timings.items()},
         "recall_at_10": {k_: round(v, 4) for k_, v in recalls.items()},
         "build_sec": {k_: round(v, 3) for k_, v in build_sec.items()},
+        "host_noise_canary": {
+            "row": "hnsw_ef120",
+            "end_over_suite_ratio": round(canary_ratio, 3),
+            "note": ("end-of-suite re-run of the row / its suite best; "
+                     "far from 1.0 = host speed drifted mid-run and "
+                     "per-row cross-round ratios are suspect"),
+        },
         "pipeline": run_pipeline_suite(spark),
         "relational": run_relational_suite(spark),
     }
@@ -1176,6 +1194,16 @@ def main() -> None:
     out["vs_prev_normalized"] = _vs_prev_normalized(
         out["normalized"]["queries_sec"]
     )
+    can = out.get("host_noise_canary", {}).get("end_over_suite_ratio")
+    if can is not None:
+        out["vs_prev_normalized"]["host_noise_canary"] = can
+        if (can > 1.3 or can < 0.77) and out["vs_prev_normalized"].get(
+            "regressions_gt_1p2"
+        ):
+            out["vs_prev_normalized"]["note"] += (
+                " — CAUTION: the canary shows mid-run host drift this run;"
+                " re-measure flagged rows before believing them"
+            )
     # Full result → repo file: the harness keeps only a ~2000-char tail
     # of stdout, which truncated the full JSON line in earlier rounds
     # ("parsed": null in BENCH_r03/r04).

@@ -273,6 +273,38 @@ def knn_hnsw_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ef=600, vec_col="embedding")
 
 
+@register(
+    "knn_hnsw_filtered_margin",
+    f"""WITH q AS (SELECT vec_id AS query_id, {_dd('embedding')} AS qv FROM embeddings WHERE vec_id < 4)
+SELECT query_id, vec_id, dist FROM (
+  SELECT q.query_id, e.vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+  FROM embeddings e, q WHERE e.label = 2)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 5
+ORDER BY query_id, dist, vec_id""",
+)
+def knn_hnsw_filtered_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thin-intersection escalation contract of the shared
+    filtered-ANN finisher (operators/knn.py filtered_topk_from_pool,
+    ``fallback_margin``): queries whose pool ∩ filter holds fewer than
+    ceil(margin·k) survivors are answered by the exact filtered scan.
+    Here the pool (ef=24) is narrower than margin·k = 25, so every
+    query escalates and the result must EQUAL the exact filtered
+    top-k — which oracles the escalation detection, the exact pass,
+    and the union ordering end-to-end. The partial-escalation regime
+    (some queries served from the pool) is recall-gated in
+    tests/test_knn.py::test_filtered_topk_fallback_margin."""
+    emb = _emb(spark, sf_dir).cache()
+    idx = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=16, ef_construction=200)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    filt = emb.filter(F.col("label") == 2)
+    return idx.search_batch_filtered(queries, k=5, filtered_base=filt,
+                                     ef=24, vec_col="embedding",
+                                     fallback_margin=5.0)
+
+
 @register("knn_hnsw_sharded", _FLAT_L2_ORACLE)
 def knn_hnsw_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The >50 M-row serving tier (docs/SCALE.md): per-shard HNSW
