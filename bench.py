@@ -297,8 +297,7 @@ def run_sf_suite(spark) -> dict:
     ivfpq = IVFPQIndex.build(emb, k_coarse=ivf_k, m=22, n_bits=4,
                              metric="l2sqr", vec_col="embedding",
                              id_col="vec_id", train_size=10_000, dim=64)
-    ivfpq.codes_clustered = ivfpq.codes_clustered.cache()
-    ivfpq.codes_clustered.count()
+    ivfpq.persist_codes()  # executor-side pin (index API, round 11)
     build_sec["ivfpq"] = time.time() - t0
 
     def run_ivfpq():
@@ -886,8 +885,7 @@ def run_matched(spark) -> dict:
             bdf, k_coarse=128, m=dim // 3, n_bits=4, metric="l2sqr",
             vec_col="embedding", id_col="vec_id", train_size=1000, dim=dim,
         )
-        ivfpq.codes_clustered = ivfpq.codes_clustered.cache()
-        ivfpq.codes_clustered.count()
+        ivfpq.persist_codes()  # executor-side pin (index API, round 11)
         build_sec["ivfpq_k128"] = round(time.time() - t0, 1)
         # two ef points per probe count: ef sizes the ADC→re-rank pool —
         # 4-bit codes at dim/m=3 cap recall ~0.85 with ef=40 at 1M
@@ -935,7 +933,7 @@ def run_matched(spark) -> dict:
                                  "recall_at_10": round(rec, 4)})
             ivfpq._local = None
             ivfpq._local_enabled = False
-        ivfpq.codes_clustered.unpersist()
+        ivfpq.unpersist_codes()
 
     # ---- Sharded HNSW (the >broadcast-tier layout, index/sharded.py):
     # executor-side sub-graph builds + centroid routing, measured at 1M

@@ -82,6 +82,70 @@ class IVFPQIndex:
         self._local: dict | None = None
         self._local_enabled = False
         self._local_stale = False
+        # executor-side codes pin (persist_codes): storage level to
+        # re-apply after every codes-frame swap, and the frame it is
+        # currently applied to (so the stale pin can be released)
+        self._codes_storage = None
+        self._codes_pinned: DataFrame | None = None
+
+    # ---- executor-side serve cache ----------------------------------------
+
+    def persist_codes(self, storage_level=None) -> "IVFPQIndex":
+        """Pin the codes frame executor-side (default
+        ``MEMORY_AND_DISK``) so repeated distributed serves read cached
+        Arrow batches instead of re-listing and re-decoding parquet per
+        query batch. The pin survives append / compact / crash-settle
+        (each codes-frame swap re-applies it and releases the stale
+        one). Block-manager caching is per-partition and spills to
+        executor disk — on a cluster this pins only each executor's
+        share, NOT a driver copy (the driver-side twin with different
+        trade-offs is ``enable_local_serve``). Call ``unpersist_codes``
+        to release."""
+        from pyspark import StorageLevel
+
+        self._codes_storage = storage_level or StorageLevel.MEMORY_AND_DISK
+        self._repersist_codes(materialize=True)
+        return self
+
+    def unpersist_codes(self) -> None:
+        self._codes_storage = None
+        if self._codes_pinned is not None:
+            try:
+                self._codes_pinned.unpersist()
+            except Exception:
+                pass
+            self._codes_pinned = None
+
+    def _repersist_codes(self, materialize: bool = False) -> None:
+        """Re-apply the executor pin to the CURRENT codes frame after a
+        swap. The previous pinned frame is released after the new pin
+        is in place; if the new frame's lineage reads the old one (the
+        append-union path), the worst case is one recompute from
+        parquet at the next action — never a wrong result."""
+        if self._codes_storage is None:
+            return
+        prev = self._codes_pinned
+        self.codes_clustered = self.codes_clustered.persist(self._codes_storage)
+        self._codes_pinned = self.codes_clustered
+        if materialize:
+            self.codes_clustered.count()
+        if prev is not None and prev is not self.codes_clustered:
+            # the cache manager matches by canonicalized plan: when the
+            # old and new frames are both reads of the SAME directory
+            # (the pinned-append path), unpersisting the old one would
+            # drop the shared cache entry — including the pin we just
+            # placed. Release only plans that are genuinely different.
+            try:
+                same = prev._jdf.queryExecution().analyzed().sameResult(
+                    self.codes_clustered._jdf.queryExecution().analyzed()
+                )
+            except Exception:
+                same = False
+            if not same:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
 
     # ---- build ------------------------------------------------------------
 
@@ -353,6 +417,7 @@ class IVFPQIndex:
             self._write_watermark(hi - 1)
         self.codes_clustered = spark.read.parquet(codes_path)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+        self._repersist_codes()
         if self._local_enabled:
             self._local = None  # mid-range rows changed: full rebuild
 
@@ -420,7 +485,22 @@ class IVFPQIndex:
             # listing every micro-batch); collapse the union lineage
             # back to one clean scan every 16 appends
             self._appends += 1
-            if self._appends % 16 == 0:
+            if self._codes_storage is not None:
+                # a PINNED codes cache cannot take the frozen-listing
+                # union: the append write auto-refreshes cached plans
+                # on its output path (InsertIntoHadoopFsRelation →
+                # refreshByPath), so the pinned left branch re-lists
+                # the directory — which now includes the appended
+                # files — and the union double-counts the batch
+                # (observed: 250+50 append served 350 rows). Re-read
+                # the directory instead (it already covers the batch)
+                # and move the pin. Cost: O(files) listing per append
+                # while pinned — compact() on a cadence if streaming.
+                self.codes_clustered = df_new.sparkSession.read.parquet(
+                    os.path.join(self.path, "codes")
+                )
+                self._repersist_codes()
+            elif self._appends % 16 == 0:
                 self.codes_clustered = df_new.sparkSession.read.parquet(
                     os.path.join(self.path, "codes")
                 )
@@ -430,6 +510,9 @@ class IVFPQIndex:
                 )
         else:
             self.codes_clustered = self.codes_clustered.unionByName(enc)
+            # path=None: no directory to re-list, so the union is safe
+            # with a pin too — it stays on the (still-referenced) left
+            # branch and the checkpointed encode rides alongside
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
         self.base = self.base.unionByName(df_new.select(*self.base.columns))
         if self._local_enabled:
@@ -465,6 +548,7 @@ class IVFPQIndex:
         spark.catalog.refreshByPath(live)
         self.codes_clustered = spark.read.parquet(live)
         self.pq.codes = self.codes_clustered.select(self.id_col, "code")
+        self._repersist_codes()
 
     # ---- driver-local serve (the distributed tier's point-query twin) -----
     #

@@ -471,3 +471,42 @@ def test_local_serve_lut_chunking_matches(spark, emb):
                                qvec_col="embedding",
                                max_lut_bytes=16 << 10).collect()
     assert sorted(map(tuple, chunked)) == sorted(map(tuple, ref))
+
+def test_persist_codes_pin_survives_append_and_compact(spark, emb, tmp_path):
+    """persist_codes pins the codes frame executor-side and re-applies
+    the pin across the codes-frame swaps (append union, compaction
+    reload) with unchanged results; unpersist_codes releases it."""
+    from pyspark import StorageLevel
+
+    path = str(tmp_path / "ivfpq_pin")
+    half = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    idx = IVFPQIndex.build(
+        half, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=250, path=path,
+    )
+    probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 260).first()["embedding"]]
+    idx.persist_codes()
+    assert idx.codes_clustered.storageLevel.useMemory
+    base = idx.search(probe_vec, k=3, n_probes=8, ef=64).collect()
+    idx.add_batch(rest)
+    # pinned appends re-read the directory and move the pin (the
+    # frozen-listing union double-counts under a pin — the append
+    # write refreshes cached plans on its path)
+    assert idx.codes_clustered.storageLevel.useMemory
+    after = idx.search(probe_vec, k=3, n_probes=8, ef=64).collect()
+    assert after and after[0]["vec_id"] == 260 and after[0]["dist"] == 0.0
+    assert len({r["vec_id"] for r in after}) == len(after)  # no dup rows
+    assert idx.codes_clustered.count() == 300
+    idx.compact()
+    assert idx.codes_clustered.storageLevel.useMemory
+    again = idx.search(probe_vec, k=3, n_probes=8, ef=64).collect()
+    assert [(r["vec_id"], r["dist"]) for r in again] == \
+        [(r["vec_id"], r["dist"]) for r in after]
+    idx.unpersist_codes()
+    assert not idx.codes_clustered.storageLevel.useMemory
+    # custom storage level is honored
+    idx.persist_codes(StorageLevel.DISK_ONLY)
+    assert idx.codes_clustered.storageLevel.useDisk
+    assert not idx.codes_clustered.storageLevel.useMemory
+    idx.unpersist_codes()
