@@ -884,6 +884,11 @@ def run_matched(spark) -> dict:
         ivfpq = IVFPQIndex.build(
             bdf, k_coarse=128, m=dim // 3, n_bits=4, metric="l2sqr",
             vec_col="embedding", id_col="vec_id", train_size=1000, dim=dim,
+            # f32 travelling vectors — the same serving precision the
+            # matched-scale HNSW tier (dtype=np.float32 above) and the
+            # reference itself (vec_set.rs) use; halves the vector
+            # bytes the fused re-rank ships through Arrow per batch
+            store_vec_dtype="float32",
         )
         ivfpq.persist_codes()  # executor-side pin (index API, round 11)
         build_sec["ivfpq_k128"] = round(time.time() - t0, 1)

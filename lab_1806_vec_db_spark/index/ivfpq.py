@@ -163,12 +163,25 @@ class IVFPQIndex:
         seed: int = 42,
         path: str | None = None,
         dim: int | None = None,
+        store_vec_dtype: str | None = None,
     ) -> "IVFPQIndex":
         """One seeded sample trains both quantizers; one distributed
         pass assigns + encodes every row (map-only — cluster argmin and
-        PQ argmin ride the same Arrow batch)."""
+        PQ argmin ride the same Arrow batch).
+
+        ``store_vec_dtype="float32"`` stores the travelling re-rank
+        vector at f32 — the reference's own serving precision
+        (vec_set.rs stores f32) — halving the vector bytes the fused
+        re-rank ships through Arrow per query batch. Exact distances
+        then carry f32 input error (~1e-5 relative at dim≈1000, i.e.
+        an occasional last-decimal flip under the 4-dp contract), so
+        the oracle-checked default stays full precision."""
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
+        if store_vec_dtype not in (None, "float32", "float64"):
+            raise ValueError(f"Unsupported store_vec_dtype: {store_vec_dtype}")
+        vec_type = {"float32": "array<float>", "float64": "array<double>",
+                    None: None}[store_vec_dtype]
         sample = sample_rows(df, train_size, vec_col=vec_col, id_col=id_col, seed=seed)
         model = fit_kmeans(sample, k=k_coarse, metric=metric, seed=seed)
         mm = -(-dim // 3) if m is None else int(m)
@@ -176,7 +189,8 @@ class IVFPQIndex:
         codebooks = _fit_codebooks(sample, groups, 1 << n_bits, seed)
         pq = PQTable(codebooks, groups, n_bits, codes=None, base=df,  # type: ignore[arg-type]
                      vec_col=vec_col, id_col=id_col)
-        codes_clustered = cls._assign_encode(df, model, pq, vec_col, id_col)
+        codes_clustered = cls._assign_encode(df, model, pq, vec_col, id_col,
+                                             vec_type=vec_type)
         if path is not None:
             spark = df.sparkSession
             os.makedirs(path, exist_ok=True)
@@ -243,7 +257,8 @@ class IVFPQIndex:
 
     @staticmethod
     def _assign_encode(df: DataFrame, model: KMeansModel, pq: PQTable,
-                       vec_col: str, id_col: str) -> DataFrame:
+                       vec_col: str, id_col: str,
+                       vec_type: str | None = None) -> DataFrame:
         """Single map-only pass producing (id, code, vec, cluster_id).
 
         The raw vector travels WITH its code into the cluster-partitioned
@@ -252,11 +267,19 @@ class IVFPQIndex:
         re-rank can fetch candidate vectors from the PROBED directories
         only — instead of a full scan of the unpartitioned base table,
         which at RAM-resident scale cost as much as the raw-IVF scan the
-        PQ stage was supposed to undercut."""
+        PQ stage was supposed to undercut.
+
+        ``vec_type`` (e.g. ``"array<float>"``) stores the travelling
+        vector at that precision instead of the input's — appends and
+        crash repairs pass the CURRENT codes schema so the layout stays
+        dtype-consistent."""
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(
             (model.centroids, model.metric, pq.codebooks, pq.groups, pq.n_bits)
         )
+        if vec_type is not None and \
+                df.schema[vec_col].dataType.simpleString() != vec_type:
+            df = df.withColumn(vec_col, F.col(vec_col).cast(vec_type))
         vec_t = df.schema[vec_col].dataType.simpleString()
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -400,6 +423,7 @@ class IVFPQIndex:
         redo = self._assign_encode(
             self.base.filter(in_range), self.model, self.pq,
             self.vec_col, self.id_col,
+            vec_type=kept.schema[self.vec_col].dataType.simpleString(),
         )
         tmp = codes_path + "__tmp"
         kept.unionByName(redo.select(*kept.columns)).write.mode(
@@ -444,8 +468,13 @@ class IVFPQIndex:
                 f"({self.base.columns}) so the re-rank base stays complete; "
                 "refresh .base yourself if the table lives elsewhere"
             )
-        enc = self._assign_encode(df_new, self.model, self.pq,
-                                  self.vec_col, self.id_col)
+        enc = self._assign_encode(
+            df_new, self.model, self.pq, self.vec_col, self.id_col,
+            # appended rows must match the stored vector dtype or the
+            # union/write would widen the layout mid-table
+            vec_type=self.codes_clustered.schema[self.vec_col]
+            .dataType.simpleString(),
+        )
         # materialize the encoded batch ONCE (executor-memory
         # checkpoint), then both the durable write and the in-memory
         # union read the same materialized rows: no re-running the

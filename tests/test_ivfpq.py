@@ -510,3 +510,37 @@ def test_persist_codes_pin_survives_append_and_compact(spark, emb, tmp_path):
     assert idx.codes_clustered.storageLevel.useDisk
     assert not idx.codes_clustered.storageLevel.useMemory
     idx.unpersist_codes()
+
+def test_store_vec_dtype_f32(spark, emb, qvec, tmp_path):
+    """store_vec_dtype='float32' stores the travelling re-rank vector
+    at f32 (the reference's serving precision): same candidate id sets
+    as the full-precision index at 64-dim (f32 error ~1e-6 vs the 4-dp
+    rounding grid), appends stay dtype-consistent."""
+    path = str(tmp_path / "ivfpq_f32")
+    half = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    idx32 = IVFPQIndex.build(
+        half, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=250, path=path,
+        store_vec_dtype="float32",
+    )
+    assert idx32.codes_clustered.schema["embedding"].dataType.simpleString() \
+        == "array<float>"
+    idx64 = IVFPQIndex.build(
+        half, k_coarse=8, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=250,
+    )
+    r32 = idx32.search(qvec, k=10, n_probes=8, ef=64).collect()
+    r64 = idx64.search(qvec, k=10, n_probes=8, ef=64).collect()
+    assert [r["vec_id"] for r in r32] == [r["vec_id"] for r in r64]
+    # appended rows are cast to the stored dtype — schema stays f32
+    idx32.add_batch(rest)
+    assert idx32.codes_clustered.schema["embedding"].dataType.simpleString() \
+        == "array<float>"
+    probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 260).first()["embedding"]]
+    got = idx32.search(probe_vec, k=1, n_probes=8, ef=64).collect()
+    assert got and got[0]["vec_id"] == 260
+    with pytest.raises(ValueError, match="store_vec_dtype"):
+        IVFPQIndex.build(half, k_coarse=8, m=16, n_bits=8,
+                         vec_col="embedding", id_col="vec_id",
+                         train_size=250, store_vec_dtype="float16")
