@@ -190,3 +190,29 @@ def test_filtered_topk_fallback_margin(spark, emb):
     for r in out1:
         by_q1.setdefault(r["query_id"], []).append(r)
     assert all(len(rs) == k for rs in by_q1.values())
+
+def test_local_topk_grouped_edges():
+    """Pure-numpy contract of the shared in-task accumulator helper:
+    (dist asc, id asc) total order per group, k-bounded, stable under
+    ties, empty-safe."""
+    from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
+
+    # empty input
+    e = np.array([], dtype=np.int64)
+    assert local_topk_grouped(e, e, np.array([], dtype=np.float64), 3).size == 0
+    # two groups, exact dist ties broken by id ascending
+    qx = np.array([1, 1, 1, 0, 0, 0, 0], dtype=np.int64)
+    ids = np.array([9, 3, 5, 7, 2, 8, 1], dtype=np.int64)
+    d = np.array([0.5, 0.5, 0.1, 0.2, 0.2, 0.1, 0.9], dtype=np.float64)
+    keep = local_topk_grouped(qx, ids, d, 2)
+    got = sorted(zip(qx[keep].tolist(), ids[keep].tolist(), d[keep].tolist()))
+    # group 0: (8,0.1) then tie 0.2 -> id 2 beats 7; group 1: (5,0.1) then (3,0.5)
+    assert got == [(0, 2, 0.2), (0, 8, 0.1), (1, 3, 0.5), (1, 5, 0.1)]
+    # k larger than any group keeps everything
+    keep_all = local_topk_grouped(qx, ids, d, 10)
+    assert keep_all.size == qx.size
+    # single group
+    keep1 = local_topk_grouped(np.zeros(4, dtype=np.int64),
+                               np.array([4, 1, 3, 2], dtype=np.int64),
+                               np.array([0.3, 0.3, 0.1, 0.2]), 2)
+    assert sorted(np.array([4, 1, 3, 2])[keep1].tolist()) == [2, 3]
