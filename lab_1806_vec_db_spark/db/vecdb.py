@@ -160,6 +160,14 @@ class VecDB:
         # drivers), or tune the cap for bigger/smaller driver heaps.
         self.local_serve = True
         self.local_serve_max_bytes = 8 << 30
+        # executor-side codes pin for the distributed IVF+PQ serve
+        # (index/ivfpq.py:persist_codes): opt-in like local_serve —
+        # pinning claims block-manager memory per executor, which is a
+        # deployment decision, not a query-path one. When True, every
+        # IVF+PQ index this manager builds or loads keeps its codes
+        # frame MEMORY_AND_DISK so repeated batch serves skip the
+        # parquet re-list + re-decode.
+        self.executor_cache = False
         # settle any append that crashed mid-flight in a previous
         # manager: a crashed ``_rewrite`` swap is completed/rolled back
         # first (directory checks only — zero jobs), then the brief's
@@ -1237,6 +1245,8 @@ class VecDB:
             from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
 
             idx[kind] = IVFPQIndex.load(self.spark, path, base=self.table_df(key))
+            if self.executor_cache:
+                idx[kind].persist_codes()
         return idx.get(kind)
 
     @_locked_per_table
@@ -1340,6 +1350,8 @@ class VecDB:
             train_size=train_size, path=self._index_path(key, "ivfpq"),
             dim=meta["dim"],
         )
+        if self.executor_cache:
+            idx.persist_codes()
         self._indexes.setdefault(key, {})["ivfpq"] = idx
         meta["has_ivfpq"] = True
         meta["ivfpq_params"] = {"k_coarse": k_coarse, "m": m, "n_bits": n_bits,

@@ -607,6 +607,51 @@ def knn_ivf_pq_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(q, k=10, n_probes=4, ef=64)
 
 
+_F32_PRELUDE = (
+    "f AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT4[]) AS DOUBLE[]) "
+    "AS embedding FROM embeddings), "
+)
+
+
+@register(
+    "knn_ivf_pq_f32store", _ivf_pq_oracle(src="f", prelude=_F32_PRELUDE)
+)
+def knn_ivf_pq_f32store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The f32 travelling-vector layout (index/ivfpq.py
+    store_vec_dtype='float32', round 11 — the reference's own serving
+    precision, vec_set.rs stores f32): _assign_encode casts the table
+    once, so the coarse assign, the PQ encode, AND the fused exact
+    re-rank all run on the f32-rounded values. The oracle applies the
+    same double→float4→double round-trip at the source, so every
+    stage — including the exact distances — stays digit-for-digit
+    SQL-reproducible. Same FIXED first-16-row quantizers as
+    knn_ivf_pq."""
+    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    from lab_1806_vec_db_spark.index.pq import pq_groups
+
+    emb = _emb(spark, sf_dir).cache()
+    emb32 = emb.withColumn(
+        "embedding",
+        F.col("embedding").cast("array<float>").cast("array<double>"),
+    )
+    crows = emb32.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    cmat = np.asarray([r[0] for r in crows], dtype=np.float64)
+    model = KMeansModel(centroids=cmat, metric="l2sqr")
+    groups = pq_groups(64, 16)
+    codebooks = [cmat[:, start : start + size] for (start, size) in groups]
+    pq = PQTable(codebooks, groups, 4, codes=None, base=emb,  # type: ignore[arg-type]
+                 vec_col="embedding", id_col="vec_id")
+    codes_clustered = IVFPQIndex._assign_encode(
+        emb, model, pq, "embedding", "vec_id", vec_type="array<float>"
+    )
+    pq.codes = codes_clustered.select("vec_id", "code")
+    idx = IVFPQIndex(model, pq, codes_clustered, emb,
+                     vec_col="embedding", id_col="vec_id")
+    q = [float(x) for x in
+         emb32.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return idx.search(q, k=10, n_probes=4, ef=64)
+
+
 _SAMPLE_ORACLE = """
 SELECT vec_id FROM (
   SELECT vec_id FROM embeddings

@@ -583,3 +583,36 @@ def test_local_serve_setting_opts_out_of_mirror(spark, tmp_path):
     assert res2[0][0] == {"i": "9"}
     assert not idx._local_enabled and getattr(idx, "_local_denied", False)
     db.close()
+
+def test_executor_cache_setting_pins_codes(spark, tmp_path):
+    """executor_cache is a VecDB SETTING like local_serve: when on,
+    IVF+PQ indexes this manager builds or loads keep their codes frame
+    pinned executor-side (index/ivfpq.py persist_codes), and the pin
+    survives a write; default off pins nothing."""
+    import numpy as np
+
+    db = VecDB(str(tmp_path / "dbex"), spark=spark)
+    db.local_serve = False  # keep queries on the distributed path
+    db.create_table_if_not_exists("t", 8, "l2sqr")
+    rng = np.random.default_rng(12)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(48)]
+    db.batch_add("t", vecs, [{"i": str(i)} for i in range(48)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=48,
+                         n_probes=4)
+    idx = db._get_index("t", "ivfpq")
+    assert not idx.codes_clustered.storageLevel.useMemory  # default off
+    db.close()
+
+    db2 = VecDB(str(tmp_path / "dbex"), spark=spark)
+    db2.executor_cache = True
+    db2.local_serve = False
+    idx2 = db2._get_index("t", "ivfpq")  # load path applies the pin
+    assert idx2.codes_clustered.storageLevel.useMemory
+    res = db2.search("t", vecs[7], k=3, ef=48)
+    assert res[0][0] == {"i": "7"} and res[0][1] == pytest.approx(0.0, abs=1e-9)
+    # a write keeps serving correctly with the pin re-applied
+    db2.batch_add("t", [[9.0] * 8], [{"i": "new"}])
+    res2 = db2.search("t", [9.0] * 8, k=1, ef=64)
+    assert res2[0][0] == {"i": "new"}
+    idx2.unpersist_codes()
+    db2.close()
