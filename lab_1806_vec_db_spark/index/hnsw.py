@@ -482,6 +482,11 @@ class HNSWIndex:
         # flattened C-contiguous graph views for the compiled kernel
         # (ckernel.py); built lazily, invalidated by add_batch
         self._c_state: dict | None = None
+        # cached serving broadcast for search_batch: (pq key, broadcast)
+        # — re-broadcasting the whole graph payload per batch is a
+        # per-call cost proportional to the index size (GBs at the
+        # broadcast-tier ceiling); invalidated by add_batch
+        self._bc_cache: tuple[object, object] | None = None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -1401,17 +1406,23 @@ class HNSWIndex:
         distances steer the traversal, the ef pool is exact-re-ranked
         in-task (hnsw_index.rs:672-696)."""
         spark = queries.sparkSession
-        pq_payload = None
-        if pq is not None:
-            from lab_1806_vec_db_spark.index.pq import aligned_codes
+        bc_key = id(pq) if pq is not None else None
+        if self._bc_cache is not None and self._bc_cache[0] == bc_key:
+            bc = self._bc_cache[1]
+        else:
+            pq_payload = None
+            if pq is not None:
+                from lab_1806_vec_db_spark.index.pq import aligned_codes
 
-            codes_np = aligned_codes(pq, self.ids)
-            pq_payload = (codes_np, pq.codebooks, pq.groups, pq.n_bits)
-        payload = (self.ids, self.vecs, self.metric,
-                   self.graph.levels, self.graph.links, self.graph.counts,
-                   self.graph.entry, self.graph.max_level, self.graph.M,
-                   pq_payload)
-        bc = spark.sparkContext.broadcast(payload)
+                codes_np = aligned_codes(pq, self.ids)
+                pq_payload = (codes_np, pq.codebooks, pq.groups, pq.n_bits)
+            payload = (self.ids, self.vecs, self.metric,
+                       self.graph.levels, self.graph.links, self.graph.counts,
+                       self.graph.entry, self.graph.max_level, self.graph.M,
+                       pq_payload)
+            self._destroy_bc()
+            bc = spark.sparkContext.broadcast(payload)
+            self._bc_cache = (bc_key, bc)
         id_col = self.id_col
         k_ = int(k)
         ef_ = ef
@@ -1609,5 +1620,14 @@ class HNSWIndex:
         )
         self._pq_cache = None  # aligned codes no longer cover every id
         self._c_state = None  # flattened views hold the pre-add graph
+        self._destroy_bc()  # the serving broadcast holds the pre-add graph
         self.close_pool()  # forked workers hold the pre-add graph
         self.dirty = True
+
+    def _destroy_bc(self) -> None:
+        if self._bc_cache is not None:
+            try:
+                self._bc_cache[1].unpersist()
+            except Exception:
+                pass
+            self._bc_cache = None

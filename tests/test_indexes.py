@@ -816,3 +816,32 @@ def test_pq_u8_full_ef_equals_flat(emb_u8):
                        vec_col="embedding", id_col="vec_id")
     got = pq.search(q, k=10, ef=1_000_000, metric="l2sqr").collect()
     assert _pairs(got) == _pairs(_flat_u8(emb_u8, q))
+
+def test_hnsw_serving_broadcast_cached_and_invalidated(emb):
+    """search_batch reuses one graph broadcast across calls (re-pickling
+    the whole payload per batch is a per-call cost proportional to the
+    index size) and invalidates it on add_batch; results track the
+    post-add graph."""
+    idx = HNSWIndex.build(
+        emb.filter(F.col("vec_id") < 400), metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", m=16, ef_construction=200,
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
+    assert idx._bc_cache is not None
+    bc1 = idx._bc_cache[1]
+    idx.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
+    assert idx._bc_cache[1] is bc1  # reused, not re-broadcast
+    # a write invalidates; the next batch serves the appended row
+    row = emb.filter(F.col("vec_id") == 450).first()
+    idx.add_batch(np.asarray([450], dtype=np.int64),
+                  np.asarray([row["embedding"]], dtype=np.float64))
+    assert idx._bc_cache is None
+    q450 = emb.filter(F.col("vec_id") == 450).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.search_batch(q450, k=1, ef=64, qvec_col="embedding").collect()
+    assert got and got[0]["vec_id"] == 450 and got[0]["dist"] == 0.0
+    assert idx._bc_cache[1] is not bc1
