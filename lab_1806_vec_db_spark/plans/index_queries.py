@@ -607,6 +607,42 @@ def knn_ivf_pq_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(q, k=10, n_probes=4, ef=64)
 
 
+@register(
+    "knn_hnsw_sharded_u8",
+    f"""WITH {_U8_PRELUDE}q AS (SELECT {_dd('embedding')} AS qv FROM u WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM u e, q
+ORDER BY dist, vec_id LIMIT 10""",
+)
+def knn_hnsw_sharded_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u8 through the LAST serving tier: the >50 M sharded layout
+    (index/sharded.py) built on the integer-quantized table — router
+    fit, map-only assignment, per-shard sub-graph builds, routed probe
+    explode, per-shard serve, window merge all run on u8 values
+    (integer-exact in f64, so the DuckDB oracle reproduces digits).
+    Full probe + wide beam ⇒ flat-equal, the same gate as
+    knn_hnsw_sharded; completes the u8 matrix (flat/HNSW/IVF+PQ/
+    sharded) the reference's dynamic dispatch implies
+    (dynamic_index.rs, scalar.rs:117-119)."""
+    import tempfile
+
+    from lab_1806_vec_db_spark.index.sharded import ShardedHNSWIndex
+
+    emb = _emb_u8(spark, sf_dir).cache()
+    idx = ShardedHNSWIndex.build(
+        emb, tempfile.mkdtemp(prefix="sharded_hnsw_u8_"), n_shards=4,
+        metric="l2sqr", vec_col="embedding", id_col="vec_id", train_size=200,
+    )
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    queries = spark.createDataFrame([(0, q)], "query_id long, vec array<double>")
+    return (
+        idx.search_batch(queries, k=10, ef=300, n_probes=4)
+        .select("vec_id", "dist")
+        .orderBy("dist", "vec_id")
+    )
+
+
 _F32_PRELUDE = (
     "f AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT4[]) AS DOUBLE[]) "
     "AS embedding FROM embeddings), "
