@@ -166,7 +166,11 @@ class VecDB:
         # deployment decision, not a query-path one. When True, every
         # IVF+PQ index this manager builds or loads keeps its codes
         # frame MEMORY_AND_DISK so repeated batch serves skip the
-        # parquet re-list + re-decode.
+        # parquet re-list + re-decode. Trade-off: a pinned index takes
+        # the directory-re-read append path (persist_codes docstring),
+        # so each append invalidates the whole cached frame — under
+        # high-frequency streaming ingest leave this off (or compact on
+        # a cadence); it pays off in read-heavy serving.
         self.executor_cache = False
         # settle any append that crashed mid-flight in a previous
         # manager: a crashed ``_rewrite`` swap is completed/rolled back
