@@ -482,11 +482,16 @@ class HNSWIndex:
         # flattened C-contiguous graph views for the compiled kernel
         # (ckernel.py); built lazily, invalidated by add_batch
         self._c_state: dict | None = None
-        # cached serving broadcast for search_batch: (pq key, broadcast)
-        # — re-broadcasting the whole graph payload per batch is a
-        # per-call cost proportional to the index size (GBs at the
-        # broadcast-tier ceiling); invalidated by add_batch
-        self._bc_cache: tuple[object, object] | None = None
+        # cached serving broadcast for search_batch: (pq object, pq
+        # codes frame, broadcast, owning SparkContext) — re-broadcasting
+        # the whole graph payload per batch is a per-call cost
+        # proportional to the index size (GBs at the broadcast-tier
+        # ceiling); invalidated by add_batch. Identity (`is`) holds
+        # strong refs so an id() can't be recycled onto a new PQTable,
+        # the codes-frame ref detects an in-place codes append, and the
+        # context ref detects a recreated SparkSession (the old
+        # broadcast would fail at job time)
+        self._bc_cache: tuple[object, object, object, object] | None = None
 
     # ---- build (A11-A12, W4) ---------------------------------------------
 
@@ -1406,9 +1411,20 @@ class HNSWIndex:
         distances steer the traversal, the ef pool is exact-re-ranked
         in-task (hnsw_index.rs:672-696)."""
         spark = queries.sparkSession
-        bc_key = id(pq) if pq is not None else None
-        if self._bc_cache is not None and self._bc_cache[0] == bc_key:
-            bc = self._bc_cache[1]
+        sc = spark.sparkContext
+        # cache hit requires the SAME pq object (strong ref, `is` — an
+        # id() key could collide after gc), the SAME codes frame (a
+        # codes append swaps pq.codes, so `is` detects it), and the
+        # SAME live SparkContext (a recreated session invalidates the
+        # old broadcast)
+        cached = self._bc_cache
+        if (
+            cached is not None
+            and cached[0] is pq
+            and (pq is None or cached[1] is pq.codes)
+            and cached[3] is sc
+        ):
+            bc = cached[2]
         else:
             pq_payload = None
             if pq is not None:
@@ -1421,8 +1437,8 @@ class HNSWIndex:
                        self.graph.entry, self.graph.max_level, self.graph.M,
                        pq_payload)
             self._destroy_bc()
-            bc = spark.sparkContext.broadcast(payload)
-            self._bc_cache = (bc_key, bc)
+            bc = sc.broadcast(payload)
+            self._bc_cache = (pq, pq.codes if pq is not None else None, bc, sc)
         id_col = self.id_col
         k_ = int(k)
         ef_ = ef
@@ -1627,7 +1643,7 @@ class HNSWIndex:
     def _destroy_bc(self) -> None:
         if self._bc_cache is not None:
             try:
-                self._bc_cache[1].unpersist()
+                self._bc_cache[2].unpersist()
             except Exception:
                 pass
             self._bc_cache = None

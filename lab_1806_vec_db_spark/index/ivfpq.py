@@ -140,7 +140,11 @@ class IVFPQIndex:
                     self.codes_clustered._jdf.queryExecution().analyzed()
                 )
             except Exception:
-                same = False
+                # if the py4j probe itself fails, assume SAME and keep
+                # the old entry: leaking one stale pin is cheaper than
+                # unpersisting a shared plan and silently dropping the
+                # pin just placed (recompute-from-parquet regression)
+                same = True
             if not same:
                 try:
                     prev.unpersist()
@@ -1106,11 +1110,23 @@ class IVFPQIndex:
         max_queries: int = 200_000,
         max_lut_bytes: int = 64 << 20,
         fuse_rerank: bool | None = None,
+        acc_cap_rows: int = 2_000_000,
+        acc_vec_bytes: int = 256 << 20,
     ) -> DataFrame:
         """Batch IVF+PQ: one pruned scan of the codes table; each
         partition scores a row only for the queries probing its
         cluster (LUT gather, no raw vectors touched), keeps its top-ef
-        per query; window merge; Arrow re-rank against the base."""
+        per query; window merge; Arrow re-rank against the base.
+
+        ``acc_cap_rows`` / ``acc_vec_bytes`` bound the per-task
+        candidate accumulator (see the closure note): worst case each
+        concurrently-running task holds ~``acc_cap_rows`` candidate
+        triples (~24 B each, ≈48 MB at the default before a compaction
+        fires) plus, on the fused plan only, up to ``acc_vec_bytes`` of
+        f64 candidate vectors. Python workers are per-core, so the
+        executor-wide footprint multiplies by concurrent task slots —
+        size these down on memory-tight executors (the result set is
+        identical at any cap; smaller caps just compact more often)."""
         metric = metric or self.model.metric
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
@@ -1192,8 +1208,8 @@ class IVFPQIndex:
             vec_i: list[np.ndarray] = []  # fused: candidate row ids
             vec_x: list[np.ndarray] = []  # fused: candidate vectors
             n_buf = n_vec = 0
-            cap = 2_000_000
-            vcap = max(65_536, (256 << 20) // (8 * (bqmat.shape[1] if fused_t else 1)))
+            cap = int(acc_cap_rows)
+            vcap = max(65_536, int(acc_vec_bytes) // (8 * (bqmat.shape[1] if fused_t else 1)))
 
             def _topef(qx, ids, adc):
                 # per-query top-ef by (rounded adc, id) — the same

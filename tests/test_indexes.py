@@ -392,6 +392,36 @@ def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
     assert np.mean(recalls) >= 0.8  # ADC-steered, exact re-ranked
 
 
+def test_hnsw_serving_broadcast_pq_identity(emb, hnsw, pq16):
+    """The serving-broadcast cache keys on the pq OBJECT and its codes
+    frame by identity: a different PQTable (even one landing on a
+    recycled id()) or an in-place codes swap (append path) must rebuild
+    the broadcast — serving stale ADC codes would silently corrupt the
+    steered results."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+    assert hnsw._bc_cache is not None and hnsw._bc_cache[0] is pq16
+    bc1 = hnsw._bc_cache[2]
+    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+    assert hnsw._bc_cache[2] is bc1  # same pq object + codes → reused
+    # an in-place codes swap (what a codes append does) invalidates —
+    # same content, new frame object: identity, not equality, is the key
+    orig_codes = pq16.codes
+    try:
+        pq16.codes = pq16.codes.select("*")
+        hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+        assert hnsw._bc_cache[2] is not bc1
+        bc2 = hnsw._bc_cache[2]
+    finally:
+        pq16.codes = orig_codes  # module-scoped fixture — restore
+    # dropping the pq (cache holds a strong ref, so id() can't be
+    # recycled onto a lookalike) and serving un-steered rebuilds again
+    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
+    assert hnsw._bc_cache[0] is None and hnsw._bc_cache[2] is not bc2
+
+
 def test_hnsw_parallel_pool_and_beam_width_exact(emb, hnsw):
     # fork-pool serving and multi-expansion (beam_width>1) must preserve
     # the exactness contract: at ef >= n both equal the serial kernel
@@ -831,9 +861,9 @@ def test_hnsw_serving_broadcast_cached_and_invalidated(emb):
     )
     idx.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
     assert idx._bc_cache is not None
-    bc1 = idx._bc_cache[1]
+    bc1 = idx._bc_cache[2]
     idx.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
-    assert idx._bc_cache[1] is bc1  # reused, not re-broadcast
+    assert idx._bc_cache[2] is bc1  # reused, not re-broadcast
     # a write invalidates; the next batch serves the appended row
     row = emb.filter(F.col("vec_id") == 450).first()
     idx.add_batch(np.asarray([450], dtype=np.int64),
@@ -844,4 +874,4 @@ def test_hnsw_serving_broadcast_cached_and_invalidated(emb):
     )
     got = idx.search_batch(q450, k=1, ef=64, qvec_col="embedding").collect()
     assert got and got[0]["vec_id"] == 450 and got[0]["dist"] == 0.0
-    assert idx._bc_cache[1] is not bc1
+    assert idx._bc_cache[2] is not bc1
