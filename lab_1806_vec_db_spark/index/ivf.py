@@ -76,10 +76,29 @@ class IVFIndex:
         train_size: int = 10_000,
         seed: int = 42,
         path: str | None = None,
+        store_vec_dtype: str | None = None,
     ) -> "IVFIndex":
         """Fit the coarse quantizer on a bounded sample (k_means_size in
         the reference's bench configs), assign the full table
-        distributedly, and persist the cluster-partitioned layout."""
+        distributedly, and persist the cluster-partitioned layout.
+
+        ``store_vec_dtype="float32"`` serves the probed scan from f32
+        vectors — the reference's own serving precision (vec_set.rs
+        stores f32) — halving the bytes every probe reads and ships
+        through Arrow. The cast is applied BEFORE sampling, so the
+        quantizer fit, the assignment, and the stored vectors all see
+        the same f32-rounded values (the whole pipeline stays
+        SQL-reproducible via a double→float4→double prelude). Distances
+        still accumulate in f64; they carry f32 input error (~1e-7
+        relative), an occasional last-decimal flip under the 4-dp
+        contract, so the oracle-checked default stays full precision."""
+        if store_vec_dtype not in (None, "float32", "float64"):
+            raise ValueError(f"Unsupported store_vec_dtype: {store_vec_dtype}")
+        vec_type = {"float32": "array<float>", "float64": "array<double>",
+                    None: None}[store_vec_dtype]
+        if vec_type is not None and \
+                df.schema[vec_col].dataType.simpleString() != vec_type:
+            df = df.withColumn(vec_col, F.col(vec_col).cast(vec_type))
         sample = sample_rows(df, train_size, vec_col=vec_col, id_col=id_col, seed=seed)
         model = fit_kmeans(sample, k=k, metric=metric, seed=seed)
         clustered = model.assign_df(df, vec_col=vec_col, out_col="cluster_id")
@@ -177,10 +196,16 @@ class IVFIndex:
         vec_col, id_col = self.vec_col, self.id_col
         k_ = int(k)
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            from lab_1806_vec_db_spark.functions.arrowvec import (
+                knn_schema,
+                result_batch,
+                vec_matrix,
+            )
             from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
 
             bqids, bq, bclusters, metric = bc.value
+            out_schema = knn_schema(id_col)
             # task-level candidate accumulator: a cluster arrives as
             # ~10k-row Arrow FRAGMENTS; emitting a top-k per fragment
             # multiplies the merge-window shuffle by the fragmentation
@@ -203,17 +228,26 @@ class IVFIndex:
                 n_buf = ids_a.size
                 return qx, ids_a, d_a
 
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                for cid, grp in pdf.groupby("cluster_id"):
+                # zero-copy views: the vector column flattens in place
+                # (f32 layouts upcast once here); no pandas round-trip
+                x_all = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
+                                   dtype=np.float64)
+                ids_all = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False)
+                cl_all = rb.column(rb.schema.get_field_index("cluster_id")).to_numpy(
+                    zero_copy_only=False)
+                for cid in np.unique(cl_all):
                     sel = bclusters.get(int(cid))
                     if not sel:
                         continue
-                    x = np.asarray(grp[vec_col].to_list(), dtype=np.float64)
+                    rows = np.nonzero(cl_all == cid)[0]
+                    x = x_all[rows]
                     d = _pairwise_dist(x, bq[sel], metric)
                     d = np_round_half_up(d)
-                    ids = grp[id_col].to_numpy()
+                    ids = ids_all[rows]
                     kk = min(k_, d.shape[0])
                     order_ids = np.broadcast_to(ids[:, None], d.shape)
                     top = np.lexsort((order_ids, d), axis=0)[:kk, :]
@@ -226,15 +260,14 @@ class IVFIndex:
             if not acc_q or n_buf == 0:
                 return
             qx, ids_a, d_a = _compact()
-            yield pd.DataFrame({
-                "query_id": bqids[qx], id_col: ids_a, "dist": d_a,
-            })
+            yield result_batch(out_schema,
+                               query_id=bqids[qx], **{id_col: ids_a}, dist=d_a)
 
         probed_any = sorted(by_cluster.keys())
         scored = (
             self.clustered.filter(F.col("cluster_id").isin(probed_any))
             .select(id_col, vec_col, "cluster_id")
-            .mapInPandas(scan, schema=f"query_id long, {id_col} long, dist double")
+            .mapInArrow(scan, schema=f"query_id long, {id_col} long, dist double")
         )
         return _topk_per_query(scored, k_, id_col, upper_bound)
 

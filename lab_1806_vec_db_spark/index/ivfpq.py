@@ -286,26 +286,35 @@ class IVFPQIndex:
             df = df.withColumn(vec_col, F.col(vec_col).cast(vec_type))
         vec_t = df.schema[vec_col].dataType.simpleString()
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import vec_matrix
             from lab_1806_vec_db_spark.index.kmeans import _pairwise_dist
             from lab_1806_vec_db_spark.index.pq import pack_codes
 
             cents, metric, codebooks, groups, n_bits = bc.value
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                # the travelling vector column passes through as Arrow
+                # buffers; only the f64 working copy is materialized
+                x = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
+                               dtype=np.float64)
                 cid = np.argmin(_pairwise_dist(x, cents, metric), axis=1)
                 codes = np.empty((x.shape[0], len(groups)), dtype=np.uint8)
                 for gi, (start, size) in enumerate(groups):
                     d = _pairwise_dist(x[:, start : start + size], codebooks[gi], "l2sqr")
                     codes[:, gi] = np.argmin(d, axis=1)
-                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                    "code": pack_codes(codes, n_bits),
-                                    vec_col: pdf[vec_col],
-                                    "cluster_id": cid.astype(np.int32)})
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64()),
+                     pa.array(pack_codes(codes, n_bits), type=pa.binary()),
+                     rb.column(rb.schema.get_field_index(vec_col)),
+                     pa.array(cid.astype(np.int32), type=pa.int32())],
+                    names=[id_col, "code", vec_col, "cluster_id"],
+                )
 
-        return df.select(id_col, vec_col).mapInPandas(
+        return df.select(id_col, vec_col).mapInArrow(
             enc, schema=f"{id_col} long, code binary, {vec_col} {vec_t}, cluster_id int"
         )
 
@@ -930,28 +939,42 @@ class IVFPQIndex:
         )
         vec_col = self.vec_col
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import (
+                binary_matrix,
+                vec_matrix,
+            )
+
             blut, bsq, bqnorm, m, n_bits, bq, bmetric = bc.value
             ef_local = max(int(ef), int(k))
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                sch = rb.schema
+                buf = binary_matrix(rb.column(sch.get_field_index("code")))
                 codes = unpack_codes(buf, m, n_bits)
                 d = PQTable._adc_scores(codes, blut, bsq, bqnorm)
+                ids = rb.column(sch.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False)
                 if bq is None:
-                    yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "dist": d})
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ids, type=pa.int64()),
+                         pa.array(d, type=pa.float64())],
+                        names=[id_col, "dist"],
+                    )
                     continue
                 # fused exact re-rank: the raw vectors sit in the SAME
                 # row group, so compute exact distances for this
                 # partition's ADC top-ef candidates here — the global
                 # ADC gate still applies at the merge, so results are
                 # identical to the two-pass plan, minus a whole scan
-                ids = pdf[id_col].to_numpy()
                 adc_r = np_round_half_up(d)
                 kk = min(ef_local, len(ids))
                 top = np.lexsort((ids, adc_r))[:kk]
-                x = np.asarray(pdf[vec_col].iloc[top].to_list(), dtype=np.float64)
+                vec_all = vec_matrix(rb.column(sch.get_field_index(vec_col)))
+                x = np.asarray(vec_all[top], dtype=np.float64)
                 ip = x @ bq
                 x2 = np.einsum("ij,ij->i", x, x)
                 if bmetric == "l2sqr":
@@ -959,15 +982,19 @@ class IVFPQIndex:
                 else:
                     qn_ = float(bq @ bq) ** 0.5
                     ex = 1.0 - ip / np.maximum(np.sqrt(x2) * qn_, 1e-10)
-                yield pd.DataFrame({id_col: ids[top], "adc_r": adc_r[top],
-                                    "dist": np_round_half_up(ex)})
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids[top], type=pa.int64()),
+                     pa.array(adc_r[top], type=pa.float64()),
+                     pa.array(np_round_half_up(ex), type=pa.float64())],
+                    names=[id_col, "adc_r", "dist"],
+                )
 
         pruned = self.codes_clustered.filter(F.col("cluster_id").isin(probed))
         payload = list(payload_cols) if payload_cols is not None else [id_col]
         if fused:
             cand = (
                 pruned.select(id_col, "code", vec_col)
-                .mapInPandas(scan, schema=f"{id_col} long, adc_r double, dist double")
+                .mapInArrow(scan, schema=f"{id_col} long, adc_r double, dist double")
                 .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
                 .limit(max(int(ef), int(k)))
             )
@@ -979,7 +1006,7 @@ class IVFPQIndex:
         else:
             cand = (
                 pruned.select(id_col, "code")
-                .mapInPandas(scan, schema=f"{id_col} long, dist double")
+                .mapInArrow(scan, schema=f"{id_col} long, dist double")
                 .select(id_col, round_dist(F.col("dist")).alias("adc_r"))
                 .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
                 .limit(max(int(ef), int(k)))
@@ -1172,7 +1199,15 @@ class IVFPQIndex:
         vec_col = self.vec_col
 
         def make_scan(bc):
-          def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+          def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import (
+                binary_matrix,
+                knn_schema,
+                result_batch,
+                vec_matrix,
+            )
             from lab_1806_vec_db_spark.index import ckernel
 
             bqids, bclusters, blut3, bsq, bqn, m, n_bits, bqmat, bmetric = bc.value
@@ -1235,13 +1270,30 @@ class IVFPQIndex:
                     n_vec = vec_i[0].size
                 return qx, ids, adc
 
-            for pdf in batches:
-                if pdf.empty:
+            out_schema = (
+                pa.schema([pa.field("query_id", pa.int64()),
+                           pa.field(id_col, pa.int64()),
+                           pa.field("adc_r", pa.float64()),
+                           pa.field("dist", pa.float64())])
+                if fused_t else knn_schema(id_col)
+            )
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                # zero-copy views over the Arrow batch: packed codes as
+                # an (n, bytes) uint8 matrix, vectors flattened in place
+                # — no pandas materialization of either column
+                sch = rb.schema
+                buf = binary_matrix(rb.column(sch.get_field_index("code")))
                 codes_all = unpack_codes(buf, m, n_bits)
-                ids_all = pdf[id_col].to_numpy()
-                cl_all = pdf["cluster_id"].to_numpy()
+                ids_all = rb.column(sch.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False)
+                cl_all = rb.column(sch.get_field_index("cluster_id")).to_numpy(
+                    zero_copy_only=False)
+                vec_all = (
+                    vec_matrix(rb.column(sch.get_field_index(vec_col)))
+                    if fused_t else None
+                )
                 for cid in np.unique(cl_all):
                     sel = bclusters.get(int(cid))
                     if not sel:
@@ -1302,12 +1354,12 @@ class IVFPQIndex:
                     if fused_t:
                         # buffer the fragment's candidate vectors (each
                         # row lives in exactly one fragment, so ids are
-                        # unique across the buffer)
+                        # unique across the buffer); only the gathered
+                        # candidates are cast up to f64
                         need = np.unique(flat_rows)
                         vec_i.append(ids[need])
                         vec_x.append(np.asarray(
-                            pdf[vec_col].iloc[rows[need]].to_list(),
-                            dtype=np.float64,
+                            vec_all[rows[need]], dtype=np.float64,
                         ))
                         n_vec += need.size
                 if n_buf > cap or n_vec > vcap:
@@ -1317,9 +1369,8 @@ class IVFPQIndex:
             qx, ids, adc = _compact()
             out_qid = bqids[qx]
             if not fused_t:
-                yield pd.DataFrame({
-                    "query_id": out_qid, id_col: ids, "dist": adc,
-                })
+                yield result_batch(out_schema,
+                                   query_id=out_qid, **{id_col: ids}, dist=adc)
                 return
             # fused exact re-rank over ONLY the surviving candidates
             # (vectors were buffered per fragment): same float64 ops
@@ -1342,10 +1393,8 @@ class IVFPQIndex:
                     ex[sl] = 1.0 - ip / np.maximum(
                         np.sqrt(x2[sl]) * bqnorm2[qx[sl]], 1e-10
                     )
-            yield pd.DataFrame({
-                "query_id": out_qid, id_col: ids,
-                "adc_r": adc, "dist": np_round_half_up(ex),
-            })
+            yield result_batch(out_schema, query_id=out_qid, **{id_col: ids},
+                               adc_r=adc, dist=np_round_half_up(ex))
           return scan
 
         # bound each broadcast lookup tensor (same ≤64 MB budget as
@@ -1380,7 +1429,7 @@ class IVFPQIndex:
             pieces.append(
                 self.codes_clustered.filter(F.col("cluster_id").isin(probed_any))
                 .select(*scan_cols)
-                .mapInPandas(make_scan(bc), schema=scan_schema)
+                .mapInArrow(make_scan(bc), schema=scan_schema)
             )
         approx = pieces[0]
         for p in pieces[1:]:
@@ -1412,7 +1461,7 @@ class IVFPQIndex:
             rer = (
                 self._rerank_source(sorted(all_probed))
                 .join(F.broadcast(cand), id_col)
-                .mapInPandas(
+                .mapInArrow(
                     make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
                     schema=f"query_id long, {id_col} long, dist double",
                 )

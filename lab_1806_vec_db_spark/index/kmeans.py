@@ -117,18 +117,27 @@ class KMeansModel:
         bc = spark.sparkContext.broadcast((self.centroids, self.metric))
         cols = df.columns
 
-        def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def assign_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import vec_matrix
+
             centroids, metric = bc.value
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-                pdf = pdf.copy()
-                pdf[out_col] = np.argmin(_pairwise_dist(x, centroids, metric), axis=1).astype(np.int32)
-                yield pdf
+                # the vector column flattens zero-copy; every other
+                # column passes through untouched as Arrow buffers
+                x = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
+                               dtype=np.float64)
+                cid = np.argmin(_pairwise_dist(x, centroids, metric), axis=1)
+                yield rb.append_column(
+                    pa.field(out_col, pa.int32(), nullable=False),
+                    pa.array(cid.astype(np.int32), type=pa.int32()),
+                )
 
         schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.IntegerType(), False)])
-        return df.mapInPandas(assign_batches, schema=schema).select(*cols, out_col)
+        return df.mapInArrow(assign_batches, schema=schema).select(*cols, out_col)
 
 
 def fit_kmeans(

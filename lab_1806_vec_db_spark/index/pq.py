@@ -279,19 +279,38 @@ def make_rerank_scan(spark, qids: np.ndarray, qmat: np.ndarray, metric: str,
     """Arrow re-rank closure shared by the PQ and IVF+PQ batch paths:
     exact distances for (query_id, id) candidate pairs, query vectors
     looked up executor-side from one small broadcast — never duplicated
-    per candidate. Returns the ``mapInPandas`` function."""
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    bc_q = spark.sparkContext.broadcast((qpos, np.asarray(qmat, dtype=np.float64)))
+    per candidate. Returns the ``mapInArrow`` function (candidate
+    vectors flatten zero-copy from the Arrow batch; no pandas
+    round-trip of the vector column)."""
+    qids = np.asarray(qids, dtype=np.int64)
+    qorder = np.argsort(qids, kind="stable")
+    bc_q = spark.sparkContext.broadcast(
+        (qids, np.asarray(qmat, dtype=np.float64), qorder)
+    )
 
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bqpos, bqmat = bc_q.value
+    def rerank(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from lab_1806_vec_db_spark.functions.arrowvec import (
+            knn_schema,
+            result_batch,
+            vec_matrix,
+        )
+
+        bqids, bqmat, bqorder = bc_q.value
+        qsorted = bqids[bqorder]
         q2 = np.einsum("ij,ij->i", bqmat, bqmat)
         qn = np.sqrt(q2)
-        for pdf in batches:
-            if pdf.empty:
+        out_schema = knn_schema(id_col)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-            qi = np.asarray([bqpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            sch = rb.schema
+            x = vec_matrix(rb.column(sch.get_field_index(vec_col)),
+                           dtype=np.float64)
+            rqids = rb.column(sch.get_field_index("query_id")).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            rids = rb.column(sch.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False)
+            qi = bqorder[np.searchsorted(qsorted, rqids)]
             ip = np.einsum("ij,ij->i", x, bqmat[qi])
             x2 = np.einsum("ij,ij->i", x, x)
             if metric == "l2sqr":
@@ -299,8 +318,8 @@ def make_rerank_scan(spark, qids: np.ndarray, qmat: np.ndarray, metric: str,
             else:
                 d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
             d = np_round_half_up(d)
-            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
-                                id_col: pdf[id_col].to_numpy(), "dist": d})
+            yield result_batch(out_schema, query_id=rqids,
+                               **{id_col: rids}, dist=d)
 
     return rerank
 
@@ -328,23 +347,36 @@ def make_grouped_rerank_scan(
         (qids, np.asarray(qmat, dtype=np.float64), qorder)
     )
 
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rerank(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from lab_1806_vec_db_spark.functions.arrowvec import (
+            knn_schema,
+            result_batch,
+            vec_matrix,
+        )
+
         bqids, bqmat, bqorder = bc.value
         qsorted = bqids[bqorder]
         q2 = np.einsum("ij,ij->i", bqmat, bqmat)
         qn = np.sqrt(q2)
-        for pdf in batches:
-            if pdf.empty:
+        out_schema = knn_schema(id_col)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            qlists = pdf["_qs"].to_list()
-            cnt = np.fromiter((len(l) for l in qlists), dtype=np.int64,
-                              count=len(qlists))
+            sch = rb.schema
+            x = vec_matrix(rb.column(sch.get_field_index(vec_col)),
+                           dtype=np.float64)
+            bids = rb.column(sch.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            # the grouped query lists come apart zero-copy: the list
+            # column's offsets give per-id counts, its flattened child
+            # IS the concatenated query ids
+            qs = rb.column(sch.get_field_index("_qs"))
+            cnt = np.diff(qs.offsets.to_numpy(zero_copy_only=False))
             total = int(cnt.sum())
             if total == 0:
                 continue
-            qflat = np.concatenate([np.asarray(l, dtype=np.int64) for l in qlists])
+            qflat = qs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
             qi = bqorder[np.searchsorted(qsorted, qflat)]
             rows_rep = np.repeat(np.arange(bids.size), cnt)
             xs = x[rows_rep]
@@ -355,9 +387,8 @@ def make_grouped_rerank_scan(
             else:
                 d = 1.0 - ip / np.maximum(np.sqrt(x2) * qn[qi], 1e-10)
             d = np_round_half_up(d)
-            yield pd.DataFrame(
-                {"query_id": bqids[qi], id_col: bids[rows_rep], "dist": d}
-            )
+            yield result_batch(out_schema, query_id=bqids[qi],
+                               **{id_col: bids[rows_rep]}, dist=d)
 
     return rerank
 
@@ -484,20 +515,28 @@ class PQTable:
         bc = spark.sparkContext.broadcast((self.codebooks, self.groups, self.n_bits))
         vec_col, id_col = self.vec_col, self.id_col
 
-        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import vec_matrix
+
             codebooks, groups, n_bits = bc.value
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                x = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
+                               dtype=np.float64)
                 codes = np.empty((x.shape[0], len(groups)), dtype=np.uint8)
                 for gi, (start, size) in enumerate(groups):
                     d = _pairwise_dist(x[:, start : start + size], codebooks[gi], "l2sqr")
                     codes[:, gi] = np.argmin(d, axis=1)
-                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                    "code": pack_codes(codes, n_bits)})
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64()),
+                     pa.array(pack_codes(codes, n_bits), type=pa.binary())],
+                    names=[id_col, "code"],
+                )
 
-        return df.select(id_col, vec_col).mapInPandas(
+        return df.select(id_col, vec_col).mapInArrow(
             encode, schema=f"{id_col} long, code binary"
         )
 
@@ -547,17 +586,25 @@ class PQTable:
         bc = spark.sparkContext.broadcast((lut, sq, qnorm, self.m, self.n_bits))
         id_col = self.id_col
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from lab_1806_vec_db_spark.functions.arrowvec import binary_matrix
+
             blut, bsq, bqnorm, m, n_bits = bc.value
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                buf = binary_matrix(rb.column(rb.schema.get_field_index("code")))
                 codes = unpack_codes(buf, m, n_bits)
                 d = PQTable._adc_scores(codes, blut, bsq, bqnorm)
-                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "dist": d})
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64()),
+                     pa.array(d, type=pa.float64())],
+                    names=[id_col, "dist"],
+                )
 
-        return self.codes.mapInPandas(scan, schema=f"{id_col} long, dist double")
+        return self.codes.mapInArrow(scan, schema=f"{id_col} long, dist double")
 
     # ---- search = ADC topk(ef) → exact re-rank topk(k) (Q5, A10) ---------
 
@@ -638,20 +685,28 @@ class PQTable:
         # LUT-bound chunk and parallelism comes from code partitions.
 
         def make_scan(bc):
-            def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+                from lab_1806_vec_db_spark.functions.arrowvec import (
+                    binary_matrix,
+                    knn_schema,
+                    result_batch,
+                )
+
                 bqids, blut3, bsq, bqn, m, n_bits = bc.value
+                out_schema = knn_schema(id_col)
                 # (m, ksub, |Q|) C-contiguous LUT: the per-group gather
                 # lut_t[g][codes[:, g]] then copies contiguous |Q|-rows
                 # (≈1.8× the transposed-view gather, measured at bench
                 # shape); one cheap transpose per task
                 lut_t = np.ascontiguousarray(blut3.transpose(1, 2, 0))
                 run_d = run_id = None
-                for pdf in batches:
-                    if pdf.empty:
+                for rb in batches:
+                    if rb.num_rows == 0:
                         continue
-                    buf = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(len(pdf), -1)
+                    buf = binary_matrix(rb.column(rb.schema.get_field_index("code")))
                     codes = unpack_codes(buf, m, n_bits)
-                    ids = pdf[id_col].to_numpy()
+                    ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                        zero_copy_only=False)
                     # (n × |Q|) approx distances, accumulated group-by-
                     # group: m cheap 2-D gathers instead of one giant
                     # (|Q|, n, m) fancy-index — no 3-D intermediate
@@ -688,11 +743,12 @@ class PQTable:
                     run_id = np.take_along_axis(idm, sel, axis=0)
                 if run_d is not None:
                     kk = run_d.shape[0]
-                    yield pd.DataFrame({
-                        "query_id": np.repeat(bqids, kk),
-                        id_col: run_id.T.reshape(-1),
-                        "dist": run_d.T.reshape(-1),
-                    })
+                    yield result_batch(
+                        out_schema,
+                        query_id=np.repeat(bqids, kk),
+                        **{id_col: run_id.T.reshape(-1)},
+                        dist=run_d.T.reshape(-1),
+                    )
 
             return scan
 
@@ -705,7 +761,7 @@ class PQTable:
                 (qids[s : s + chunk], lut3, sq, qn, self.m, self.n_bits)
             )
             pieces.append(
-                self.codes.mapInPandas(
+                self.codes.mapInArrow(
                     make_scan(bc), schema=f"query_id long, {id_col} long, dist double"
                 )
             )
@@ -735,7 +791,7 @@ class PQTable:
         rer = (
             self.base.select(id_col, self.vec_col)
             .join(F.broadcast(cand_grouped), id_col)
-            .mapInPandas(
+            .mapInArrow(
                 make_grouped_rerank_scan(
                     spark, qids, qmat, metric, id_col, self.vec_col
                 ),

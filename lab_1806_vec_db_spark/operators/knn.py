@@ -216,21 +216,32 @@ def knn_batch(
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from lab_1806_vec_db_spark.functions.arrowvec import (
+            knn_schema,
+            result_batch,
+            vec_matrix,
+        )
+
         bqids, bq = bc.value
+        out_schema = knn_schema(id_col)
         # running per-TASK top-k (k × |Q|): merging across Arrow
         # batches keeps the shuffle input at tasks × |Q| × k instead of
         # arrow_batches × |Q| × k — identical final result (the global
         # window keeps top-k by the same (dist, id) order; anything
         # pruned here is dominated in-task)
         run_d = run_i = None
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            # zero-copy Arrow flatten — no pandas round-trip of the
+            # vector column (the f64 cast is the only copy)
+            x = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
+                           dtype=np.float64)
             d = _dist_matrix(x, bq, metric)
             d = np_round_half_up(d)
-            ids = pdf[id_col].to_numpy()
+            ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False)
             kk = min(k, d.shape[0])
             order_ids = np.broadcast_to(ids[:, None], d.shape)
             sel = np.lexsort((order_ids, d), axis=0)[:kk, :]
@@ -247,13 +258,14 @@ def knn_batch(
         if run_d is None:
             return
         kk = run_d.shape[0]
-        yield pd.DataFrame({
-            "query_id": np.repeat(bqids, kk),
-            id_col: run_i.T.reshape(-1),
-            "dist": run_d.T.reshape(-1),
-        })
+        yield result_batch(
+            out_schema,
+            query_id=np.repeat(bqids, kk),
+            **{id_col: run_i.T.reshape(-1)},
+            dist=run_d.T.reshape(-1),
+        )
 
-    scored = df.select(id_col, vec_col).mapInPandas(
+    scored = df.select(id_col, vec_col).mapInArrow(
         scan, schema=f"query_id long, {id_col} long, dist double"
     )
     return _topk_per_query(scored, k, id_col, upper_bound)

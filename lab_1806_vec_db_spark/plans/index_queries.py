@@ -101,6 +101,36 @@ def knn_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=4)
 
 
+_IVF_F32_ORACLE = f"""{_Q0},
+f AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT4[]) AS DOUBLE[])
+      AS embedding FROM embeddings)
+SELECT e.vec_id AS vec_id, {_l2_sql(_E, 'q.qv')} AS dist
+FROM f e, q
+ORDER BY dist, vec_id LIMIT 10"""
+
+
+@register("knn_ivf_f32store", _IVF_F32_ORACLE)
+def knn_ivf_f32store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The f32 serving layout for the PLAIN IVF tier (index/ivf.py
+    store_vec_dtype='float32', round 12 — ports the IVF+PQ layout knob
+    to the tier that scans raw vectors, halving every probe's bytes;
+    reference serving precision is f32, vec_set.rs:14-30). The cast
+    lands before sampling, so fit, assignment, persisted layout, and
+    the probed scan all see the same f32-rounded values; probing every
+    cluster makes the result the flat top-k over the f32 store, which
+    the oracle reproduces with the double→float4→double round-trip.
+    Exercises build→persist→load→search on the array<float> layout."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir).cache()
+    tmp = tempfile.mkdtemp(prefix="ivf_f32store_")
+    IVFIndex.build(emb, k=16, metric="l2sqr", vec_col="embedding",
+                   id_col="vec_id", train_size=2000,
+                   path=tmp, store_vec_dtype="float32")
+    idx = IVFIndex.load(spark, tmp)
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=16)
+
+
 @register("knn_pq_rerank", _FLAT_L2_ORACLE)
 def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC scan + exact re-rank with ef = |table| (→ exact top-k,
