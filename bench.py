@@ -52,7 +52,7 @@ Environment:
   BENCH_MATCHED       0 to skip the matched-scale grid (default 1)
   BENCH_MATCHED_N     matched-scale table size (default 10000; 1000000
                       reproduces BENCH_1M.json — use
-                      SPARK_GRAFT_CHUNK_CAP=4096,
+                      SPARK_GRAFT_CHUNK_CAP=1024,
                       SPARK_GRAFT_DRIVER_MEM=48g,
                       SPARK_GRAFT_MAX_RESULT=0 with it)
   BENCH_SF            0 to skip the sf-dir suite (default 1)

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -74,6 +75,13 @@ _VISITED_BUDGET = 256 * 1024 * 1024
 #: peer-distance block while keeping enough nodes per chunk to
 #: amortize the candidate-phase kernel launches
 _CHUNK_CAP = int(os.environ.get("SPARK_GRAFT_CHUNK_CAP", "512"))
+
+#: build phase profile (seconds), reset per _build_graph call and
+#: surfaced as HNSWIndex.build_profile — the measured answer to "is the
+#: 1M build candidate-bound (already parallel) or link-bound (serial
+#: apply)?" (VERDICT r11 item 3). Accumulation is one perf_counter pair
+#: per chunk/phase: noise-free at build granularity.
+BUILD_PHASE: dict[str, float] = {"candidates": 0.0, "select": 0.0, "apply": 0.0}
 
 #: state inherited by fork-pool workers (set immediately before the
 #: pool forks; children snapshot it copy-on-write, so the graph and
@@ -241,6 +249,16 @@ def _forward_select(
     order = np.lexsort((np.where(cat_id < 0, big, cat_id), cat_d), axis=1)
     cd = np.take_along_axis(cat_d, order, axis=1)
     cid = np.take_along_axis(cat_id, order, axis=1)
+    from lab_1806_vec_db_spark.index import ckernel
+
+    if (ckernel.available() and cap <= 128
+            and metric in ("l2sqr", "cosine")
+            and vecs.dtype in (np.float32, np.float64)
+            and vecs.flags["C_CONTIGUOUS"]):
+        # compiled scan: lazy pair distances + first-violation exit —
+        # skips the (R, T, d) gather and the full (R, T, T) GEMM block
+        # (58% of the 1M×960 build wall), and releases the GIL
+        return ckernel.heur_select(cd, cid, vecs, metric, cap)
     # candidate↔candidate distances for the heuristic
     X = vecs[np.clip(cid, 0, None)]
     D = _pairwise_block(X, metric)
@@ -513,20 +531,26 @@ class HNSWIndex:
         (its vectors are f32) at half the memory traffic; float64 is the
         oracle-stable default. ``distributed`` forces/disables the Spark
         candidate phase (auto: on for large builds)."""
-        # Arrow collect: the vector block arrives as ~n ndarray objects,
-        # not n×d boxed floats — a driver heap that stays fork-friendly
-        # (the build's per-chunk worker pools COW-snapshot this process;
-        # millions of live PyFloats would page-fault every child)
-        pdf_rows = df.select(id_col, vec_col).orderBy(id_col).toPandas()
-        ids = pdf_rows[id_col].to_numpy().astype(np.int64, copy=False)
-        vecs = np.asarray(pdf_rows[vec_col].to_list(), dtype=dtype)
-        del pdf_rows
+        # Arrow collect straight to flat numpy: zero per-row Python
+        # objects on the driver — the vector column flattens in place
+        # (functions/arrowvec.py) instead of materializing ~n ndarray
+        # rows through pandas. Keeps the heap fork-friendly for the
+        # build's COW worker pools AND removes the to_list pass that
+        # cost ~minutes of the 1M×960 build's untracked time.
+        from lab_1806_vec_db_spark.functions.arrowvec import vec_matrix
+
+        tbl = df.select(id_col, vec_col).orderBy(id_col).toArrow()
+        ids = tbl.column(0).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        vecs = np.ascontiguousarray(vec_matrix(tbl.column(1), dtype=dtype))
+        del tbl
         graph = cls._build_graph(
             vecs, metric, m, ef_construction, seed,
             spark=df.sparkSession, distributed=distributed,
         )
         obj = cls(ids, vecs, graph, metric, base=df, id_col=id_col, path=path,
                   ef_construction=ef_construction)
+        obj.build_profile = dict(BUILD_PHASE)
         if path is not None:
             obj.save(path)
         return obj
@@ -542,6 +566,8 @@ class HNSWIndex:
         distributed: bool | None = None,
     ) -> _Graph:
         n = vecs.shape[0]
+        for _k in BUILD_PHASE:
+            BUILD_PHASE[_k] = 0.0
         g = _Graph(n, m)
         rng = np.random.default_rng(seed)
         ml = 1.0 / np.log(m)
@@ -625,26 +651,34 @@ class HNSWIndex:
             # sub-graphs at once; ceil(cpus/concurrent tasks) each)
             workers = int(os.environ.get("SPARK_GRAFT_BUILD_WORKERS", "0")) \
                 or (os.cpu_count() or 1)
+            t_c = time.perf_counter()
             if spark is not None:
                 cands = HNSWIndex._spark_candidates(
                     spark, bc_vecs, metric, g, chunk, ef_c, n
                 )
+                BUILD_PHASE["candidates"] += time.perf_counter() - t_c
                 HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             elif use_c:
                 cands = _c_chunk_candidates(
                     g, cvecs, cx2, cxn, metric, chunk, ef_c, workers
                 )
+                BUILD_PHASE["candidates"] += time.perf_counter() - t_c
                 HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             elif workers > 1 and C >= 4 * 8:
+                # fork path fuses candidates + select in the children
                 sels = _forked_chunk_links(
                     g, pd_all, chunk, ef_c, n, workers, metric
                 )
+                BUILD_PHASE["candidates"] += time.perf_counter() - t_c
+                t_a = time.perf_counter()
                 HNSWIndex._apply_selected(g, metric, chunk, sels, pd_all)
+                BUILD_PHASE["apply"] += time.perf_counter() - t_a
             else:
                 cands = _chunk_candidates(
                     g.links, g.counts, g.entry, g.max_level, pd_all,
                     chunk, g.levels[chunk], ef_c, n,
                 )
+                BUILD_PHASE["candidates"] += time.perf_counter() - t_c
                 HNSWIndex._link_chunk(g, vecs, metric, chunk, cands, pd_all)
             # entry-point update (hnsw_index.rs:449-456)
             for idx in chunk:
@@ -746,6 +780,7 @@ class HNSWIndex:
         (arrange_links)."""
         m = g.M
         trim = max(3 * m, 48)
+        t_s = time.perf_counter()
         # peer distances among chunk nodes (hnsw_index.rs:431-438)
         chunk = np.asarray(chunk, dtype=np.int64)
         Xc = vecs[chunk]
@@ -764,10 +799,14 @@ class HNSWIndex:
             cat_id = np.concatenate([pid, peer_ids], axis=1).astype(np.int64)
             cat_id = np.where(np.isfinite(cat_d), cat_id, -1)
             rows = np.asarray(rows, dtype=np.int64)
-            # ~8 blocks for the big level-0 row set: _forward_select
-            # mixes GEMM (GIL-released) with index ops (GIL-held), so
-            # a handful of coarse blocks wins over full-width fan-out
-            blk = max(64, -(-len(rows) // 8))
+            # ~8 blocks when the numpy select runs (it mixes GEMM with
+            # GIL-held index ops — coarse blocks win); the compiled
+            # select releases the GIL outright, so cut finer and fan
+            # wider for real parallelism across the thread pool
+            from lab_1806_vec_db_spark.index import ckernel as _ck
+            c_sel = _ck.available() and m <= 128 and metric in ("l2sqr", "cosine")
+            n_blocks = 4 * (os.cpu_count() or 8) if c_sel else 8
+            blk = max(64, -(-len(rows) // n_blocks))
             for s in range(0, len(rows), blk):
                 tasks.append((L, rows[s:s + blk], cat_d[s:s + blk], cat_id[s:s + blk]))
 
@@ -779,7 +818,9 @@ class HNSWIndex:
         if len(tasks) > 1 and (os.cpu_count() or 1) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=8) as tp:
+            with ThreadPoolExecutor(
+                max_workers=min(32, os.cpu_count() or 8) if c_sel else 8
+            ) as tp:
                 done = list(tp.map(run_sel, tasks))
         else:
             done = [run_sel(t) for t in tasks]
@@ -791,7 +832,10 @@ class HNSWIndex:
                 np.concatenate([p[2] for p in pieces], axis=0),
                 np.concatenate([p[3] for p in pieces], axis=0),
             )
+        BUILD_PHASE["select"] += time.perf_counter() - t_s
+        t_a = time.perf_counter()
         HNSWIndex._apply_selected(g, metric, chunk, sels, pd_all)
+        BUILD_PHASE["apply"] += time.perf_counter() - t_a
 
     @staticmethod
     def _apply_selected(
@@ -1444,18 +1488,27 @@ class HNSWIndex:
         ef_ = ef
         ub = upper_bound
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            from lab_1806_vec_db_spark.functions.arrowvec import (
+                knn_schema,
+                result_batch,
+                vec_matrix,
+            )
             from lab_1806_vec_db_spark.index.pq import build_lookup_batch
 
             ids, vecs, metric, levels, links, counts, entry, max_level, m, pqp = bc.value
             g = _Graph(1, m)
             g.levels, g.links, g.counts, g.entry, g.max_level = levels, links, counts, entry, max_level
             idx = HNSWIndex(ids, vecs, g, metric)
-            for pdf in batches:
-                if pdf.empty:
+            out_schema = knn_schema(id_col)
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                qids = pdf[qid_col].to_numpy()
-                qmat = np.asarray(pdf[qvec_col].to_list(), dtype=vecs.dtype)
+                sch = rb.schema
+                qids = rb.column(sch.get_field_index(qid_col)).to_numpy(
+                    zero_copy_only=False)
+                qmat = vec_matrix(rb.column(sch.get_field_index(qvec_col)),
+                                  dtype=vecs.dtype)
                 adc = None
                 if pqp is not None:
                     codes_np, codebooks, groups, n_bits = pqp
@@ -1467,18 +1520,19 @@ class HNSWIndex:
                     valid &= rd <= ub
                 rows, cols = np.nonzero(valid)
                 if rows.size:
-                    yield pd.DataFrame({
-                        "query_id": qids[rows],
-                        id_col: rid[rows, cols],
-                        "dist": rd[rows, cols],
-                    })
+                    yield result_batch(
+                        out_schema,
+                        query_id=qids[rows],
+                        **{id_col: rid[rows, cols]},
+                        dist=rd[rows, cols],
+                    )
 
         # each query is answered completely inside one task (the graph is
         # broadcast), so results are already exact top-k ascending per
         # query — no cross-partition merge window, no shuffle at all
         out = queries.select(qid_col, qvec_col).repartition(
             max(queries.sparkSession.sparkContext.defaultParallelism, 1)
-        ).mapInPandas(run, schema=f"query_id long, {id_col} long, dist double")
+        ).mapInArrow(run, schema=f"query_id long, {id_col} long, dist double")
         if qid_col != "query_id":
             out = out.withColumnRenamed("query_id", qid_col)
         return out

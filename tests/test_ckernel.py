@@ -247,3 +247,42 @@ def test_batch_fanout_reuses_persistent_thread_pool(spark):
     assert (ids[:, 0] == np.arange(64)).all()
     idx.close_pool()
     assert idx._tpool is None
+
+
+@pytest.mark.parametrize("metric", ["l2sqr", "cosine"])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_heur_select_matches_numpy(metric, dtype):
+    """The compiled forward-link selection (lazy pair distances, early
+    exit) accepts exactly the numpy batch heuristic's set — same order,
+    same packing — across metrics and serving dtypes."""
+    if not ckernel.available():
+        pytest.skip("no C toolchain on this host")
+    from lab_1806_vec_db_spark.index.hnsw import (
+        _heuristic_select_batch,
+        _pairwise_block,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, R, T, cap = 3000, 48, 150, 40, 12
+    vecs = np.ascontiguousarray(rng.standard_normal((n, d)).astype(dtype))
+    cid = rng.integers(0, n, size=(R, T)).astype(np.int64)
+    q = rng.standard_normal((R, d))
+    diff = vecs[cid].astype(np.float64) - q[:, None, :]
+    cd = np.einsum("rtd,rtd->rt", diff, diff)
+    cid[:, -4:] = -1
+    cd[:, -4:] = np.inf  # padding must be skipped, not selected
+    order = np.lexsort(
+        (np.where(cid < 0, np.iinfo(np.int64).max, cid), cd), axis=1)
+    cd = np.take_along_axis(cd, order, axis=1)
+    cid = np.take_along_axis(cid, order, axis=1)
+    X = vecs[np.clip(cid, 0, None)]
+    taken = _heuristic_select_batch(cd, _pairwise_block(X, metric), cap)
+    np_id = np.full((R, cap), -1, dtype=np.int64)
+    np_d = np.full((R, cap), np.inf)
+    for r in range(R):
+        t = np.nonzero(taken[r])[0]
+        np_id[r, : t.size] = cid[r, t]
+        np_d[r, : t.size] = cd[r, t]
+    c_id, c_d = ckernel.heur_select(cd, cid, vecs, metric, cap)
+    assert np.array_equal(np_id, c_id)
+    assert np.allclose(np_d, c_d)

@@ -137,6 +137,58 @@ def test_stream_ingest_into_live_ivfpq(spark, tmp_path):
     db.close()
 
 
+def test_stream_ingest_with_executor_cache_pin(spark, tmp_path):
+    """VERDICT r11 item 4: db.executor_cache=True under streaming
+    ingest. Every foreachBatch append swaps the codes frame
+    (_repersist_codes has cache-manager-sensitive semantics), so this
+    drives the real interaction: post-epoch searches must see the
+    appended rows AND the executor pin must be re-applied to the
+    post-swap frame after every micro-batch."""
+    db = VecDB(str(tmp_path / "db_pin"), spark)
+    db.executor_cache = True
+    db.create_table_if_not_exists("t", dim=DIM, dist="l2sqr")
+    rng = np.random.default_rng(13)
+    seed_vecs = [_mk_vec(rng) for _ in range(64)]
+    db.batch_add("t", seed_vecs, [{"src": "seed", "i": str(i)} for i in range(64)])
+    db.build_ivfpq_index("t", k_coarse=4, m=4, n_bits=8, train_size=64, n_probes=4)
+    idx = db._indexes["t"]["ivfpq"]
+    assert idx.codes_clustered.storageLevel.useMemory  # pin placed at build
+
+    waves = [[_mk_vec(rng) for _ in range(6)] for _ in range(2)]
+    src = str(tmp_path / "stream_src_pin")
+    os.makedirs(src)
+    for w, wave in enumerate(waves):
+        spark.createDataFrame(
+            [(f"s{w}_{i}", v) for i, v in enumerate(wave)],
+            "tag string, vec array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("tag string, vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_vecdb(
+        stream, db, "t", vec_col="vec", meta_cols=("tag",),
+        checkpoint=str(tmp_path / "ckpt_pin"),
+    )
+    q.awaitTermination(120)
+
+    idx = db._indexes["t"]["ivfpq"]
+    # the pin survived two append-epoch codes-frame swaps
+    assert idx.codes_clustered.storageLevel.useMemory
+    assert db.get_len("t") == 64 + 12
+    assert idx.codes_clustered.count() == 64 + 12  # no dup/missing codes
+    # every streamed row is searchable through the pinned frame
+    for wave in waves:
+        probe = wave[0]
+        queries = spark.createDataFrame(
+            [(0, probe)], "query_id long, vec array<double>")
+        rows = db.batch_search("t", queries, k=1, ef=64).collect()
+        assert rows and rows[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+        assert rows[0]["id"] >= 64
+    db.close()
+
+
 def test_distributed_ingest_zero_driver_vector_pull(spark, tmp_path, seeded_db, monkeypatch):
     """The round-8 verdict's remaining driver-side data path is gone:
     with a live broadcast-tier HNSW graph, the distributed streaming
