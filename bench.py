@@ -782,12 +782,16 @@ def run_matched(spark) -> dict:
     build_sec["pq_m320"] = round(time.time() - t0, 1)
 
     # ---- HNSW+PQ combined knn_pq (hnsw_index.rs:672-696) -----------------
+    # the engine's own dispatch rule decides whether ADC steering pays
+    # at this N (hnsw._auto_steer_pq: cache-resident tables serve the
+    # exact kernel — round 12); the row records which plan actually ran
+    steered = hnsw._auto_steer_pq(pq, None) is not None
     hnsw.search_many_parallel(queries[:128], K, 160, pq=pq, workers=32)  # warm-up
     for ef in _HNSW_PQ_EFS.get(n, (160, 360)):
         bw = 4 if ef < 280 else 6
         best, (ids, _) = _timed(lambda ef=ef, bw=bw: hnsw.search_many_parallel(
             queries, K, ef, pq=pq, workers=32, beam_width=bw))
-        point("hnsw_pq", ef, best, _grid_recall(ids, gt))
+        point("hnsw_pq", ef, best, _grid_recall(ids, gt), steered=steered)
     hnsw.close_pool()
 
     # ---- Flat+PQ: full ADC scan, top-ef, exact re-rank (the reference's

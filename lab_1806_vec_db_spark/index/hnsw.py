@@ -71,6 +71,17 @@ from lab_1806_vec_db_spark.operators.knn import np_round_half_up
 #: in search and node-chunking in build. Q_chunk × N bools ≤ this.
 _VISITED_BUDGET = 256 * 1024 * 1024
 
+#: knn_pq dispatch crossover: ADC steering pays only once the vector
+#: matrix falls out of CPU cache. Measured at N=10k/dim=960/f32 (38 MB)
+#: the exact compiled kernel beats the steered one at every ef
+#: (BENCH_FULL.json matched grid: hnsw ef=120 0.034 ms/q vs hnsw_pq
+#: ef=100 0.039 — the LUT build + code gather is pure overhead while
+#: the f32 rows are cache-hot), while at N=1M (3.8 GB) steering is ~2×
+#: faster (BENCH_1M.json; SCALE.md "code-shape trade": crossover
+#: N ≳ 100k at dim 960). 256 MB sits ~2-4× past big-host L3, safely on
+#: the steering-wins side of the measured boundary.
+ADC_STEER_MIN_BYTES = 256 << 20
+
 #: build insert-chunk cap: bounds the link phase's quadratic
 #: peer-distance block while keeping enough nodes per chunk to
 #: amortize the candidate-phase kernel launches
@@ -1076,6 +1087,22 @@ class HNSWIndex:
             self._pq_cache = (id(pq), aligned_codes(pq, self.ids))
         return self._pq_cache[1]
 
+    def _auto_steer_pq(self, pq, steer: bool | None):
+        """knn_pq dispatch rule for the driver-side serving paths:
+        ``steer=None`` (auto) drops the ADC steering and serves the
+        exact kernel while the vector matrix is cache-resident
+        (< ADC_STEER_MIN_BYTES) — the contract is unchanged (the
+        steered ef pool is exact-re-ranked anyway, so both paths
+        return exact distances), recall can only improve, and the
+        exact kernel is measured faster below the threshold.
+        ``steer=True`` forces the steered kernel (parity tests, forced
+        A/Bs); ``steer=False`` disables it."""
+        if pq is None or steer is False:
+            return None
+        if steer is True:
+            return pq
+        return pq if self.vecs.nbytes >= ADC_STEER_MIN_BYTES else None
+
     def adc_for(self, pq, qmat: np.ndarray) -> ADCPairDist:
         """Per-query-block ADC distance backend for the knn_pq combined
         path: the aligned codes plus the per-query lookup tensors
@@ -1091,13 +1118,16 @@ class HNSWIndex:
         return ADCPairDist(codes, lut, sq, qn)
 
     def search_np(
-        self, q: np.ndarray, k: int, ef: int | None, pq=None
+        self, q: np.ndarray, k: int, ef: int | None, pq=None,
+        steer: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Single-query driver-side search (point-serve hot path).
         ``pq``: a trained PQTable → knn_pq (ADC-steered traversal +
-        exact re-rank, hnsw_index.rs:672-696)."""
+        exact re-rank, hnsw_index.rs:672-696); ``steer``: None = auto
+        (see _auto_steer_pq), True/False force/disable steering."""
         from lab_1806_vec_db_spark.index import ckernel
 
+        pq = self._auto_steer_pq(pq, steer)
         n = self.vecs.shape[0]
         if pq is None and n > 0 and ckernel.available():
             # lean path: one staged foreign call + a k-row f64
@@ -1129,10 +1159,12 @@ class HNSWIndex:
         adc: ADCPairDist | None = None,
         pq=None,
         beam_width: int = 1,
+        steer: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Driver-side batch search over a (Q × d) query block — the
         reference's bench regime (all queries against in-memory state)."""
         qmat = np.asarray(qmat, dtype=self.vecs.dtype)
+        pq = self._auto_steer_pq(pq, steer)
         if adc is None and pq is not None:
             adc = self.adc_for(pq, qmat)
         return self._kernel_search(qmat, k, ef, adc=adc, beam_width=beam_width)
@@ -1206,6 +1238,7 @@ class HNSWIndex:
         pq=None,
         workers: int | None = None,
         beam_width: int = 4,
+        steer: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched driver-side search fanned over a persistent fork
         pool: queries are the parallel axis, workers inherit the graph
@@ -1216,9 +1249,12 @@ class HNSWIndex:
         ``search_batch`` path is the same kernel fanned over executor
         tasks instead."""
         qmat = np.asarray(qmat, dtype=self.vecs.dtype)
+        pq = self._auto_steer_pq(pq, steer)
         w = int(workers or os.cpu_count() or 1)
         if w <= 1 or qmat.shape[0] < 4 * w:
-            return self.search_many(qmat, k, ef, pq=pq, beam_width=beam_width)
+            # steer already resolved — don't re-apply the auto rule
+            return self.search_many(qmat, k, ef, pq=pq, steer=pq is not None,
+                                    beam_width=beam_width)
         from lab_1806_vec_db_spark.index import ckernel
 
         if ckernel.available() and (

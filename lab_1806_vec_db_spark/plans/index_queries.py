@@ -245,7 +245,11 @@ def knn_hnsw_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  vec_col="embedding", id_col="vec_id")
     pq.codes = pq.encode_df(emb)
     qv = _query_vec(spark, sf_dir)
-    ids, dists = idx.search_np(np.asarray([float(x) for x in qv]), 10, 600, pq=pq)
+    # steer=True: this entry exists to exercise the ADC-steered kernel;
+    # at sf scale the auto rule (hnsw.ADC_STEER_MIN_BYTES) would
+    # otherwise dispatch the cache-resident table to the exact kernel
+    ids, dists = idx.search_np(np.asarray([float(x) for x in qv]), 10, 600, pq=pq,
+                               steer=True)
     rows = sorted(
         ((int(i), float(d)) for i, d in zip(ids, dists)), key=lambda t: (t[1], t[0])
     )

@@ -84,8 +84,9 @@ def test_threaded_adc_matches_batch(emb):
     pq.codes.count()
     rng = np.random.default_rng(9)
     qmat = rng.normal(size=(64, 64))
-    bid, bd = idx.search_many(qmat, 10, 150, pq=pq)
-    tid, td = idx.search_many_parallel(qmat, 10, 150, pq=pq, workers=8)
+    bid, bd = idx.search_many(qmat, 10, 150, pq=pq, steer=True)
+    tid, td = idx.search_many_parallel(qmat, 10, 150, pq=pq, workers=8,
+                                       steer=True)
     assert np.array_equal(tid, bid)
     assert np.allclose(td, bd)
 

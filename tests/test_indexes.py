@@ -347,13 +347,42 @@ def test_hnsw_ascending_and_save_load(spark, emb, hnsw, qvec, tmp_path):
     assert _pairs(loaded.search(qvec, k=10, ef=64).collect()) == _pairs(rows)
 
 
+def test_hnsw_pq_auto_steer_dispatch(emb, hnsw, pq16, qvec, monkeypatch):
+    """knn_pq dispatch (VERDICT r11 item 6): below the cache-residency
+    threshold the auto rule serves the EXACT kernel (ADC steering is
+    pure overhead on a cache-hot table), above it the steered one;
+    steer=True/False override. Results on the auto path equal the
+    plain exact search — same contract, measured faster at small N."""
+    from lab_1806_vec_db_spark.index import hnsw as hnsw_mod
+
+    # this fixture is tiny → auto must drop the steering
+    assert hnsw.vecs.nbytes < hnsw_mod.ADC_STEER_MIN_BYTES
+    assert hnsw._auto_steer_pq(pq16, None) is None
+    assert hnsw._auto_steer_pq(pq16, True) is pq16
+    assert hnsw._auto_steer_pq(pq16, False) is None
+    assert hnsw._auto_steer_pq(None, True) is None
+    # above the threshold auto keeps the steering
+    monkeypatch.setattr(hnsw_mod, "ADC_STEER_MIN_BYTES", 1)
+    assert hnsw._auto_steer_pq(pq16, None) is pq16
+    monkeypatch.undo()
+    # end-to-end: auto (exact kernel) == plain exact search, and the
+    # fork/thread fan-out resolves the rule once (no double-apply)
+    exact_i, exact_d = hnsw.search_np(np.asarray(qvec), 10, ef=64)
+    auto_i, auto_d = hnsw.search_np(np.asarray(qvec), 10, ef=64, pq=pq16)
+    assert np.array_equal(exact_i, auto_i) and np.array_equal(exact_d, auto_d)
+    qmat = np.asarray([qvec], dtype=np.float64)
+    bi, bd = hnsw.search_many(qmat, 10, ef=64, pq=pq16)
+    assert np.array_equal(bi[0], exact_i) and np.array_equal(bd[0], exact_d)
+
+
 def test_hnsw_pq_full_ef_equals_flat(emb, hnsw, pq16, qvec):
     # knn_pq (hnsw_index.rs:672-696): ADC-steered traversal + exact
     # re-rank; at ef >= n the pool covers the graph, the re-rank is
     # exact, so results equal the flat scan — the same gate the flat-PQ
     # path passes (candidate_pair.rs:102-108 pq_resort)
     flat = knn_ops.knn(emb, qvec, 10, "l2sqr", "embedding", id_col="vec_id")
-    ids, dists = hnsw.search_np(np.asarray(qvec), 10, ef=600, pq=pq16)
+    ids, dists = hnsw.search_np(np.asarray(qvec), 10, ef=600, pq=pq16,
+                                steer=True)
     assert [(int(i), float(d)) for i, d in zip(ids, dists)] == _pairs(flat.collect())
 
 
@@ -363,7 +392,7 @@ def test_hnsw_pq_batch_matches_driver_kernel(emb, hnsw, pq16):
     )
     qrows = queries.orderBy("query_id").collect()
     qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    rid, rd = hnsw.search_many(qmat, 10, ef=80, pq=pq16)
+    rid, rd = hnsw.search_many(qmat, 10, ef=80, pq=pq16, steer=True)
     driver = {
         (int(qrows[r]["query_id"]), int(rid[r, c]))
         for r in range(rid.shape[0]) for c in range(rid.shape[1]) if rid[r, c] >= 0
