@@ -494,7 +494,7 @@ class HNSWIndex:
         self.dirty = False
         # (id(pq), aligned code matrix) — recomputed when the PQ table
         # changes or rows are added (the codes must cover every id)
-        self._pq_cache: tuple[int, np.ndarray] | None = None
+        self._pq_cache: tuple | None = None  # (pq, pq.codes, aligned)
         self._pool = None
         self._pool_key = None
         # pools are released deterministically when the index object is
@@ -1080,12 +1080,17 @@ class HNSWIndex:
     def _codes_for(self, pq) -> np.ndarray:
         """PQ codes aligned to this graph's id order (cached — they are
         query-independent; materializing them is a Spark action, so
-        callers must do this once before any thread/fork fan-out)."""
+        callers must do this once before any thread/fork fan-out).
+        Keyed by the pq OBJECT and its codes frame via ``is`` (strong
+        refs — same identity contract as the serving-broadcast cache):
+        an id()-keyed entry could serve stale codes after gc id reuse
+        or an in-place codes append."""
         from lab_1806_vec_db_spark.index.pq import aligned_codes
 
-        if self._pq_cache is None or self._pq_cache[0] != id(pq):
-            self._pq_cache = (id(pq), aligned_codes(pq, self.ids))
-        return self._pq_cache[1]
+        c = self._pq_cache
+        if c is None or c[0] is not pq or c[1] is not pq.codes:
+            self._pq_cache = (pq, pq.codes, aligned_codes(pq, self.ids))
+        return self._pq_cache[2]
 
     def _auto_steer_pq(self, pq, steer: bool | None):
         """knn_pq dispatch rule for the driver-side serving paths:
@@ -1174,8 +1179,19 @@ class HNSWIndex:
     def _ensure_pool(self, pq, workers: int):
         import multiprocessing as mp
 
-        key = (None if pq is None else id(pq), workers)
-        if self._pool is not None and self._pool_key == key:
+        # identity key with strong refs (same contract as _codes_for /
+        # the serving-broadcast cache): a recycled id() or an in-place
+        # pq.codes swap must NOT reuse a fork pool whose children hold
+        # the pre-swap aligned codes
+        key = (pq, None if pq is None else pq.codes, workers)
+        prev = self._pool_key
+        if (
+            self._pool is not None
+            and prev is not None
+            and prev[0] is key[0]
+            and prev[1] is key[1]
+            and prev[2] == workers
+        ):
             return self._pool
         # close_pool() also tears down any _tpool BEFORE the fork below:
         # forking with live worker threads would copy their lock state

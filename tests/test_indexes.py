@@ -421,6 +421,32 @@ def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
     assert np.mean(recalls) >= 0.8  # ADC-steered, exact re-ranked
 
 
+def test_hnsw_driver_pq_caches_key_by_identity(emb, hnsw, pq16):
+    """The driver-side twins of the serving-broadcast cache — the
+    aligned-codes cache (_codes_for) and the fork-pool key — must also
+    key on the pq object AND its codes frame by identity: a recycled
+    id() or an in-place codes append (pq.codes swap) otherwise serves
+    stale aligned codes from the cache or from forked children."""
+    import numpy as np
+
+    qrows = emb.select("embedding").limit(16).collect()
+    qmat = np.asarray([r[0] for r in qrows], dtype=np.float64)
+    orig_codes = pq16.codes
+    try:
+        a, _ = hnsw.search_many(qmat, 5, ef=80, pq=pq16, steer=True)
+        cache1 = hnsw._pq_cache
+        assert cache1 is not None and cache1[0] is pq16
+        hnsw.search_many(qmat, 5, ef=80, pq=pq16, steer=True)
+        assert hnsw._pq_cache is cache1  # same pq + codes → reused
+        pq16.codes = pq16.codes.select("*")  # in-place swap (append path)
+        b, _ = hnsw.search_many(qmat, 5, ef=80, pq=pq16, steer=True)
+        assert hnsw._pq_cache is not cache1  # re-aligned
+        assert np.array_equal(a, b)  # same content → same results
+    finally:
+        pq16.codes = orig_codes  # module-scoped fixture — restore
+        hnsw._pq_cache = None
+
+
 def test_hnsw_serving_broadcast_pq_identity(emb, hnsw, pq16):
     """The serving-broadcast cache keys on the pq OBJECT and its codes
     frame by identity: a different PQTable (even one landing on a

@@ -120,6 +120,23 @@ def main() -> None:
                                 "recall_at_10": round(_recall(got, gt), 4)})
             print(out["rows"][-1], flush=True)
 
+    # forced fused (single job, no re-rank join) on the pinned f32
+    # frame: the round-11 "two-pass wins at 960-dim" call predates the
+    # Arrow-native scans — re-measure it on the current code
+    for n_probes in (8, 32):
+        for ef in (200,):
+            best, rows = _timed(lambda p=n_probes, e=ef: ivfpq.search_batch(
+                qdf, k=K, n_probes=p, ef=e, qvec_col="embedding",
+                fuse_rerank=True).collect())
+            got = _ids_by_query(rows)
+            same = got == dist_ids[(n_probes, ef)]
+            out["rows"].append({"name": "ivfpq_k128_fused", "n_probes": n_probes,
+                                "ef": ef,
+                                "ms_per_query": round(best / n_q * 1000.0, 4),
+                                "recall_at_10": round(_recall(got, gt), 4),
+                                "ids_match_twopass": bool(same)})
+            print(out["rows"][-1], flush=True)
+
     assert ivfpq.enable_local_serve(max_bytes=12 << 30)
     for n_probes in (8, 32):
         for ef in (40, 200):
@@ -172,6 +189,10 @@ def main() -> None:
         d, l = row("ivfpq_k128", p, 200), row("ivfpq_k128_local", p, 200)
         gates[f"dist_over_local_{p}p_ef200"] = round(
             d["ms_per_query"] / l["ms_per_query"], 3)
+        fz = row("ivfpq_k128_fused", p, 200)
+        if fz:
+            gates[f"fused_over_local_{p}p_ef200"] = round(
+                fz["ms_per_query"] / l["ms_per_query"], 3)
     for p in (8, 32):
         f64, f32 = row("ivf_k128", p), row("ivf_k128_f32", p)
         gates[f"ivf_f64_over_f32_{p}p"] = round(
