@@ -724,26 +724,63 @@ _lib: ctypes.CDLL | None = None
 _tried = False
 
 
+def _load_validated(path: str) -> ctypes.CDLL | None:
+    """dlopen + export check: a cache artifact with missing symbols
+    (raced writer, interrupted build, disk-full tail) must read as
+    'no kernel', never crash a later binder."""
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    if hasattr(lib, "hnsw_search_f64") and hasattr(lib, "heur_select_f64"):
+        return lib
+    return None
+
+
 def _compile() -> ctypes.CDLL | None:
     src = _source()
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     so_path = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}.so")
-    if not os.path.exists(so_path):
-        cfile = so_path[:-3] + ".c"
+    if os.path.exists(so_path):
+        lib = _load_validated(so_path)
+        if lib is not None:
+            return lib
+        # broken cached artifact — drop it and recompile below
+        try:
+            os.unlink(so_path)
+        except OSError:
+            pass
+    # ALL scratch paths are pid-unique. The .c in particular must never
+    # be shared: 32 executor workers hit first-use together, and a
+    # worker re-truncating a shared .c while another's cc reads it
+    # compiles an EMPTY/partial file into a symbol-less .so that then
+    # atomically replaces the good one (observed in round 12: a 14 KB
+    # zero-export .so in the cache crashed every later binder). The
+    # fresh build is also LOADED from the pid-unique path — dlopen
+    # caches by pathname, so re-loading so_path in a process that
+    # already mapped the broken artifact would return the stale handle.
+    cfile = so_path + f".{os.getpid()}.c"
+    tmp_so = so_path + f".{os.getpid()}"
+    cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", tmp_so, cfile, "-lm"]
+    try:
         with open(cfile, "w") as f:
             f.write(src)
-        tmp_so = so_path + f".{os.getpid()}"
-        cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", tmp_so, cfile, "-lm"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(tmp_so, so_path)  # atomic vs concurrent compilers
-        except (subprocess.SubprocessError, OSError):
-            return None
-    try:
-        return ctypes.CDLL(so_path)
-    except OSError:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        lib = _load_validated(tmp_so)
+        if lib is not None:
+            # publish for other processes; the rename keeps the inode
+            # this process has mapped, so the handle stays valid
+            os.replace(tmp_so, so_path)
+        return lib
+    except (subprocess.SubprocessError, OSError):
         return None
+    finally:
+        for p in (cfile, tmp_so):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 _PP = ctypes.POINTER(ctypes.POINTER(ctypes.c_int))
@@ -830,7 +867,13 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is None and not _tried:
             lib = _compile()
             if lib is not None:
-                _bind(lib)
+                try:
+                    _bind(lib)
+                except (AttributeError, OSError):
+                    # cache artifact with missing exports that slipped
+                    # past _compile's validation — compiled kernels are
+                    # optional everywhere, so fall back, don't crash
+                    lib = None
             _lib = lib
             _tried = True
     return _lib

@@ -1139,6 +1139,7 @@ class IVFPQIndex:
         fuse_rerank: bool | None = None,
         acc_cap_rows: int = 2_000_000,
         acc_vec_bytes: int = 256 << 20,
+        debug_stage: str | None = None,
     ) -> DataFrame:
         """Batch IVF+PQ: one pruned scan of the codes table; each
         partition scores a row only for the queries probing its
@@ -1153,7 +1154,12 @@ class IVFPQIndex:
         f64 candidate vectors. Python workers are per-core, so the
         executor-wide footprint multiplies by concurrent task slots —
         size these down on memory-tight executors (the result set is
-        identical at any cap; smaller caps just compact more often)."""
+        identical at any cap; smaller caps just compact more often).
+
+        ``debug_stage`` (diagnostic only): ``"approx"`` returns the raw
+        per-task candidate frame, ``"cand"`` the globally ADC-gated
+        candidate ids — lets a profiler time the scan+gate wave apart
+        from the re-rank wave without duplicating the plan here."""
         metric = metric or self.model.metric
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
@@ -1434,6 +1440,11 @@ class IVFPQIndex:
         approx = pieces[0]
         for p in pieces[1:]:
             approx = approx.unionByName(p)
+        if debug_stage == "approx":
+            return approx
+        if debug_stage == "cand" and not fused:
+            return _topk_per_query(approx, ef_, id_col, None).select(
+                "query_id", id_col)
         if fused:
             # global ADC gate (top-ef by rounded ADC, id tie-break —
             # identical to the two-pass plan's candidate cut), then the

@@ -287,3 +287,59 @@ def test_heur_select_matches_numpy(metric, dtype):
     c_id, c_d = ckernel.heur_select(cd, cid, vecs, metric, cap)
     assert np.array_equal(np_id, c_id)
     assert np.allclose(np_d, c_d)
+
+
+def test_broken_so_cache_recovers_not_crashes(tmp_path):
+    """Round-12 incident: a raced first-use compile can install a
+    symbol-less .so in the shared cache (concurrent writers once shared
+    the .c scratch), and every later binder then crashed at _bind with
+    AttributeError. _compile must validate exports, recompile once over
+    a broken artifact, and publish a good library — in a process that
+    already dlopened the broken path (dlopen caches by pathname)."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    if not ckernel.available():
+        pytest.skip("no C toolchain on this host")
+    src = ckernel._source()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    so = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}.so")
+    # isolate in a subprocess: it plants a broken .so, dlopens it (so
+    # the pathname is cached stale in THAT process), then asks ckernel
+    # for the kernel — must get a working one, and must republish a
+    # validated artifact for other processes
+    repo_root = os.path.abspath(ckernel.__file__).rsplit(
+        "/lab_1806_vec_db_spark", 1)[0]
+    code = f"""
+import ctypes, os, subprocess, sys
+sys.path.insert(0, {repo_root!r})
+so = {so!r}
+cfile = so + ".plant.c"
+open(cfile, "w").write("")
+subprocess.run(["cc", "-shared", "-fPIC", "-o", so, cfile], check=True)
+os.unlink(cfile)
+ctypes.CDLL(so)  # poison this process's dlopen pathname cache
+from lab_1806_vec_db_spark.index import ckernel
+assert ckernel.available(), "must recover via recompile, not crash"
+lib = ckernel.get_lib()
+assert hasattr(lib, "hnsw_search_f64")
+print("OK")
+"""
+    before = os.path.getsize(so) if os.path.exists(so) else None
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "OK" in out.stdout
+        # the published cache entry is the validated rebuild
+        assert os.path.exists(so)
+        import ctypes as ct
+
+        assert hasattr(ct.CDLL(so), "hnsw_search_f64")
+    finally:
+        # leave a good artifact behind for the other tests
+        if not os.path.exists(so) and before is not None:
+            ckernel._compile()
