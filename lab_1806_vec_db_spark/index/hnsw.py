@@ -554,6 +554,12 @@ class HNSWIndex:
         ids = tbl.column(0).combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64, copy=False)
         vecs = np.ascontiguousarray(vec_matrix(tbl.column(1), dtype=dtype))
+        if vecs.size == 0:
+            # empty table: dim is uninferable from zero rows — restore
+            # the 1-D (0,) shape every consumer already handles (the
+            # Arrow bridge returns (0, 0), which slipped past
+            # add_batch's empty-graph guard and broke the first append)
+            vecs = vecs.reshape(0)
         del tbl
         graph = cls._build_graph(
             vecs, metric, m, ef_construction, seed,
@@ -1714,11 +1720,13 @@ class HNSWIndex:
         ``ef_construction`` (unless overridden). Marks the index dirty;
         persistence is the caller's save policy."""
         new_vecs = np.asarray(new_vecs, dtype=self.vecs.dtype)
-        if self.vecs.ndim == 1:
-            # a graph built over an EMPTY table materializes vecs as a
-            # 1-D (0,) array (no rows to infer dim from); give it the
-            # first batch's width so the concat below is well-formed
-            self.vecs = self.vecs.reshape(0, new_vecs.shape[1])
+        if self.vecs.ndim == 1 or (self.vecs.shape[0] == 0
+                                   and self.vecs.shape[1] != new_vecs.shape[1]):
+            # a graph built over an EMPTY table materializes vecs with
+            # no rows to infer dim from — (0,) from build, (0, 0) from
+            # an Arrow bridge; give it the first batch's width so the
+            # concat below is well-formed
+            self.vecs = np.empty((0, new_vecs.shape[1]), dtype=self.vecs.dtype)
         n_old = self.vecs.shape[0]
         vecs = np.concatenate([self.vecs, new_vecs], axis=0)
         ids = np.concatenate([self.ids, np.asarray(new_ids, dtype=np.int64)])

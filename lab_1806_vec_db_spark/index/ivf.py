@@ -84,14 +84,20 @@ class IVFIndex:
 
         ``store_vec_dtype="float32"`` serves the probed scan from f32
         vectors — the reference's own serving precision (vec_set.rs
-        stores f32) — halving the bytes every probe reads and ships
-        through Arrow. The cast is applied BEFORE sampling, so the
-        quantizer fit, the assignment, and the stored vectors all see
-        the same f32-rounded values (the whole pipeline stays
-        SQL-reproducible via a double→float4→double prelude). Distances
-        still accumulate in f64; they carry f32 input error (~1e-7
-        relative), an occasional last-decimal flip under the 4-dp
-        contract, so the oracle-checked default stays full precision."""
+        stores f32) — halving the bytes every probe reads from DISK and
+        the index's parquet/cache footprint. The cast is applied BEFORE
+        sampling, so the quantizer fit, the assignment, and the stored
+        vectors all see the same f32-rounded values (the whole pipeline
+        stays SQL-reproducible via a double→float4→double prelude).
+        Distances still accumulate in f64; they carry f32 input error
+        (~1e-7 relative), an occasional last-decimal flip under the
+        4-dp contract, so the oracle-checked default stays full
+        precision. Regime note (measured, BENCH_AUDIT_r12.md §3): the
+        win is the IO-bound serve — parquet probes at 100 TB, memory-
+        tight caches. With the clustered frame fully pinned in executor
+        memory the f32 layout is ~1.5× SLOWER than f64: the scan pays a
+        full upcast copy per Arrow batch while the halved bytes save
+        nothing. Pick by where the bytes come from."""
         if store_vec_dtype not in (None, "float32", "float64"):
             raise ValueError(f"Unsupported store_vec_dtype: {store_vec_dtype}")
         vec_type = {"float32": "array<float>", "float64": "array<double>",

@@ -421,6 +421,27 @@ def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
     assert np.mean(recalls) >= 0.8  # ADC-steered, exact re-ranked
 
 
+def test_hnsw_empty_build_then_append(spark, emb):
+    """Round-12 regression: a graph built over an EMPTY table (create →
+    build → first append, the order VecDB's streaming/lifecycle paths
+    produce) must absorb its first add_batch. The Arrow-bridge build
+    collect materialized empty vecs as (0, 0) — 2-D, so add_batch's
+    1-D empty-graph guard didn't fire and the concat raised."""
+    import numpy as np
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    idx = HNSWIndex.build(empty, metric="l2sqr", vec_col="embedding",
+                          id_col="vec_id", m=8, ef_construction=60)
+    assert idx.vecs.shape[0] == 0
+    rows = emb.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    idx.add_batch(ids, vecs)
+    assert idx.vecs.shape == (10, 64)
+    got_i, got_d = idx.search_np(vecs[3], 1, 16)
+    assert int(got_i[0]) == 3 and float(got_d[0]) == 0.0
+
+
 def test_hnsw_driver_pq_caches_key_by_identity(emb, hnsw, pq16):
     """The driver-side twins of the serving-broadcast cache — the
     aligned-codes cache (_codes_for) and the fork-pool key — must also
