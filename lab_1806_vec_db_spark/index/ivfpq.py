@@ -1464,16 +1464,30 @@ class IVFPQIndex:
             out = _topk_per_query(gated, int(k), id_col, upper_bound)
         else:
             cand = _topk_per_query(approx, ef_, id_col, None).select("query_id", id_col)
-            # exact re-rank: the shared PQ closure (index/pq.py:
-            # make_rerank_scan) over the PROBED cluster directories only
-            # (partition-pruned vec fetch — see _rerank_source)
-            from lab_1806_vec_db_spark.index.pq import make_rerank_scan
+            # exact re-rank: the shared GROUPED PQ closure (index/pq.py:
+            # make_grouped_rerank_scan) over the PROBED cluster
+            # directories only (partition-pruned vec fetch — see
+            # _rerank_source). Candidates are grouped per id below the
+            # broadcast, so each candidate vector crosses Arrow exactly
+            # ONCE no matter how many queries gated it — the flat pair
+            # join duplicated every travelling vector |queries-wanting-
+            # it| times (the PQ batch path measured that duplication
+            # dominating its re-rank task; at 1M/960-dim the wave-B
+            # vector ship is ef·|Q|·dim·4 B ≈ 0.8 GB flat vs the
+            # distinct-id set grouped). Per-pair expansion happens in
+            # numpy inside the closure.
+            from lab_1806_vec_db_spark.index.pq import make_grouped_rerank_scan
 
+            cand_grouped = cand.groupBy(id_col).agg(
+                F.collect_list("query_id").alias("_qs")
+            )
             rer = (
                 self._rerank_source(sorted(all_probed))
-                .join(F.broadcast(cand), id_col)
+                .join(F.broadcast(cand_grouped), id_col)
                 .mapInArrow(
-                    make_rerank_scan(spark, qids, qmat, metric, id_col, self.vec_col),
+                    make_grouped_rerank_scan(
+                        spark, qids, qmat, metric, id_col, self.vec_col
+                    ),
                     schema=f"query_id long, {id_col} long, dist double",
                 )
             )
