@@ -157,10 +157,12 @@ def main() -> None:
     gc.collect()
 
     # ---- plain IVF: f64 in-memory vs f32 store ------------------------
+    # BENCH_AB_SKIP_IVF=1 → ivfpq-only run (faster re-measure loop)
     from lab_1806_vec_db_spark.index.ivf import IVFIndex
 
-    for tag, kwargs in (("ivf_k128", {}),
-                        ("ivf_k128_f32", {"store_vec_dtype": "float32"})):
+    ivf_tags = () if os.environ.get("BENCH_AB_SKIP_IVF") == "1" else (
+        ("ivf_k128", {}), ("ivf_k128_f32", {"store_vec_dtype": "float32"}))
+    for tag, kwargs in ivf_tags:
         t0 = time.time()
         ivf = IVFIndex.build(bdf, k=128, metric="l2sqr", vec_col="embedding",
                              id_col="vec_id", train_size=1000, **kwargs)
@@ -195,8 +197,9 @@ def main() -> None:
                 fz["ms_per_query"] / l["ms_per_query"], 3)
     for p in (8, 32):
         f64, f32 = row("ivf_k128", p), row("ivf_k128_f32", p)
-        gates[f"ivf_f64_over_f32_{p}p"] = round(
-            f64["ms_per_query"] / f32["ms_per_query"], 3)
+        if f64 and f32:
+            gates[f"ivf_f64_over_f32_{p}p"] = round(
+                f64["ms_per_query"] / f32["ms_per_query"], 3)
     out["gates"] = gates
     print(json.dumps(gates), flush=True)
 
