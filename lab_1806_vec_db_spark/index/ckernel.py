@@ -770,8 +770,14 @@ def _compile() -> ctypes.CDLL | None:
         lib = _load_validated(tmp_so)
         if lib is not None:
             # publish for other processes; the rename keeps the inode
-            # this process has mapped, so the handle stays valid
-            os.replace(tmp_so, so_path)
+            # this process has mapped, so the handle stays valid.
+            # Publishing is best-effort: a failed replace (cross-device
+            # tmp, permission race) must not discard a validated build —
+            # this process keeps its mapped handle either way
+            try:
+                os.replace(tmp_so, so_path)
+            except OSError:
+                pass
         return lib
     except (subprocess.SubprocessError, OSError):
         return None

@@ -1215,6 +1215,17 @@ class HNSWIndex:
         self._pool_holder["pool"] = self._pool
         return self._pool
 
+    def drop_pq(self) -> None:
+        """Release the PQ-keyed serving caches. _codes_for/_ensure_pool
+        key by object identity with STRONG references (an id() key could
+        alias after gc), which pins a retired PQ table and its codes
+        DataFrame for the index's lifetime — long-lived indexes call
+        this after swapping/discarding a PQ to shed that state. The
+        fork pool is torn down too: its children hold the pre-swap
+        aligned codes."""
+        self._pq_cache = None
+        self.close_pool()
+
     def close_pool(self) -> None:
         if self._pool is not None:
             self._pool.terminate()
@@ -1503,6 +1514,7 @@ class HNSWIndex:
         qvec_col: str = "vec",
         upper_bound: float | None = None,
         pq=None,
+        steer: bool | None = None,
     ) -> DataFrame:
         """Broadcast the graph, run the batched beam kernel inside
         mapInPandas over the queries DataFrame — queries are the
@@ -1511,7 +1523,12 @@ class HNSWIndex:
 
         ``pq``: a trained PQTable → the knn_pq combined path: ADC
         distances steer the traversal, the ef pool is exact-re-ranked
-        in-task (hnsw_index.rs:672-696)."""
+        in-task (hnsw_index.rs:672-696). ``steer`` follows the SAME
+        auto rule as the driver paths (_auto_steer_pq: auto-drop below
+        ADC_STEER_MIN_BYTES), so a query returns the same candidate
+        set whichever path serves it; ``steer=True`` forces steering
+        (parity tests / forced A/Bs)."""
+        pq = self._auto_steer_pq(pq, steer)
         spark = queries.sparkSession
         sc = spark.sparkContext
         # cache hit requires the SAME pq object (strong ref, `is` — an

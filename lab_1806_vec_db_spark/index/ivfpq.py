@@ -1442,7 +1442,16 @@ class IVFPQIndex:
             approx = approx.unionByName(p)
         if debug_stage == "approx":
             return approx
-        if debug_stage == "cand" and not fused:
+        if debug_stage == "cand":
+            if fused:
+                # the fused plan has no standalone candidate wave —
+                # silently returning the full top-k here would let a
+                # profiler believe it timed only the candidate gate
+                raise ValueError(
+                    "debug_stage='cand' has no meaning under the fused plan "
+                    "(candidates are exact-re-ranked inside the probe scan); "
+                    "pass fuse_rerank=False to profile the two-pass waves."
+                )
             return _topk_per_query(approx, ef_, id_col, None).select(
                 "query_id", id_col)
         if fused:

@@ -304,42 +304,44 @@ def test_broken_so_cache_recovers_not_crashes(tmp_path):
 
     if not ckernel.available():
         pytest.skip("no C toolchain on this host")
-    src = ckernel._source()
-    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
-    so = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{tag}.so")
-    # isolate in a subprocess: it plants a broken .so, dlopens it (so
-    # the pathname is cached stale in THAT process), then asks ckernel
-    # for the kernel — must get a working one, and must republish a
-    # validated artifact for other processes
+    # isolate in a subprocess WITH ITS OWN TMPDIR (_compile derives the
+    # cache path from tempfile.gettempdir(), honored at process start):
+    # planting the broken .so in the real shared cache made unrelated
+    # parallel test workers hit the poisoned window. The subprocess
+    # plants a broken .so at its private cache path, dlopens it (so the
+    # pathname is cached stale in THAT process), then asks ckernel for
+    # the kernel — must get a working one, and must republish a
+    # validated artifact at the (private) published path
     repo_root = os.path.abspath(ckernel.__file__).rsplit(
         "/lab_1806_vec_db_spark", 1)[0]
     code = f"""
-import ctypes, os, subprocess, sys
+import ctypes, hashlib, os, subprocess, sys, tempfile
 sys.path.insert(0, {repo_root!r})
-so = {so!r}
+assert tempfile.gettempdir() == os.environ["TMPDIR"], "TMPDIR isolation failed"
+from lab_1806_vec_db_spark.index import ckernel
+tag = hashlib.sha256(ckernel._source().encode()).hexdigest()[:16]
+so = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_{{tag}}.so")
 cfile = so + ".plant.c"
 open(cfile, "w").write("")
 subprocess.run(["cc", "-shared", "-fPIC", "-o", so, cfile], check=True)
 os.unlink(cfile)
 ctypes.CDLL(so)  # poison this process's dlopen pathname cache
-from lab_1806_vec_db_spark.index import ckernel
 assert ckernel.available(), "must recover via recompile, not crash"
 lib = ckernel.get_lib()
 assert hasattr(lib, "hnsw_search_f64")
-print("OK")
+print("OK " + so)
 """
-    before = os.path.getsize(so) if os.path.exists(so) else None
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=300)
-        assert out.returncode == 0, out.stderr[-2000:]
-        assert "OK" in out.stdout
-        # the published cache entry is the validated rebuild
-        assert os.path.exists(so)
-        import ctypes as ct
+    env = dict(os.environ, TMPDIR=str(tmp_path))
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300,
+                         env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+    # the published cache entry is the validated rebuild — checked from
+    # THIS process (the subprocess's dlopen pathname cache would hand
+    # back the stale broken handle for the same path)
+    import ctypes as ct
 
-        assert hasattr(ct.CDLL(so), "hnsw_search_f64")
-    finally:
-        # leave a good artifact behind for the other tests
-        if not os.path.exists(so) and before is not None:
-            ckernel._compile()
+    so = out.stdout.split("OK ", 1)[1].strip()
+    assert os.path.dirname(so) == str(tmp_path)
+    assert hasattr(ct.CDLL(so), "hnsw_search_f64")

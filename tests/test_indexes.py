@@ -400,7 +400,7 @@ def test_hnsw_pq_batch_matches_driver_kernel(emb, hnsw, pq16):
     dist = {
         (int(r["query_id"]), int(r["vec_id"]))
         for r in hnsw.search_batch(queries, k=10, ef=80, qvec_col="embedding",
-                                   pq=pq16).collect()
+                                   pq=pq16, steer=True).collect()
     }
     assert driver == dist
 
@@ -414,7 +414,8 @@ def test_hnsw_pq_partial_ef_recall(emb, hnsw, pq16):
     by_q_f, by_q_g = {}, {}
     for r in flat.collect():
         by_q_f.setdefault(r["query_id"], set()).add(r["vec_id"])
-    got = hnsw.search_batch(queries, k=10, ef=120, qvec_col="embedding", pq=pq16)
+    got = hnsw.search_batch(queries, k=10, ef=120, qvec_col="embedding",
+                            pq=pq16, steer=True)
     for r in got.collect():
         by_q_g.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(by_q_f[q] & by_q_g.get(q, set())) / 10 for q in by_q_f]
@@ -477,17 +478,20 @@ def test_hnsw_serving_broadcast_pq_identity(emb, hnsw, pq16):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding",
+                      pq=pq16, steer=True).collect()
     assert hnsw._bc_cache is not None and hnsw._bc_cache[0] is pq16
     bc1 = hnsw._bc_cache[2]
-    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+    hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding",
+                      pq=pq16, steer=True).collect()
     assert hnsw._bc_cache[2] is bc1  # same pq object + codes → reused
     # an in-place codes swap (what a codes append does) invalidates —
     # same content, new frame object: identity, not equality, is the key
     orig_codes = pq16.codes
     try:
         pq16.codes = pq16.codes.select("*")
-        hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect()
+        hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding",
+                      pq=pq16, steer=True).collect()
         assert hnsw._bc_cache[2] is not bc1
         bc2 = hnsw._bc_cache[2]
     finally:
@@ -951,3 +955,42 @@ def test_hnsw_serving_broadcast_cached_and_invalidated(emb):
     got = idx.search_batch(q450, k=1, ef=64, qvec_col="embedding").collect()
     assert got and got[0]["vec_id"] == 450 and got[0]["dist"] == 0.0
     assert idx._bc_cache[2] is not bc1
+
+
+def test_hnsw_batch_auto_steer_matches_driver_paths(emb, hnsw, pq16):
+    """Round-12 advisory: the executor search_batch path always steered
+    when pq was given while the driver paths auto-dropped steering below
+    ADC_STEER_MIN_BYTES — the same logical query could return different
+    candidate sets depending on which path served it. search_batch now
+    applies the SAME auto rule: at this (cache-resident) scale, pq under
+    auto is dropped and the result equals the plain exact-kernel serve."""
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding",
+                             pq=pq16).collect()
+    plain = hnsw.search_batch(queries, k=5, ef=64, qvec_col="embedding").collect()
+    key = lambda r: (r["query_id"], r["dist"], r["vec_id"])
+    assert sorted(auto, key=key) == sorted(plain, key=key)
+    # auto-drop is visible in the serving cache: no pq broadcast built
+    assert hnsw._bc_cache[0] is None
+
+
+def test_hnsw_drop_pq_releases_caches(emb, hnsw, pq16):
+    """drop_pq() sheds the identity-keyed strong references (_pq_cache,
+    fork-pool key) so a long-lived index doesn't pin a retired PQ table
+    and its codes DataFrame (round-12 advisory)."""
+    import numpy as np
+
+    qmat = np.asarray(
+        [r[0] for r in emb.select("embedding").limit(4).collect()],
+        dtype=np.float64,
+    )
+    hnsw.search_many(qmat, 5, ef=64, pq=pq16, steer=True)
+    assert hnsw._pq_cache is not None and hnsw._pq_cache[0] is pq16
+    hnsw.drop_pq()
+    assert hnsw._pq_cache is None
+    assert hnsw._pool is None and hnsw._pool_key is None
+    # the index still serves after the release
+    ids, _ = hnsw.search_np(qmat[0], 3, ef=32)
+    assert ids.size == 3

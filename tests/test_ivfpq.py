@@ -544,3 +544,22 @@ def test_store_vec_dtype_f32(spark, emb, qvec, tmp_path):
         IVFPQIndex.build(half, k_coarse=8, m=16, n_bits=8,
                          vec_col="embedding", id_col="vec_id",
                          train_size=250, store_vec_dtype="float16")
+
+
+def test_debug_stage_cand_refuses_fused_plan(emb, ivfpq):
+    """debug_stage='cand' has no candidate wave to time under the fused
+    plan — silently returning the full top-k skewed wave-split profiles
+    (round-12 advisory). Must refuse loudly instead."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="fused"):
+        ivfpq.search_batch(queries, k=5, n_probes=4, ef=32,
+                           qvec_col="embedding", fuse_rerank=True,
+                           debug_stage="cand")
+    # the two-pass plan still serves the candidate stage
+    cand = ivfpq.search_batch(queries, k=5, n_probes=4, ef=32,
+                              qvec_col="embedding", fuse_rerank=False,
+                              debug_stage="cand")
+    assert cand.columns == ["query_id", "vec_id"]
+    assert cand.count() > 0
