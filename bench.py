@@ -211,7 +211,36 @@ def _densify_rows(spark, emb, target: int):
     ).repartition(32)
 
 
-def run_sf_suite(spark) -> dict:
+#: index builds each suite row depends on — drives ``only_row`` mode
+#: (the interleaved regression A/B re-times ONE row per leg, building
+#: nothing else)
+_ROW_DEPS = {
+    "flat_batch": set(),
+    "ivf_probe50pct": {"ivf"},
+    "pq_ef80": {"pq"},
+    "ivfpq_probe50pct": {"ivfpq"},
+    "hnsw_ef120": {"hnsw"},
+    "hnsw_pq_ef120": {"hnsw", "pq"},
+    "hnsw_filtered_ef360": {"hnsw"},
+    "hnsw_point_serve": {"hnsw"},
+}
+
+
+def run_sf_suite(spark, only_row: str | None = None) -> dict:
+    """The full suite, or (``only_row``) ONE row timed in isolation:
+    only that row's index builds run, no ground truth / recall /
+    canary — the leg unit of the interleaved regression A/B, which
+    compares best-of legs of the SAME row across code versions in a
+    fresh JVM each."""
+    if only_row is not None and only_row not in _ROW_DEPS:
+        raise ValueError(f"unknown suite row: {only_row!r} (rows: {sorted(_ROW_DEPS)})")
+    deps = (
+        {"ivf", "pq", "ivfpq", "hnsw"} if only_row is None else _ROW_DEPS[only_row]
+    )
+
+    def want(row: str) -> bool:
+        return only_row is None or only_row == row
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     emb = read_table(spark, SF_DIR, "embeddings").cache()
     n_real = emb.count()  # materialize the cache (warm-up action)
@@ -239,105 +268,121 @@ def run_sf_suite(spark) -> dict:
             id_col="vec_id", qid_col="query_id", qvec_col="embedding",
         ).collect()
 
-    gt_path = os.path.join(
-        GT_DIR,
-        f"{os.path.basename(SF_DIR.rstrip('/'))}_n{n_rows}_q{N_QUERIES}_k{K}",
-    )
-    gt_df = knn_ops.load_ground_truth(spark, gt_path)
-    timings["flat_batch"], flat_rows = _timed(run_flat)
-    if gt_df is None:
-        gt_df = knn_ops.ground_truth(
-            emb, queries, k=K, metric="l2sqr", vec_col="embedding",
-            id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    if want("flat_batch"):
+        timings["flat_batch"], flat_rows = _timed(run_flat)
+    gt: dict[int, set[int]] = {}
+    if only_row is None:
+        gt_path = os.path.join(
+            GT_DIR,
+            f"{os.path.basename(SF_DIR.rstrip('/'))}_n{n_rows}_q{N_QUERIES}_k{K}",
         )
-        knn_ops.save_ground_truth(gt_df, gt_path)
         gt_df = knn_ops.load_ground_truth(spark, gt_path)
-    gt: dict[int, set[int]] = {
-        int(r["query_id"]): set(map(int, r["knn_indices"]))
-        for r in gt_df.collect()
-    }
-    recalls["flat_batch"] = _recall(flat_rows, gt)
+        if gt_df is None:
+            gt_df = knn_ops.ground_truth(
+                emb, queries, k=K, metric="l2sqr", vec_col="embedding",
+                id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+            )
+            knn_ops.save_ground_truth(gt_df, gt_path)
+            gt_df = knn_ops.load_ground_truth(spark, gt_path)
+        gt = {
+            int(r["query_id"]): set(map(int, r["knn_indices"]))
+            for r in gt_df.collect()
+        }
+        recalls["flat_batch"] = _recall(flat_rows, gt)
 
     # ---- IVF -------------------------------------------------------------
     # sqrt(N)-ish cluster count, probe ~25% — the recall/pruning balance
     # the reference's IVF test regime targets (ivf_index.rs:166-235)
     ivf_k = max(8, int(np.sqrt(n_rows)))
-    t0 = time.time()
-    ivf = IVFIndex.build(emb, k=ivf_k, metric="l2sqr", vec_col="embedding",
-                         id_col="vec_id", train_size=10_000)
-    ivf.clustered = ivf.clustered.cache()
-    ivf.clustered.count()
-    build_sec["ivf"] = time.time() - t0
     n_probes = max(2, ivf_k // 2)
+    if "ivf" in deps:
+        t0 = time.time()
+        ivf = IVFIndex.build(emb, k=ivf_k, metric="l2sqr", vec_col="embedding",
+                             id_col="vec_id", train_size=10_000)
+        ivf.clustered = ivf.clustered.cache()
+        ivf.clustered.count()
+        build_sec["ivf"] = time.time() - t0
 
-    def run_ivf():
-        return ivf.search_batch(queries, k=K, n_probes=n_probes, qvec_col="embedding").collect()
+        def run_ivf():
+            return ivf.search_batch(queries, k=K, n_probes=n_probes, qvec_col="embedding").collect()
 
-    timings["ivf_probe50pct"], rows = _timed(run_ivf)
-    recalls["ivf_probe50pct"] = _recall(rows, gt)
+        timings["ivf_probe50pct"], rows = _timed(run_ivf)
+        if only_row is None:
+            recalls["ivf_probe50pct"] = _recall(rows, gt)
 
     # ---- PQ (4-bit, m=ceil(dim/3)) ---------------------------------------
-    t0 = time.time()
-    pq = PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.2,
-                       vec_col="embedding", id_col="vec_id")
-    pq.codes.count()
-    build_sec["pq"] = time.time() - t0
+    if "pq" in deps:
+        t0 = time.time()
+        pq = PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.2,
+                           vec_col="embedding", id_col="vec_id")
+        pq.codes.count()
+        build_sec["pq"] = time.time() - t0
 
-    def run_pq():
-        return pq.search_batch(queries, k=K, ef=80, metric="l2sqr",
-                               qvec_col="embedding").collect()
+        def run_pq():
+            return pq.search_batch(queries, k=K, ef=80, metric="l2sqr",
+                                   qvec_col="embedding").collect()
 
-    timings["pq_ef80"], rows = _timed(run_pq)
-    recalls["pq_ef80"] = _recall(rows, gt)
+        if want("pq_ef80"):
+            timings["pq_ef80"], rows = _timed(run_pq)
+            if only_row is None:
+                recalls["pq_ef80"] = _recall(rows, gt)
 
     # ---- IVF+PQ (index/ivfpq.py — both pruning axes) ---------------------
-    from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
+    if "ivfpq" in deps:
+        from lab_1806_vec_db_spark.index.ivfpq import IVFPQIndex
 
-    t0 = time.time()
-    ivfpq = IVFPQIndex.build(emb, k_coarse=ivf_k, m=22, n_bits=4,
-                             metric="l2sqr", vec_col="embedding",
-                             id_col="vec_id", train_size=10_000, dim=64)
-    ivfpq.persist_codes()  # executor-side pin (index API, round 11)
-    build_sec["ivfpq"] = time.time() - t0
+        t0 = time.time()
+        ivfpq = IVFPQIndex.build(emb, k_coarse=ivf_k, m=22, n_bits=4,
+                                 metric="l2sqr", vec_col="embedding",
+                                 id_col="vec_id", train_size=10_000, dim=64)
+        ivfpq.persist_codes()  # executor-side pin (index API, round 11)
+        build_sec["ivfpq"] = time.time() - t0
 
-    def run_ivfpq():
-        return ivfpq.search_batch(queries, k=K, n_probes=n_probes, ef=80,
-                                  qvec_col="embedding").collect()
+        def run_ivfpq():
+            return ivfpq.search_batch(queries, k=K, n_probes=n_probes, ef=80,
+                                      qvec_col="embedding").collect()
 
-    timings["ivfpq_probe50pct"], rows = _timed(run_ivfpq)
-    recalls["ivfpq_probe50pct"] = _recall(rows, gt)
+        timings["ivfpq_probe50pct"], rows = _timed(run_ivfpq)
+        if only_row is None:
+            recalls["ivfpq_probe50pct"] = _recall(rows, gt)
 
     # ---- HNSW ------------------------------------------------------------
-    t0 = time.time()
-    hnsw = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
-                           id_col="vec_id", m=16, ef_construction=200)
-    build_sec["hnsw"] = time.time() - t0
+    if "hnsw" in deps:
+        t0 = time.time()
+        hnsw = HNSWIndex.build(emb, metric="l2sqr", vec_col="embedding",
+                               id_col="vec_id", m=16, ef_construction=200)
+        build_sec["hnsw"] = time.time() - t0
 
     def run_hnsw():
         return hnsw.search_batch(queries, k=K, ef=120, qvec_col="embedding").collect()
 
-    timings["hnsw_ef120"], rows = _timed(run_hnsw)
-    recalls["hnsw_ef120"] = _recall(rows, gt)
+    if want("hnsw_ef120"):
+        timings["hnsw_ef120"], rows = _timed(run_hnsw)
+        if only_row is None:
+            recalls["hnsw_ef120"] = _recall(rows, gt)
 
     # ---- HNSW+PQ combined (knn_pq: ADC-steered traversal + exact
     # re-rank, hnsw_index.rs:672-696) — the reference's fastest config --
-    def run_hnsw_pq():
-        return hnsw.search_batch(queries, k=K, ef=120, qvec_col="embedding",
-                                 pq=pq).collect()
+    if want("hnsw_pq_ef120"):
+        def run_hnsw_pq():
+            return hnsw.search_batch(queries, k=K, ef=120, qvec_col="embedding",
+                                     pq=pq).collect()
 
-    timings["hnsw_pq_ef120"], rows = _timed(run_hnsw_pq)
-    recalls["hnsw_pq_ef120"] = _recall(rows, gt)
+        timings["hnsw_pq_ef120"], rows = _timed(run_hnsw_pq)
+        if only_row is None:
+            recalls["hnsw_pq_ef120"] = _recall(rows, gt)
 
     # ---- filtered ANN (oversample-and-filter over the live graph;
     # label predicate keeps ~10% of rows — the selective regime where
     # the pool join and the exact-fallback detection both do work) ----
     filt = emb.filter(F.col("label") == 1)
     gt_f: dict[int, set[int]] = {}
-    for r in knn_ops.knn_batch(
-        filt, queries, k=K, metric="l2sqr", vec_col="embedding",
-        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
-    ).collect():
-        gt_f.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    if only_row is None:
+        for r in knn_ops.knn_batch(
+            filt, queries, k=K, metric="l2sqr", vec_col="embedding",
+            id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+        ).collect():
+            gt_f.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
 
     def run_hnsw_filtered():
         # ef=360 ≈ 1.5× k/selectivity with a 1.2 thin-intersection
@@ -353,28 +398,42 @@ def run_sf_suite(spark) -> dict:
             fallback_margin=1.2,
         ).collect()
 
-    timings["hnsw_filtered_ef360"], rows = _timed(run_hnsw_filtered)
-    recalls["hnsw_filtered_ef360"] = _recall(rows, gt_f)
+    if want("hnsw_filtered_ef360"):
+        timings["hnsw_filtered_ef360"], rows = _timed(run_hnsw_filtered)
+        if only_row is None:
+            recalls["hnsw_filtered_ef360"] = _recall(rows, gt_f)
 
     # ---- HNSW point-serve (zero Spark jobs — the reference's own
     # latency regime: sequential in-memory queries, bench.rs:423-426) --
-    qrows = queries.orderBy("query_id").collect()
-    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    qids = [int(r["query_id"]) for r in qrows]
-    n_point = min(len(qids), 300)
+    if want("hnsw_point_serve"):
+        qrows = queries.orderBy("query_id").collect()
+        qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+        qids = [int(r["query_id"]) for r in qrows]
+        n_point = min(len(qids), 300)
 
-    def run_point():
-        out = []
-        for i in range(n_point):
-            ids, _ = hnsw.search_np(qmat[i], K, 120)
-            out.append((qids[i], ids))
-        return out
+        def run_point():
+            out = []
+            for i in range(n_point):
+                ids, _ = hnsw.search_np(qmat[i], K, 120)
+                out.append((qids[i], ids))
+            return out
 
-    best, out = _timed(run_point)
-    timings["hnsw_point_serve"] = best * (n_q / n_point)  # normalized to suite size
-    recalls["hnsw_point_serve"] = float(
-        np.mean([len(set(map(int, ids)) & gt[q]) / len(gt[q]) for q, ids in out])
-    )
+        best, out = _timed(run_point)
+        timings["hnsw_point_serve"] = best * (n_q / n_point)  # normalized to suite size
+        if only_row is None:
+            recalls["hnsw_point_serve"] = float(
+                np.mean([len(set(map(int, ids)) & gt[q]) / len(gt[q]) for q, ids in out])
+            )
+
+    if only_row is not None:
+        return {
+            "row": only_row,
+            "best_sec": round(float(timings[only_row]), 4),
+            "runs": RUNS,
+            "n_rows": int(n_rows),
+            "n_queries": int(n_q),
+            "build_sec": {k_: round(v, 3) for k_, v in build_sec.items()},
+        }
 
     # ---- host-noise canary: re-time one already-measured row at the
     # END of the suite. On a quiet host this re-run reproduces the
@@ -1156,7 +1215,145 @@ def _vs_prev_normalized(cur: dict) -> dict:
     }
 
 
+def _prev_round_commit(prev_round: int) -> str | None:
+    """Commit holding the previous round's code: the one that ADDED its
+    bench artifact (the driver commits artifacts on top of that round's
+    final code)."""
+    import subprocess
+
+    if prev_round is None:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
+             "--", f"BENCH_r{prev_round:02d}.json"],
+            cwd=here, capture_output=True, text=True, timeout=60,
+        )
+        sha = out.stdout.strip()
+        if not sha:
+            out = subprocess.run(
+                ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
+                 "--", f"BENCH_r{prev_round}.json"],
+                cwd=here, capture_output=True, text=True, timeout=60,
+            )
+            sha = out.stdout.strip()
+        return sha or None
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def _ab_leg(repo_dir: str, row: str, runs: int) -> float | None:
+    """One A/B leg: a FRESH process+JVM times one suite row in
+    ``repo_dir``'s code. Uses THIS bench.py as the harness in both legs
+    (copied into the prev worktree), so the timing loop is identical
+    and only the package code differs."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_RUNS=str(runs))
+    env.pop("BENCH_AB", None)  # a leg must never recurse into adjudication
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo_dir, "bench.py"), "--ab-row", row],
+            cwd=repo_dir, env=env, capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_AB_LEG_TIMEOUT", "1800")),
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if d.get("row") == row:
+                return float(d["best_sec"])
+        sys.stderr.write(f"[ab] leg failed for {row}: {out.stderr[-500:]}\n")
+        return None
+    except (subprocess.SubprocessError, OSError) as e:
+        sys.stderr.write(f"[ab] leg errored for {row}: {e}\n")
+        return None
+
+
+def _ab_verdict(ab_ratio: float) -> str:
+    """Best-of-legs HEAD/prev → verdict: ``cleared`` ≤ 1.1 (the r12
+    audit convention: HEAD best at-or-under prev best, with 10% for
+    leg-level jitter), ``regression_confirmed`` > 1.2 (the same bar the
+    normalized flag uses, now measured same-host same-hour), else
+    ``inconclusive`` (re-run on a quieter window)."""
+    return ("cleared" if ab_ratio <= 1.1
+            else "regression_confirmed" if ab_ratio > 1.2
+            else "inconclusive")
+
+
+def _self_adjudicate(flagged: dict, prev_round: int) -> dict:
+    """Interleaved same-host A/B of every flagged suite row against the
+    previous round's code — IN the artifact, not in a side doc. The
+    round-12 lesson: on an unstable host the per-row normalized gate
+    flags rows that identical code reproduces 2× apart, and the only
+    adjudication that held up was alternating HEAD/prev legs minutes
+    apart with best-of aggregation (docs/BENCH_AUDIT_r12.md §1). Legs
+    alternate prev→HEAD→prev→HEAD (fresh JVM each); verdict:
+    ``cleared`` if HEAD best ≤ 1.1× prev best, ``regression_confirmed``
+    if > 1.2×, else ``inconclusive``."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sha = _prev_round_commit(prev_round)
+    if sha is None:
+        return {k: {"ratio": v, "verdict": "ab_unavailable",
+                    "note": "prev-round commit not found"} for k, v in flagged.items()}
+    wt = tempfile.mkdtemp(prefix="bench_ab_wt_")
+    legs_per_side = int(os.environ.get("BENCH_AB_LEGS", "2"))
+    leg_runs = int(os.environ.get("BENCH_AB_RUNS", "2"))
+    out: dict = {}
+    try:
+        subprocess.run(["git", "worktree", "add", "--force", "--detach", wt, sha],
+                       cwd=here, check=True, capture_output=True, timeout=120)
+        # identical harness both sides: prev package code + THIS timing loop
+        shutil.copy2(os.path.join(here, "bench.py"), os.path.join(wt, "bench.py"))
+        for row, ratio in flagged.items():
+            prev_best: float | None = None
+            head_best: float | None = None
+            for _ in range(legs_per_side):
+                for side, repo in (("prev", wt), ("head", here)):
+                    t = _ab_leg(repo, row, leg_runs)
+                    if t is None:
+                        continue
+                    if side == "prev":
+                        prev_best = t if prev_best is None else min(prev_best, t)
+                    else:
+                        head_best = t if head_best is None else min(head_best, t)
+            entry: dict = {"ratio": ratio}
+            if prev_best is None or head_best is None:
+                entry["verdict"] = "ab_failed"
+            else:
+                ab_ratio = head_best / max(prev_best, 1e-9)
+                entry.update({
+                    "ab_head_best": round(head_best, 4),
+                    "ab_prev_best": round(prev_best, 4),
+                    "ab_ratio": round(ab_ratio, 3),
+                    "verdict": _ab_verdict(ab_ratio),
+                })
+            out[row] = entry
+    except (subprocess.SubprocessError, OSError) as e:
+        for row, ratio in flagged.items():
+            out.setdefault(row, {"ratio": ratio, "verdict": "ab_error",
+                                 "note": str(e)[:200]})
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=here, capture_output=True, timeout=120)
+        shutil.rmtree(wt, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab-row":
+        # one-row leg mode (see _self_adjudicate): fresh JVM, one row,
+        # one JSON line
+        spark = get_spark("bench_ab")
+        print(json.dumps(run_sf_suite(spark, only_row=sys.argv[2])))
+        spark.stop()
+        return
     spark = get_spark("bench")
     if SF_SUITE:
         out = run_sf_suite(spark)
@@ -1211,6 +1408,21 @@ def main() -> None:
                 " — CAUTION: the canary shows mid-run host drift this run;"
                 " re-measure flagged rows before believing them"
             )
+    # Self-adjudicating gate (round 13): every flagged row is re-run
+    # interleaved against the previous round's code IN THIS ARTIFACT —
+    # round 12 proved the raw flag can't be believed on an unstable
+    # host and the acquittal lived in a side doc. BENCH_AB=0 skips
+    # (leaves the bare ratios).
+    vp = out["vs_prev_normalized"]
+    flagged = vp.get("regressions_gt_1p2") or {}
+    flagged = {k: v for k, v in flagged.items() if k in _ROW_DEPS}
+    if flagged and os.environ.get("BENCH_AB", "1") != "0":
+        vp["regressions_gt_1p2"] = _self_adjudicate(
+            flagged, vp.get("prev_round"))
+        vp["note"] += (
+            "; flagged rows carry an interleaved prev-vs-HEAD A/B "
+            "(fresh JVM per leg, best-of) with a verdict"
+        )
     # Full result → repo file: the harness keeps only a ~2000-char tail
     # of stdout, which truncated the full JSON line in earlier rounds
     # ("parsed": null in BENCH_r03/r04).

@@ -171,6 +171,7 @@ class IVFIndex:
         qvec_col: str = "vec",
         upper_bound: float | None = None,
         max_queries: int = 200_000,
+        compute_dtype: str | None = None,
     ) -> DataFrame:
         """Batch IVF kNN: each query scans only its own probed clusters.
 
@@ -178,7 +179,24 @@ class IVFIndex:
         ranking over the tiny centroid set) → broadcast-join with the
         clustered base on ``cluster_id`` → Arrow-batched distance → per
         query top-k. Scored rows ≈ |Q| · n_probes/k · |base| — the
-        pruning ratio of the reference, distributed."""
+        pruning ratio of the reference, distributed.
+
+        ``compute_dtype``: numeric precision of the scan's distance
+        GEMM. ``None`` (auto) follows the STORE dtype — an f32 layout
+        is served with f32 arithmetic end-to-end, the reference's own
+        serving precision (distance/mod.rs:43-51 sums f32; accumulation
+        order is the BLAS kernel's, as the reference's is its SIMD
+        lanes'), and the scan touches the Arrow buffer zero-copy with
+        no upcast copy per batch — round-12 measured the per-batch f64
+        upcast making the f32 layout ~1.5× SLOWER than f64 in the
+        memory-cached regime. ``"float64"`` forces full-precision
+        arithmetic over the stored values (bit-compatible with the
+        DuckDB oracles; what the 4-dp contract was validated against).
+        Distances are rounded on the 4-dp grid in f64 either way; f32
+        arithmetic can flip a rounded last decimal on near-ties, so
+        forced-f64 remains the choice where oracle hash-equality
+        matters. The single-query path computes JVM-side in f64 over
+        the stored values regardless (Catalyst expression)."""
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
@@ -198,9 +216,12 @@ class IVFIndex:
         for qi, row in enumerate(probes):
             for c in row:
                 by_cluster.setdefault(int(c), []).append(qi)
+        if compute_dtype not in (None, "float32", "float64"):
+            raise ValueError(f"Unsupported compute_dtype: {compute_dtype}")
         bc = spark.sparkContext.broadcast((qids, qmat, by_cluster, self.model.metric))
         vec_col, id_col = self.vec_col, self.id_col
         k_ = int(k)
+        cdt = compute_dtype
 
         def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
             from lab_1806_vec_db_spark.functions.arrowvec import (
@@ -234,13 +255,18 @@ class IVFIndex:
                 n_buf = ids_a.size
                 return qx, ids_a, d_a
 
+            bqc = None  # query block in the compute dtype (cast once per task)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                # zero-copy views: the vector column flattens in place
-                # (f32 layouts upcast once here); no pandas round-trip
+                # zero-copy views: the vector column flattens in place;
+                # compute-dtype auto (cdt None) keeps the STORE dtype so
+                # an f32 layout is scanned with no per-batch upcast copy
+                # (see the docstring); no pandas round-trip
                 x_all = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
-                                   dtype=np.float64)
+                                   dtype=np.dtype(cdt) if cdt else None)
+                if bqc is None or bqc.dtype != x_all.dtype:
+                    bqc = np.ascontiguousarray(bq, dtype=x_all.dtype)
                 ids_all = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
                     zero_copy_only=False)
                 cl_all = rb.column(rb.schema.get_field_index("cluster_id")).to_numpy(
@@ -251,8 +277,11 @@ class IVFIndex:
                         continue
                     rows = np.nonzero(cl_all == cid)[0]
                     x = x_all[rows]
-                    d = _pairwise_dist(x, bq[sel], metric)
-                    d = np_round_half_up(d)
+                    d = _pairwise_dist(x, bqc[sel], metric)
+                    # the 4-dp rounding grid stays f64 whatever the
+                    # GEMM precision (the k×n distance matrix is tiny
+                    # next to the vectors it came from)
+                    d = np_round_half_up(d.astype(np.float64, copy=False))
                     ids = ids_all[rows]
                     kk = min(k_, d.shape[0])
                     order_ids = np.broadcast_to(ids[:, None], d.shape)

@@ -1146,15 +1146,19 @@ class IVFPQIndex:
         cluster (LUT gather, no raw vectors touched), keeps its top-ef
         per query; window merge; Arrow re-rank against the base.
 
-        ``acc_cap_rows`` / ``acc_vec_bytes`` bound the per-task
-        candidate accumulator (see the closure note): worst case each
-        concurrently-running task holds ~``acc_cap_rows`` candidate
-        triples (~24 B each, ≈48 MB at the default before a compaction
-        fires) plus, on the fused plan only, up to ``acc_vec_bytes`` of
-        f64 candidate vectors. Python workers are per-core, so the
-        executor-wide footprint multiplies by concurrent task slots —
-        size these down on memory-tight executors (the result set is
-        identical at any cap; smaller caps just compact more often).
+        ``acc_cap_rows`` / ``acc_vec_bytes`` are the compaction FLOORS
+        of the per-task candidate accumulator (see the closure note):
+        a compaction fires when the buffer exceeds the threshold, and
+        the threshold then resets to max(floor, 1.5× the live set) —
+        geometric, so a live set larger than the floor (wide probes ×
+        high ef × high dim) compacts amortized-O(log) times instead of
+        per batch. Worst-case per-task memory is therefore
+        max(``acc_cap_rows``, 1.5× live candidates) triples (~24 B
+        each) plus, on the fused plan only, max(``acc_vec_bytes``,
+        1.5× live candidate-vector bytes) in the STORE dtype. Python
+        workers are per-core, so the executor-wide footprint multiplies
+        by concurrent task slots — size the floors down on memory-tight
+        executors (the result set is identical at any setting).
 
         ``debug_stage`` (diagnostic only): ``"approx"`` returns the raw
         per-task candidate frame, ``"cand"`` the globally ADC-gated
@@ -1248,9 +1252,24 @@ class IVFPQIndex:
             acc_d: list[np.ndarray] = []  # rounded ADC distance
             vec_i: list[np.ndarray] = []  # fused: candidate row ids
             vec_x: list[np.ndarray] = []  # fused: candidate vectors
-            n_buf = n_vec = 0
+            n_buf = 0
+            n_vbytes = 0  # fused: buffered candidate-vector bytes
             cap = int(acc_cap_rows)
-            vcap = max(65_536, int(acc_vec_bytes) // (8 * (bqmat.shape[1] if fused_t else 1)))
+            vbytes = int(acc_vec_bytes)
+            # GEOMETRIC compaction thresholds. The configured caps are
+            # the floor; when a compaction cannot shrink the buffer
+            # below its cap (the per-task LIVE candidate set simply
+            # exceeds it — e.g. 1M/960-dim at 32 probes holds ~200k
+            # live candidates vs a 256 MB/65k-row vector budget), the
+            # threshold grows to 1.5× the post-compaction size instead
+            # of re-firing on every batch. Round-12 measured that
+            # per-batch re-sort thrash blowing the fused plan up 3×
+            # over two-pass at wide probes; with geometric growth total
+            # compaction work is amortized O(live·log) and the memory
+            # worst case is 1.5× the live set — which any correct plan
+            # must hold anyway.
+            cap_dyn = cap
+            vbytes_dyn = vbytes
 
             def _topef(qx, ids, adc):
                 # per-query top-ef by (rounded adc, id) — the same
@@ -1260,7 +1279,8 @@ class IVFPQIndex:
                 return local_topk_grouped(qx, ids, adc, ef_)
 
             def _compact():
-                nonlocal acc_q, acc_i, acc_d, vec_i, vec_x, n_buf, n_vec
+                nonlocal acc_q, acc_i, acc_d, vec_i, vec_x
+                nonlocal n_buf, n_vbytes, cap_dyn, vbytes_dyn
                 qx = np.concatenate(acc_q)
                 ids = np.concatenate(acc_i)
                 adc = np.concatenate(acc_d)
@@ -1268,12 +1288,14 @@ class IVFPQIndex:
                 qx, ids, adc = qx[keep], ids[keep], adc[keep]
                 acc_q, acc_i, acc_d = [qx], [ids], [adc]
                 n_buf = ids.size
+                cap_dyn = max(cap, n_buf + (n_buf >> 1))
                 if fused_t and vec_i:
                     vi = np.concatenate(vec_i)
-                    vx = np.concatenate(vec_x)
+                    vx = np.concatenate(vec_x) if len(vec_x) > 1 else vec_x[0]
                     sel = np.isin(vi, np.unique(ids))
-                    vec_i, vec_x = [vi[sel]], [vx[sel]]
-                    n_vec = vec_i[0].size
+                    vec_i, vec_x = [vi[sel]], [np.ascontiguousarray(vx[sel])]
+                    n_vbytes = vec_x[0].nbytes
+                    vbytes_dyn = max(vbytes, n_vbytes + (n_vbytes >> 1))
                 return qx, ids, adc
 
             out_schema = (
@@ -1360,15 +1382,17 @@ class IVFPQIndex:
                     if fused_t:
                         # buffer the fragment's candidate vectors (each
                         # row lives in exactly one fragment, so ids are
-                        # unique across the buffer); only the gathered
-                        # candidates are cast up to f64
+                        # unique across the buffer) in the STORE dtype —
+                        # buffering f32 layouts at f64 doubled the
+                        # buffer bytes and halved the effective vector
+                        # budget; the lossless f64 upcast happens per
+                        # chunk in the final re-rank instead
                         need = np.unique(flat_rows)
                         vec_i.append(ids[need])
-                        vec_x.append(np.asarray(
-                            vec_all[rows[need]], dtype=np.float64,
-                        ))
-                        n_vec += need.size
-                if n_buf > cap or n_vec > vcap:
+                        grab = np.ascontiguousarray(vec_all[rows[need]])
+                        vec_x.append(grab)
+                        n_vbytes += grab.nbytes
+                if n_buf > cap_dyn or n_vbytes > vbytes_dyn:
                     _compact()
             if not acc_q or n_buf == 0:
                 return
@@ -1379,25 +1403,33 @@ class IVFPQIndex:
                                    query_id=out_qid, **{id_col: ids}, dist=adc)
                 return
             # fused exact re-rank over ONLY the surviving candidates
-            # (vectors were buffered per fragment): same float64 ops
-            # and rounding as the per-fragment form, so results stay
-            # bit-identical to the two-pass plan
+            # (vectors were buffered per fragment): the f64 upcast is
+            # per chunk and lossless, so the ops and rounding match the
+            # per-fragment form and results stay bit-identical to the
+            # two-pass plan
             vi = np.concatenate(vec_i)
-            vx = np.concatenate(vec_x)
+            vx = np.concatenate(vec_x) if len(vec_x) > 1 else vec_x[0]
             o = np.argsort(vi, kind="stable")
             vi_s, vx_s = vi[o], vx[o]
-            xg = vx_s[np.searchsorted(vi_s, ids)]
-            x2 = np.einsum("ij,ij->i", xg, xg)
+            pos = np.searchsorted(vi_s, ids)
+            # per-UNIQUE-vector squared norms once, gathered per pair
+            x2u = np.empty(vx_s.shape[0])
             ex = np.empty(ids.size)
-            step = 16384  # bound the (pairs × dim) gather
+            step = 16384  # bound every (rows × dim) gather/upcast
+            for s0 in range(0, vx_s.shape[0], step):
+                sl = slice(s0, s0 + step)
+                xc = np.asarray(vx_s[sl], dtype=np.float64)
+                x2u[sl] = np.einsum("ij,ij->i", xc, xc)
             for s0 in range(0, ids.size, step):
                 sl = slice(s0, s0 + step)
-                ip = np.einsum("ij,ij->i", xg[sl], bqmat[qx[sl]])
+                xg = np.asarray(vx_s[pos[sl]], dtype=np.float64)
+                ip = np.einsum("ij,ij->i", xg, bqmat[qx[sl]])
+                x2 = x2u[pos[sl]]
                 if bmetric == "l2sqr":
-                    ex[sl] = x2[sl] + bq2[qx[sl]] - 2.0 * ip
+                    ex[sl] = x2 + bq2[qx[sl]] - 2.0 * ip
                 else:
                     ex[sl] = 1.0 - ip / np.maximum(
-                        np.sqrt(x2[sl]) * bqnorm2[qx[sl]], 1e-10
+                        np.sqrt(x2) * bqnorm2[qx[sl]], 1e-10
                     )
             yield result_batch(out_schema, query_id=out_qid, **{id_col: ids},
                                adc_r=adc, dist=np_round_half_up(ex))

@@ -131,6 +131,53 @@ def knn_ivf_f32store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=10, n_probes=16)
 
 
+_IVF_F32C_ORACLE = """WITH q AS (
+  SELECT vec_id AS query_id,
+         CAST(CAST(embedding AS FLOAT4[]) AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 4),
+f AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT4[]) AS DOUBLE[])
+      AS fe FROM embeddings)
+SELECT query_id, vec_id, dist FROM (
+  SELECT q.query_id, e.vec_id,
+         round(round(list_dot_product(e.fe,e.fe) + list_dot_product(q.qv,q.qv)
+               - 2*list_dot_product(e.fe,q.qv), 4), 2) + 0.0 AS dist,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           round(list_dot_product(e.fe,e.fe) + list_dot_product(q.qv,q.qv)
+                 - 2*list_dot_product(e.fe,q.qv), 4), e.vec_id) AS rn
+  FROM f e, q) WHERE rn <= 10"""
+
+
+@register("knn_ivf_f32compute", _IVF_F32C_ORACLE)
+def knn_ivf_f32compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f32 COMPUTE serving over the f32 store (round 13): the batch
+    scan's auto compute_dtype follows the store, so the f32 layout is
+    served with f32 GEMM arithmetic end-to-end — the reference's own
+    serving precision (distance/mod.rs:43-51 sums f32) — with no
+    per-batch upcast copy (the round-12 cached-regime regression).
+    Probing every cluster makes the result the flat top-k over the f32
+    store. The oracle computes the same distances in f64 over the same
+    f32-rounded values; f32 accumulation differs by ~1e-6 relative, so
+    the reported dist is double-rounded onto a 2-dp grid on BOTH sides
+    (4-dp contract grid first, then 2 dp) — id sets and ordering are
+    verified identical at the driver SFs."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir).cache()
+    tmp = tempfile.mkdtemp(prefix="ivf_f32c_")
+    IVFIndex.build(emb, k=16, metric="l2sqr", vec_col="embedding",
+                   id_col="vec_id", train_size=2000,
+                   path=tmp, store_vec_dtype="float32")
+    idx = IVFIndex.load(spark, tmp)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.search_batch(queries, k=10, n_probes=16, qvec_col="embedding")
+    return out.select(
+        "query_id", "vec_id",
+        (F.round(F.col("dist"), 2) + F.lit(0.0)).alias("dist"),
+    )
+
+
 @register("knn_pq_rerank", _FLAT_L2_ORACLE)
 def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC scan + exact re-rank with ef = |table| (→ exact top-k,

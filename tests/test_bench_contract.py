@@ -63,3 +63,56 @@ def test_vs_prev_normalized_compares_against_committed_round():
     assert set(cmp["regressions_gt_1p2"]) == set(prev)  # all 1.5x
     clean = bench._vs_prev_normalized(dict(prev))
     assert not clean["regressions_gt_1p2"]
+
+
+def test_ab_row_deps_cover_every_suite_row():
+    """The interleaved-A/B leg unit must be able to re-time every row
+    the cross-round gate can flag (the committed artifact's queries
+    block IS the flaggable set)."""
+    import bench
+
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+        d = json.load(f)
+    assert set(bench._ROW_DEPS) == set(d["queries"])
+
+
+def test_ab_verdict_rule():
+    import bench
+
+    assert bench._ab_verdict(0.9) == "cleared"
+    assert bench._ab_verdict(1.1) == "cleared"
+    assert bench._ab_verdict(1.15) == "inconclusive"
+    assert bench._ab_verdict(1.5) == "regression_confirmed"
+
+
+def test_prev_round_commit_resolves():
+    """Adjudication anchors on the commit that added the newest
+    committed bench artifact — it must resolve in this repo."""
+    import bench
+
+    _, rnd = bench._latest_committed_normalized()
+    sha = bench._prev_round_commit(rnd)
+    assert sha and len(sha) == 40
+    assert bench._prev_round_commit(None) is None
+
+
+def test_self_adjudicate_schema(monkeypatch):
+    """Every flagged entry the adjudicator returns carries the fields
+    the verdict contract requires: ratio, ab_head_best, ab_prev_best,
+    verdict. Legs are stubbed (prev=1.0s, head=2.0s best-of) — the
+    worktree plumbing runs for real against the prev-round commit."""
+    import bench
+
+    legs = {"prev": [1.2, 1.0], "head": [2.0, 2.2]}
+
+    def fake_leg(repo_dir, row, runs):
+        side = "head" if os.path.abspath(repo_dir) == ROOT else "prev"
+        return legs[side].pop(0) if legs[side] else None
+
+    monkeypatch.setattr(bench, "_ab_leg", fake_leg)
+    _, rnd = bench._latest_committed_normalized()
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd)
+    e = out["pq_ef80"]
+    assert e["ratio"] == 1.35
+    assert e["ab_prev_best"] == 1.0 and e["ab_head_best"] == 2.0
+    assert e["verdict"] == "regression_confirmed"

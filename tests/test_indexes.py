@@ -994,3 +994,38 @@ def test_hnsw_drop_pq_releases_caches(emb, hnsw, pq16):
     # the index still serves after the release
     ids, _ = hnsw.search_np(qmat[0], 3, ef=32)
     assert ids.size == 3
+
+
+def test_ivf_compute_dtype_follows_store(spark, emb, tmp_path):
+    """compute_dtype auto: an f32 layout is scanned with f32 arithmetic
+    (no per-batch upcast copy — the round-12 cached-regime regression),
+    forced float64 reproduces the validated full-precision behavior
+    exactly, and the two agree on ids with dist within the f32 error
+    band (~1e-6 relative, far inside the 4-dp grid)."""
+    path = str(tmp_path / "ivf_f32c")
+    idx32 = IVFIndex.build(emb, k=8, metric="l2sqr", vec_col="embedding",
+                           id_col="vec_id", train_size=400, path=path,
+                           store_vec_dtype="float32")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = idx32.search_batch(queries, k=5, qvec_col="embedding",
+                              n_probes=8).collect()
+    f64 = idx32.search_batch(queries, k=5, qvec_col="embedding",
+                             n_probes=8, compute_dtype="float64").collect()
+    key = lambda r: (r["query_id"], r["vec_id"])
+    a, b = sorted(auto, key=key), sorted(f64, key=key)
+    assert [key(r) for r in a] == [key(r) for r in b]
+    assert all(abs(x["dist"] - y["dist"]) <= 2e-4 for x, y in zip(a, b))
+    # forced f32 on a full-precision store also serves (downcast scan)
+    idx64 = IVFIndex.build(emb, k=8, metric="l2sqr", vec_col="embedding",
+                           id_col="vec_id", train_size=400)
+    forced = idx64.search_batch(queries, k=5, qvec_col="embedding",
+                                n_probes=8, compute_dtype="float32").collect()
+    base = idx64.search_batch(queries, k=5, qvec_col="embedding",
+                              n_probes=8).collect()
+    fa, bb = sorted(forced, key=key), sorted(base, key=key)
+    assert [key(r) for r in fa] == [key(r) for r in bb]
+    with pytest.raises(ValueError, match="compute_dtype"):
+        idx64.search_batch(queries, k=5, qvec_col="embedding",
+                           compute_dtype="float16")

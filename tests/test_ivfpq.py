@@ -563,3 +563,29 @@ def test_debug_stage_cand_refuses_fused_plan(emb, ivfpq):
                               debug_stage="cand")
     assert cand.columns == ["query_id", "vec_id"]
     assert cand.count() > 0
+
+
+@pytest.mark.parametrize("store_dtype", [None, "float32"])
+def test_fused_geometric_compaction_tiny_floors(spark, emb, tmp_path, store_dtype):
+    """Tiny accumulator floors force the geometric-compaction path (a
+    live candidate set far above acc_cap_rows/acc_vec_bytes, the 1M
+    wide-probe regime in miniature): results must be IDENTICAL to the
+    defaults on both the fused and two-pass plans, for both stored
+    dtypes (fused buffers candidate vectors in the store dtype)."""
+    path = str(tmp_path / f"ivfpq_geo_{store_dtype}")
+    idx = IVFPQIndex.build(
+        emb, k_coarse=16, m=16, n_bits=8, metric="l2sqr",
+        vec_col="embedding", id_col="vec_id", train_size=500, path=path,
+        **({"store_vec_dtype": store_dtype} if store_dtype else {}),
+    )
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["dist"], r["vec_id"])
+    for fuse in (True, False):
+        ref = idx.search_batch(queries, k=5, n_probes=8, ef=48,
+                               qvec_col="embedding", fuse_rerank=fuse).collect()
+        tiny = idx.search_batch(queries, k=5, n_probes=8, ef=48,
+                                qvec_col="embedding", fuse_rerank=fuse,
+                                acc_cap_rows=64, acc_vec_bytes=1024).collect()
+        assert sorted(tiny, key=key) == sorted(ref, key=key), f"fuse={fuse}"
