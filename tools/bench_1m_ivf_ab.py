@@ -67,10 +67,17 @@ def _recall(got, gt):
 
 def main() -> None:
     assert os.path.exists(FIXTURE), f"fixture missing: {FIXTURE} (run bench.py BENCH_MATCHED_N={N} once)"
-    from bench import _exact_gt  # noqa: E402  (repo-root import)
+    from bench import _REF_STAMP, _exact_gt, host_calibration  # noqa: E402
 
     spark = get_spark("bench_1m_ivf_ab", cpus=32)
     out: dict = {"n": N, "dim": DIM, "fixture": FIXTURE, "rows": []}
+    # host-quietness evidence IN the artifact (round-13 gate: a 1M
+    # measurement is only believable with host_over_ref_all >= 0.8 at
+    # both ends and start/end within 1.1 — the r12 host swung 2x+)
+    cal0 = host_calibration()
+    out["calibration_start"] = cal0
+    out["host_over_ref_all_start"] = round(
+        cal0["sort1m_per_sec_all"] / _REF_STAMP["sort1m_per_sec_all"], 4)
 
     queries = np.fromfile(GIST_TEST, dtype=np.float32).reshape(-1, DIM).astype(np.float64)
     n_q = queries.shape[0]
@@ -201,7 +208,21 @@ def main() -> None:
             gates[f"ivf_f64_over_f32_{p}p"] = round(
                 f64["ms_per_query"] / f32["ms_per_query"], 3)
     out["gates"] = gates
+    cal1 = host_calibration()
+    out["calibration_end"] = cal1
+    out["host_over_ref_all_end"] = round(
+        cal1["sort1m_per_sec_all"] / _REF_STAMP["sort1m_per_sec_all"], 4)
+    drift = out["host_over_ref_all_end"] / max(out["host_over_ref_all_start"], 1e-9)
+    out["host_drift_end_over_start"] = round(drift, 3)
+    out["window_quiet"] = bool(
+        out["host_over_ref_all_start"] >= 0.8
+        and out["host_over_ref_all_end"] >= 0.8
+        and 1 / 1.1 <= drift <= 1.1
+    )
     print(json.dumps(gates), flush=True)
+    print(json.dumps({k: out[k] for k in (
+        "host_over_ref_all_start", "host_over_ref_all_end",
+        "host_drift_end_over_start", "window_quiet")}), flush=True)
 
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_1m_ivf_ab.json"
     with open(dst, "w") as f:
