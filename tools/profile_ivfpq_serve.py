@@ -83,9 +83,17 @@ def main() -> None:
         idx.search_batch(qdf, k=K, n_probes=n_probes, ef=ef,
                          qvec_col="embedding").collect()
         for stage in ("approx", "cand", None):
-            sec = _timed(lambda s=stage: idx.search_batch(
-                qdf, k=K, n_probes=n_probes, ef=ef, qvec_col="embedding",
-                debug_stage=s).collect())
+            # debug stages consume via count() (JVM-side sink): a
+            # collect() of the tasks×|Q|×ef candidate frame measures
+            # driver ingest, not the wave (the round-12 confound)
+            if stage is None:
+                sec = _timed(lambda: idx.search_batch(
+                    qdf, k=K, n_probes=n_probes, ef=ef,
+                    qvec_col="embedding").collect())
+            else:
+                sec = _timed(lambda s=stage: idx.search_batch(
+                    qdf, k=K, n_probes=n_probes, ef=ef, qvec_col="embedding",
+                    debug_stage=s).count())
             row["full" if stage is None else stage] = round(sec, 3)
         row["gate_sec"] = round(row["cand"] - row["approx"], 3)
         row["rerank_sec"] = round(row["full"] - row["cand"], 3)
