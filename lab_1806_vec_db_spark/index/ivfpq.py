@@ -1124,6 +1124,85 @@ class IVFPQIndex:
             exact_fallback=exact_fallback, fallback_margin=fallback_margin,
         )
 
+    def _driver_merge(
+        self,
+        spark: SparkSession,
+        approx: DataFrame,
+        fused: bool,
+        ef_: int,
+        k: int,
+        upper_bound: float | None,
+        probed: list[int],
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        metric: str,
+    ) -> DataFrame:
+        """Driver-side gate + top-k for bounded query blocks (see the
+        search_batch docstring): identical cuts and tie-breaks to the
+        window plan — local_topk_grouped applies the same
+        (dist asc, id asc) per-query total order — with zero wide
+        exchanges. Wave B (two-pass only) is the same partition-pruned
+        grouped re-rank join, with the candidate grouping done here in
+        numpy instead of a groupBy exchange."""
+        import pandas as pd
+
+        from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
+
+        id_col = self.id_col
+        schema = f"query_id long, {id_col} long, dist double"
+        pdf = approx.toPandas()
+        if pdf.empty:
+            return spark.createDataFrame([], schema)
+        qx = pdf["query_id"].to_numpy(np.int64)
+        ids = pdf[id_col].to_numpy(np.int64)
+        if fused:
+            adc = pdf["adc_r"].to_numpy(np.float64)
+            ex = pdf["dist"].to_numpy(np.float64)
+            g = local_topk_grouped(qx, ids, adc, ef_)  # global ADC gate
+            qx, ids, ex = qx[g], ids[g], ex[g]
+        else:
+            adc = pdf["dist"].to_numpy(np.float64)  # rounded ADC
+            g = local_topk_grouped(qx, ids, adc, ef_)
+            qx, ids = qx[g], ids[g]
+            # wave B: candidate vectors fetched executor-side from the
+            # PROBED directories only, each crossing Arrow once
+            from lab_1806_vec_db_spark.index.pq import make_grouped_rerank_scan
+
+            order = np.argsort(ids, kind="stable")
+            uids, starts = np.unique(ids[order], return_index=True)
+            q_lists = np.split(qx[order], starts[1:])
+            cand_grouped = spark.createDataFrame(
+                pd.DataFrame({id_col: uids,
+                              "_qs": [a.tolist() for a in q_lists]}),
+                schema=f"{id_col} long, _qs array<long>",
+            )
+            rer = (
+                self._rerank_source(probed)
+                .join(F.broadcast(cand_grouped), id_col)
+                .mapInArrow(
+                    make_grouped_rerank_scan(
+                        spark, qids, qmat, metric, id_col, self.vec_col
+                    ),
+                    schema=schema,
+                )
+            )
+            rpdf = rer.toPandas()
+            if rpdf.empty:
+                return spark.createDataFrame([], schema)
+            qx = rpdf["query_id"].to_numpy(np.int64)
+            ids = rpdf[id_col].to_numpy(np.int64)
+            ex = rpdf["dist"].to_numpy(np.float64)
+        g2 = local_topk_grouped(qx, ids, ex, int(k))
+        qx, ids, ex = qx[g2], ids[g2], ex[g2]
+        if upper_bound is not None:
+            m = ex <= float(upper_bound)
+            qx, ids, ex = qx[m], ids[m], ex[m]
+        o = np.lexsort((ids, ex, qx))  # (qid, dist, id) — the shared order
+        return spark.createDataFrame(
+            pd.DataFrame({"query_id": qx[o], id_col: ids[o], "dist": ex[o]}),
+            schema=schema,
+        )
+
     def search_batch(
         self,
         queries: DataFrame,
@@ -1140,6 +1219,8 @@ class IVFPQIndex:
         acc_cap_rows: int = 2_000_000,
         acc_vec_bytes: int = 256 << 20,
         debug_stage: str | None = None,
+        driver_merge: bool | None = None,
+        driver_merge_max_bytes: int = 512 << 20,
     ) -> DataFrame:
         """Batch IVF+PQ: one pruned scan of the codes table; each
         partition scores a row only for the queries probing its
@@ -1163,7 +1244,23 @@ class IVFPQIndex:
         ``debug_stage`` (diagnostic only): ``"approx"`` returns the raw
         per-task candidate frame, ``"cand"`` the globally ADC-gated
         candidate ids — lets a profiler time the scan+gate wave apart
-        from the re-rank wave without duplicating the plan here."""
+        from the re-rank wave without duplicating the plan here.
+
+        ``driver_merge`` (None = auto): for BOUNDED query blocks, run
+        the global ADC gate and the final top-k as one numpy pass on
+        the driver instead of shuffle+window jobs — the per-task
+        candidate frame (≤ |Q|·n_probes·ef rows, 24 B each) Arrow-
+        collects, the gate is the same (rounded-adc, id) cut, and wave
+        B still fetches vectors executor-side through the partition-
+        pruned grouped re-rank join, so results are IDENTICAL. This is
+        the low-latency serve: it removes every wide exchange and
+        window sort from the plan (round-13 wave profile: those
+        dominated the distributed-over-mirror gap in the cached
+        regime). Auto enables it while the estimate fits
+        ``driver_merge_max_bytes`` (default 512 MB of driver RAM);
+        above that — huge query blocks at 100 TB scale — the
+        distributed window merge is the right plan and serves
+        unchanged."""
         metric = metric or self.model.metric
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
@@ -1474,6 +1571,18 @@ class IVFPQIndex:
             approx = approx.unionByName(p)
         if debug_stage == "approx":
             return approx
+        est_gate_bytes = len(qids) * int(n_probes) * ef_ * 24
+        if debug_stage is None and (
+            driver_merge if driver_merge is not None
+            else est_gate_bytes <= int(driver_merge_max_bytes)
+        ):
+            out = self._driver_merge(
+                spark, approx, fused, ef_, int(k), upper_bound,
+                sorted(all_probed), qids, qmat, metric,
+            )
+            if qid_col != "query_id":
+                out = out.withColumnRenamed("query_id", qid_col)
+            return out
         if debug_stage == "cand":
             if fused:
                 # the fused plan has no standalone candidate wave —

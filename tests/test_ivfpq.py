@@ -589,3 +589,28 @@ def test_fused_geometric_compaction_tiny_floors(spark, emb, tmp_path, store_dtyp
                                 qvec_col="embedding", fuse_rerank=fuse,
                                 acc_cap_rows=64, acc_vec_bytes=1024).collect()
         assert sorted(tiny, key=key) == sorted(ref, key=key), f"fuse={fuse}"
+
+
+def test_driver_merge_equals_window_plan(spark, emb, ivfpq):
+    """The driver-side gate+top-k (bounded query blocks) must return
+    EXACTLY what the distributed window plan returns — same gate cut,
+    same tie-breaks, same rounding — on both the two-pass and fused
+    plans, with and without an upper bound."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["dist"], r["vec_id"])
+    for fuse in (False, True):
+        for ub in (None, 0.9):
+            dm = ivfpq.search_batch(queries, k=5, n_probes=8, ef=32,
+                                    qvec_col="embedding", fuse_rerank=fuse,
+                                    upper_bound=ub, driver_merge=True).collect()
+            win = ivfpq.search_batch(queries, k=5, n_probes=8, ef=32,
+                                     qvec_col="embedding", fuse_rerank=fuse,
+                                     upper_bound=ub, driver_merge=False).collect()
+            assert sorted(dm, key=key) == sorted(win, key=key), (fuse, ub)
+    # per-query ORDER of the returned frame matches the shared contract
+    dm_rows = ivfpq.search_batch(queries, k=5, n_probes=8, ef=32,
+                                 qvec_col="embedding",
+                                 driver_merge=True).collect()
+    assert dm_rows == sorted(dm_rows, key=key)
