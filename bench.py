@@ -299,8 +299,7 @@ def run_sf_suite(spark, only_row: str | None = None) -> dict:
         t0 = time.time()
         ivf = IVFIndex.build(emb, k=ivf_k, metric="l2sqr", vec_col="embedding",
                              id_col="vec_id", train_size=10_000)
-        ivf.clustered = ivf.clustered.cache()
-        ivf.clustered.count()
+        ivf.persist_data()
         build_sec["ivf"] = time.time() - t0
 
         def run_ivf():
@@ -919,8 +918,7 @@ def run_matched(spark) -> dict:
     t0 = time.time()
     ivf = IVFIndex.build(bdf, k=128, metric="l2sqr", vec_col="embedding",
                          id_col="vec_id", train_size=1000)
-    ivf.clustered = ivf.clustered.cache()
-    ivf.clustered.count()
+    ivf.persist_data()
     build_sec["ivf_k128"] = round(time.time() - t0, 1)
     for n_probes in _IVF_PROBES.get(n, (4, 8, 16, 32)):
         def run_ivf_point(n_probes=n_probes):

@@ -121,6 +121,37 @@ class IVFIndex:
             clustered = spark.read.parquet(os.path.join(path, "data"))
         return cls(model, clustered, vec_col=vec_col, id_col=id_col, path=path)
 
+    def persist_data(self, storage_level=None,
+                     cluster_layout: bool = True) -> "IVFIndex":
+        """Pin the clustered frame executor-side for the serving loop —
+        the plain-IVF twin of ``IVFPQIndex.persist_codes``. With
+        ``cluster_layout`` (default) the pin is preceded by ONE
+        repartition on ``cluster_id`` + in-partition sort, so each task
+        scores whole clusters: a pathless build leaves rows in base
+        order (clusters interleaved), which hands the probe scan ~128
+        sliver tiles per Arrow fragment — thousands of tiny GEMM +
+        lexsort passes per serve instead of one per (cluster ×
+        probing-queries). The on-disk partitionBy(cluster_id) layout
+        already has this shape, so ``load()``-ed indexes skip nothing."""
+        from pyspark import StorageLevel
+
+        df = self.clustered
+        if cluster_layout:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "32"))
+            df = df.repartition(n_part, "cluster_id").sortWithinPartitions(
+                "cluster_id", self.id_col)
+        self.clustered = df.persist(
+            storage_level or StorageLevel.MEMORY_AND_DISK)
+        self.clustered.count()
+        return self
+
+    def unpersist_data(self) -> None:
+        try:
+            self.clustered.unpersist()
+        except Exception:
+            pass
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         """S8 parity: reload the index without rebuilding

@@ -87,10 +87,12 @@ class IVFPQIndex:
         # currently applied to (so the stale pin can be released)
         self._codes_storage = None
         self._codes_pinned: DataFrame | None = None
+        self._codes_layout = False  # cluster-grouped pin (persist_codes)
 
     # ---- executor-side serve cache ----------------------------------------
 
-    def persist_codes(self, storage_level=None) -> "IVFPQIndex":
+    def persist_codes(self, storage_level=None,
+                      cluster_layout: bool = True) -> "IVFPQIndex":
         """Pin the codes frame executor-side (default
         ``MEMORY_AND_DISK``) so repeated distributed serves read cached
         Arrow batches instead of re-listing and re-decoding parquet per
@@ -100,10 +102,27 @@ class IVFPQIndex:
         executor disk — on a cluster this pins only each executor's
         share, NOT a driver copy (the driver-side twin with different
         trade-offs is ``enable_local_serve``). Call ``unpersist_codes``
-        to release."""
+        to release.
+
+        ``cluster_layout`` (default True) repartitions the pinned frame
+        by ``cluster_id`` and sorts within partitions ONCE before
+        caching. A pathless build leaves codes in base-row order —
+        clusters interleaved — so every ~10k-row Arrow fragment hands
+        the probe scan slivers of ALL clusters: thousands of tiny
+        (rows × queries) ADC tiles per serve, each clamping its
+        per-query cut to the sliver height and over-emitting into the
+        task accumulator (round-13 wave-A profile: the approx scan ran
+        4× the driver mirror on identical FLOPs from exactly this).
+        Grouped, each task scores a handful of WHOLE clusters — one
+        kernel tile per (cluster × probing-queries), emission bounded
+        by |probing-queries|·ef per cluster. One shuffle here is
+        amortized over every subsequent serve; the on-disk layout
+        (partitionBy cluster_id) already has this shape, so load()ed
+        indexes pay nothing new."""
         from pyspark import StorageLevel
 
         self._codes_storage = storage_level or StorageLevel.MEMORY_AND_DISK
+        self._codes_layout = bool(cluster_layout)
         self._repersist_codes(materialize=True)
         return self
 
@@ -125,6 +144,18 @@ class IVFPQIndex:
         if self._codes_storage is None:
             return
         prev = self._codes_pinned
+        if getattr(self, "_codes_layout", False):
+            # group whole clusters per task before pinning (see
+            # persist_codes): hash-partition on cluster_id at the
+            # session's shuffle width, id-sorted within each cluster so
+            # fragment boundaries stay deterministic. Applied to the
+            # CURRENT frame at every swap — the shuffle runs once per
+            # pin/append-swap, not per serve.
+            spark = self.codes_clustered.sparkSession
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.codes_clustered = self.codes_clustered.repartition(
+                n_part, "cluster_id"
+            ).sortWithinPartitions("cluster_id", self.id_col)
         self.codes_clustered = self.codes_clustered.persist(self._codes_storage)
         self._codes_pinned = self.codes_clustered
         if materialize:

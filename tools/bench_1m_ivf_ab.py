@@ -173,8 +173,7 @@ def main() -> None:
         t0 = time.time()
         ivf = IVFIndex.build(bdf, k=128, metric="l2sqr", vec_col="embedding",
                              id_col="vec_id", train_size=1000, **kwargs)
-        ivf.clustered = ivf.clustered.cache()
-        ivf.clustered.count()
+        ivf.persist_data()
         out[f"build_{tag}_sec"] = round(time.time() - t0, 1)
         for n_probes in (8, 32):
             best, rows = _timed(lambda p=n_probes: ivf.search_batch(
@@ -184,7 +183,7 @@ def main() -> None:
                                 "ms_per_query": round(best / n_q * 1000.0, 4),
                                 "recall_at_10": round(_recall(got, gt), 4)})
             print(out["rows"][-1], flush=True)
-        ivf.clustered.unpersist()
+        ivf.unpersist_data()
         del ivf
         gc.collect()
 
