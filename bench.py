@@ -669,6 +669,10 @@ def _grid_recall(ids: np.ndarray, gt: list[set[int]]) -> float:
 
 
 def run_matched(spark) -> dict:
+    # host-quietness evidence INSIDE the matched block (round-13 gate):
+    # a matched-recall ratio is only adjudicable when the window was
+    # quiet — calibration at both ends, drift flag in the artifact
+    cal_start = host_calibration()
     base, queries = _gist_matched()
     n, dim = base.shape
     n_q = queries.shape[0]
@@ -1098,6 +1102,28 @@ def run_matched(spark) -> dict:
         "n_baseline_rows_unreachable": sum(
             1 for g in grid if g.get("matched_recall_reachable") is False
         ),
+        **_window_quiet_block(cal_start),
+    }
+
+
+def _window_quiet_block(cal_start: dict) -> dict:
+    """Start/end calibration pair + quietness verdict for a grid that
+    just ran: quiet = all-core host speed ≥ 0.8× the pinned reference
+    stamp at BOTH ends and end/start drift within 1.1 (the r12 host
+    swung 2×+ mid-run; only artifacts carrying this evidence are
+    adjudicable across rounds)."""
+    cal_end = host_calibration()
+    ref = _REF_STAMP["sort1m_per_sec_all"]
+    s = cal_start["sort1m_per_sec_all"] / ref
+    e = cal_end["sort1m_per_sec_all"] / ref
+    drift = e / max(s, 1e-9)
+    return {
+        "calibration_start": cal_start,
+        "calibration_end": cal_end,
+        "host_over_ref_all_start": round(s, 4),
+        "host_over_ref_all_end": round(e, 4),
+        "host_drift_end_over_start": round(drift, 3),
+        "window_quiet": bool(s >= 0.8 and e >= 0.8 and 1 / 1.1 <= drift <= 1.1),
     }
 
 
