@@ -125,22 +125,33 @@ class IVFIndex:
                      cluster_layout: bool = True) -> "IVFIndex":
         """Pin the clustered frame executor-side for the serving loop —
         the plain-IVF twin of ``IVFPQIndex.persist_codes``. With
-        ``cluster_layout`` (default) the pin is preceded by ONE
-        repartition on ``cluster_id`` + in-partition sort, so each task
-        scores whole clusters: a pathless build leaves rows in base
-        order (clusters interleaved), which hands the probe scan ~128
-        sliver tiles per Arrow fragment — thousands of tiny GEMM +
-        lexsort passes per serve instead of one per (cluster ×
-        probing-queries). The on-disk partitionBy(cluster_id) layout
-        already has this shape, so ``load()``-ed indexes skip nothing."""
+        ``cluster_layout`` (default) the pin is preceded by ONE range
+        repartition on ``(cluster_id, id)`` + in-partition sort, so
+        each task scores contiguous cluster runs: a pathless build
+        leaves rows in base order (clusters interleaved), which hands
+        the probe scan ~128 sliver tiles per Arrow fragment —
+        thousands of tiny GEMM + lexsort passes per serve instead of
+        one per (cluster-run × probing-queries). Range (not hash)
+        partitioning, WITH the id in the key, because k-means clusters
+        are skewed: at 1M/960 one cluster held 13% of the table, so
+        any whole-cluster placement (hash bins or one-cluster-per-
+        partition) leaves a straggler task that IS the serve wall
+        clock (measured 4.9× mean under hash — the approx wave ran
+        3× the balanced layout). Range on the composite key splits big
+        clusters at id boundaries and packs small ones, bounding every
+        task near |rows|/n_part; per-fragment candidate emission stays
+        correct under any split (per-task top-ef ⊆ global top-ef).
+        The on-disk partitionBy(cluster_id) layout keeps whole-cluster
+        directories — ``load()``-ed indexes get re-balanced here too."""
         from pyspark import StorageLevel
 
         df = self.clustered
         if cluster_layout:
-            n_part = int(df.sparkSession.conf.get(
+            n_part = 2 * int(df.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "32"))
-            df = df.repartition(n_part, "cluster_id").sortWithinPartitions(
-                "cluster_id", self.id_col)
+            df = df.repartitionByRange(
+                n_part, "cluster_id", self.id_col
+            ).sortWithinPartitions("cluster_id", self.id_col)
         self.clustered = df.persist(
             storage_level or StorageLevel.MEMORY_AND_DISK)
         self.clustered.count()

@@ -104,21 +104,27 @@ class IVFPQIndex:
         trade-offs is ``enable_local_serve``). Call ``unpersist_codes``
         to release.
 
-        ``cluster_layout`` (default True) repartitions the pinned frame
-        by ``cluster_id`` and sorts within partitions ONCE before
-        caching. A pathless build leaves codes in base-row order —
-        clusters interleaved — so every ~10k-row Arrow fragment hands
-        the probe scan slivers of ALL clusters: thousands of tiny
-        (rows × queries) ADC tiles per serve, each clamping its
-        per-query cut to the sliver height and over-emitting into the
-        task accumulator (round-13 wave-A profile: the approx scan ran
-        4× the driver mirror on identical FLOPs from exactly this).
-        Grouped, each task scores a handful of WHOLE clusters — one
-        kernel tile per (cluster × probing-queries), emission bounded
-        by |probing-queries|·ef per cluster. One shuffle here is
-        amortized over every subsequent serve; the on-disk layout
-        (partitionBy cluster_id) already has this shape, so load()ed
-        indexes pay nothing new."""
+        ``cluster_layout`` (default True) RANGE-repartitions the
+        pinned frame on ``(cluster_id, id)`` and sorts within
+        partitions ONCE before caching. A pathless build leaves codes
+        in base-row order — clusters interleaved — so every ~10k-row
+        Arrow fragment hands the probe scan slivers of ALL clusters:
+        thousands of tiny (rows × queries) ADC tiles per serve, each
+        clamping its per-query cut to the sliver height and
+        over-emitting into the task accumulator (round-13 wave-A
+        profile: the approx scan ran 4× the driver mirror on identical
+        FLOPs from exactly this). The id rides in the range key
+        because k-means clusters are SKEWED — whole-cluster placement
+        (hash bins, or one cluster per partition) leaves a straggler
+        task holding the biggest cluster that becomes the serve wall
+        clock (round-13 layout experiment at 1M/960: hash skew 4.9×
+        mean, approx wave 15.3 s vs 4.9 s balanced). Range on the
+        composite key splits big clusters at id boundaries and packs
+        small ones near |rows|/n_part per task; per-cluster-run tiles
+        stay big, and candidate emission is correct under any row
+        split (per-task top-ef is a superset filter of the global
+        gate). One shuffle here is amortized over every subsequent
+        serve."""
         from pyspark import StorageLevel
 
         self._codes_storage = storage_level or StorageLevel.MEMORY_AND_DISK
@@ -145,16 +151,25 @@ class IVFPQIndex:
             return
         prev = self._codes_pinned
         if getattr(self, "_codes_layout", False):
-            # group whole clusters per task before pinning (see
-            # persist_codes): hash-partition on cluster_id at the
-            # session's shuffle width, id-sorted within each cluster so
-            # fragment boundaries stay deterministic. Applied to the
-            # CURRENT frame at every swap — the shuffle runs once per
-            # pin/append-swap, not per serve.
+            # balance contiguous cluster runs across tasks before
+            # pinning (see persist_codes): RANGE-partition on
+            # (cluster_id, id) at 2× the session's shuffle width,
+            # id-sorted within each partition so fragment boundaries
+            # stay deterministic. Range with the id in the key — not
+            # hash on cluster_id — because k-means clusters are
+            # skewed: at 1M/960 one cluster held 13% of the table and
+            # hash binning left a 4.9×-mean straggler task that was
+            # the whole approx-wave wall clock (3× the balanced
+            # layout, round-13 layout experiment). Splitting a cluster
+            # across tasks is harmless: per-task top-ef emission is a
+            # superset filter of the global gate under any row split.
+            # Applied to the CURRENT frame at every swap — the shuffle
+            # runs once per pin/append-swap, not per serve.
             spark = self.codes_clustered.sparkSession
-            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            self.codes_clustered = self.codes_clustered.repartition(
-                n_part, "cluster_id"
+            n_part = 2 * int(spark.conf.get("spark.sql.shuffle.partitions",
+                                            "32"))
+            self.codes_clustered = self.codes_clustered.repartitionByRange(
+                n_part, "cluster_id", self.id_col
             ).sortWithinPartitions("cluster_id", self.id_col)
         self.codes_clustered = self.codes_clustered.persist(self._codes_storage)
         self._codes_pinned = self.codes_clustered

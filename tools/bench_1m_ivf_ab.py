@@ -114,49 +114,48 @@ def main() -> None:
     ivfpq.persist_codes()
     out["build_ivfpq_sec"] = round(time.time() - t0, 1)
 
+    # INTERLEAVED legs (round-13): the dist/local ratio is the gate,
+    # and this host family drifts 1.4×+ within minutes — sequential
+    # blocks put the drift INSIDE the ratio. Per config, alternate
+    # distributed / local-mirror / fused legs (the mirror toggled via
+    # _local_enabled between legs) and take best-of-RUNS per mode, so
+    # both sides of every ratio sample the same minutes.
+    assert ivfpq.enable_local_serve(max_bytes=12 << 30)
+
+    def _leg(mode, p, e):
+        ivfpq._local_enabled = mode == "local"
+        kw = {"fuse_rerank": True} if mode == "fused" else {}
+        t0 = time.time()
+        rows = ivfpq.search_batch(qdf, k=K, n_probes=p, ef=e,
+                                  qvec_col="embedding", **kw).collect()
+        return time.time() - t0, rows
+
     dist_ids: dict = {}
     for n_probes in (8, 32):
         for ef in (40, 200):
-            best, rows = _timed(lambda p=n_probes, e=ef: ivfpq.search_batch(
-                qdf, k=K, n_probes=p, ef=e, qvec_col="embedding").collect())
-            got = _ids_by_query(rows)
-            dist_ids[(n_probes, ef)] = got
-            out["rows"].append({"name": "ivfpq_k128", "n_probes": n_probes,
-                                "ef": ef,
-                                "ms_per_query": round(best / n_q * 1000.0, 4),
-                                "recall_at_10": round(_recall(got, gt), 4)})
-            print(out["rows"][-1], flush=True)
-
-    # forced fused (single job, no re-rank join) on the pinned f32
-    # frame: the round-11 "two-pass wins at 960-dim" call predates the
-    # Arrow-native scans — re-measure it on the current code
-    for n_probes in (8, 32):
-        for ef in (200,):
-            best, rows = _timed(lambda p=n_probes, e=ef: ivfpq.search_batch(
-                qdf, k=K, n_probes=p, ef=e, qvec_col="embedding",
-                fuse_rerank=True).collect())
-            got = _ids_by_query(rows)
-            same = got == dist_ids[(n_probes, ef)]
-            out["rows"].append({"name": "ivfpq_k128_fused", "n_probes": n_probes,
-                                "ef": ef,
-                                "ms_per_query": round(best / n_q * 1000.0, 4),
-                                "recall_at_10": round(_recall(got, gt), 4),
-                                "ids_match_twopass": bool(same)})
-            print(out["rows"][-1], flush=True)
-
-    assert ivfpq.enable_local_serve(max_bytes=12 << 30)
-    for n_probes in (8, 32):
-        for ef in (40, 200):
-            best, rows = _timed(lambda p=n_probes, e=ef: ivfpq.search_batch(
-                qdf, k=K, n_probes=p, ef=e, qvec_col="embedding").collect())
-            got = _ids_by_query(rows)
-            same = got == dist_ids[(n_probes, ef)]
-            out["rows"].append({"name": "ivfpq_k128_local", "n_probes": n_probes,
-                                "ef": ef,
-                                "ms_per_query": round(best / n_q * 1000.0, 4),
-                                "recall_at_10": round(_recall(got, gt), 4),
-                                "ids_match_distributed": bool(same)})
-            print(out["rows"][-1], flush=True)
+            modes = ("dist", "local") if ef == 40 else ("dist", "local",
+                                                        "fused")
+            best: dict = {}
+            got: dict = {}
+            for _ in range(RUNS):
+                for mode in modes:
+                    dt, rows = _leg(mode, n_probes, ef)
+                    if mode not in best or dt < best[mode]:
+                        best[mode] = dt
+                        got[mode] = _ids_by_query(rows)
+            dist_ids[(n_probes, ef)] = got["dist"]
+            name = {"dist": "ivfpq_k128", "local": "ivfpq_k128_local",
+                    "fused": "ivfpq_k128_fused"}
+            for mode in modes:
+                rec = {"name": name[mode], "n_probes": n_probes, "ef": ef,
+                       "ms_per_query": round(best[mode] / n_q * 1000.0, 4),
+                       "recall_at_10": round(_recall(got[mode], gt), 4)}
+                if mode == "local":
+                    rec["ids_match_distributed"] = got["local"] == got["dist"]
+                if mode == "fused":
+                    rec["ids_match_twopass"] = got["fused"] == got["dist"]
+                out["rows"].append(rec)
+                print(rec, flush=True)
     ivfpq._local = None
     ivfpq._local_enabled = False
     ivfpq.unpersist_codes()
@@ -169,23 +168,38 @@ def main() -> None:
 
     ivf_tags = () if os.environ.get("BENCH_AB_SKIP_IVF") == "1" else (
         ("ivf_k128", {}), ("ivf_k128_f32", {"store_vec_dtype": "float32"}))
+    ivfs = {}
     for tag, kwargs in ivf_tags:
         t0 = time.time()
         ivf = IVFIndex.build(bdf, k=128, metric="l2sqr", vec_col="embedding",
                              id_col="vec_id", train_size=1000, **kwargs)
         ivf.persist_data()
         out[f"build_{tag}_sec"] = round(time.time() - t0, 1)
-        for n_probes in (8, 32):
-            best, rows = _timed(lambda p=n_probes: ivf.search_batch(
-                qdf, k=K, n_probes=p, qvec_col="embedding").collect())
-            got = _ids_by_query(rows)
+        ivfs[tag] = ivf
+    # interleaved f64/f32 legs for the same-minutes reason as above
+    for n_probes in (8, 32):
+        best = {t: None for t in ivfs}
+        gots: dict = {}
+        for _ in range(RUNS):
+            for tag, ivf in ivfs.items():
+                t0 = time.time()
+                rows = ivf.search_batch(qdf, k=K, n_probes=n_probes,
+                                        qvec_col="embedding").collect()
+                dt = time.time() - t0
+                if best[tag] is None or dt < best[tag]:
+                    best[tag] = dt
+                    gots[tag] = _ids_by_query(rows)
+        for tag in ivfs:
             out["rows"].append({"name": tag, "n_probes": n_probes,
-                                "ms_per_query": round(best / n_q * 1000.0, 4),
-                                "recall_at_10": round(_recall(got, gt), 4)})
+                                "ms_per_query": round(
+                                    best[tag] / n_q * 1000.0, 4),
+                                "recall_at_10": round(
+                                    _recall(gots[tag], gt), 4)})
             print(out["rows"][-1], flush=True)
+    for ivf in ivfs.values():
         ivf.unpersist_data()
-        del ivf
-        gc.collect()
+    ivfs.clear()
+    gc.collect()
 
     # gate summaries
     def row(name, p, e=None):
