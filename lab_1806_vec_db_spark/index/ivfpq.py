@@ -914,7 +914,13 @@ class IVFPQIndex:
         in-scan work is cheap. The fused plan computes exact distances
         for n_probes·ef candidates PER QUERY (each probed partition
         contributes its own top-ef to the global gate) instead of the
-        global ef — it removes a whole second scan + join. Measured
+        global ef — it removes a whole second scan + join. The dim≤256
+        rule re-held at the balanced range pin across the whole probe
+        sweep (committed docs/BENCH_1M_IVF_AB_r13.json: at 1M/dim 960,
+        fused 21.8/28.1 ms/q vs two-pass 9.1/14.6 at 8p/32p ef=200 —
+        the per-candidate vector buffering scales with dim and loses
+        at every (n_probes, ef) point measured, so the rule stays
+        keyed on dim alone). Measured
         calibration (bench.py): at dim=64 fusing wins across the whole
         probe sweep (suite ivfpq 1.77→1.31 s); at dim=960 it LOSES at
         every config (3.1→5.0 s at the narrowest, 3.7× at the widest) —

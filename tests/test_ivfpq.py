@@ -614,3 +614,35 @@ def test_driver_merge_equals_window_plan(spark, emb, ivfpq):
                                  qvec_col="embedding",
                                  driver_merge=True).collect()
     assert dm_rows == sorted(dm_rows, key=key)
+
+
+def test_fused_auto_rule_keys_on_dim(emb, ivfpq):
+    """Auto fused-dispatch rule (docs/BENCH_1M_IVF_AB_r13.json): fuse
+    iff the store carries the vec column AND dim <= 256 — at 1M/960
+    fused lost to two-pass at every measured (n_probes, ef) because
+    per-candidate vector buffering scales with dim. The sf fixture is
+    64-dim, so auto must fuse when vectors ride the codes frame, never
+    when they don't, and the override must always win."""
+    # fixture carries the vec column at dim 64 -> auto-fuses
+    assert "embedding" in ivfpq.codes_clustered.columns
+    assert ivfpq._use_fused_rerank(8, 200, None) is True
+    assert ivfpq._use_fused_rerank(8, 200, False) is False  # override wins
+    # the dim>256 branch of the rule (the 1M/960 case) — fake the dim
+    # via a wide groups list on the pq metadata, restored after
+    wide_groups = [(i * 4, 4) for i in range(240)]  # dim 960
+    orig = ivfpq.pq.groups
+    try:
+        ivfpq.pq.groups = wide_groups
+        assert ivfpq._use_fused_rerank(8, 200, None) is False
+        assert ivfpq._use_fused_rerank(8, 200, True) is True  # override wins
+    finally:
+        ivfpq.pq.groups = orig
+    # a frame WITHOUT the vec column can never fuse, even on request
+    novec = ivfpq.codes_clustered.drop("embedding")
+    orig_frame = ivfpq.codes_clustered
+    try:
+        ivfpq.codes_clustered = novec
+        assert ivfpq._use_fused_rerank(8, 200, None) is False
+        assert ivfpq._use_fused_rerank(8, 200, True) is False
+    finally:
+        ivfpq.codes_clustered = orig_frame
