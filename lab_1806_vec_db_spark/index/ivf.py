@@ -147,7 +147,7 @@ class IVFIndex:
 
         df = self.clustered
         if cluster_layout:
-            n_part = 2 * int(df.sparkSession.conf.get(
+            n_part = int(df.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "32"))
             df = df.repartitionByRange(
                 n_part, "cluster_id", self.id_col

@@ -166,8 +166,8 @@ class IVFPQIndex:
             # Applied to the CURRENT frame at every swap — the shuffle
             # runs once per pin/append-swap, not per serve.
             spark = self.codes_clustered.sparkSession
-            n_part = 2 * int(spark.conf.get("spark.sql.shuffle.partitions",
-                                            "32"))
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32"))
             self.codes_clustered = self.codes_clustered.repartitionByRange(
                 n_part, "cluster_id", self.id_col
             ).sortWithinPartitions("cluster_id", self.id_col)
@@ -1191,30 +1191,43 @@ class IVFPQIndex:
     ) -> DataFrame:
         """Driver-side gate + top-k for bounded query blocks (see the
         search_batch docstring): identical cuts and tie-breaks to the
-        window plan — local_topk_grouped applies the same
+        window plan — fast_topk_grouped applies the same
         (dist asc, id asc) per-query total order — with zero wide
         exchanges. Wave B (two-pass only) is the same partition-pruned
         grouped re-rank join, with the candidate grouping done here in
-        numpy instead of a groupBy exchange."""
-        import pandas as pd
+        numpy instead of a groupBy exchange.
 
-        from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
+        Everything driver-side is Arrow-native (round-13 wave-B
+        profile): the raw per-task emission collects via ``toArrow``
+        (no pandas materialization), the global ADC gate is the
+        selection-based ``fast_topk_grouped`` (the 3-key lexsort over
+        the 5.8–11.7 M-row emission cost 2.9–5.8 s of the 1M serve),
+        the per-id query grouping is a zero-copy ``pa.ListArray``
+        (the per-list ``tolist()`` loop cost ~0.4 s), and the result
+        frame is built from a ``pa.table``. The emission itself is
+        bounded by ef per (query, task) — Σ|task queries|·ef rows —
+        which grows with the probe width and the pin's cluster splits
+        but stays collectable for any block the auto-router sends
+        here."""
+        import pyarrow as pa
+
+        from lab_1806_vec_db_spark.operators.knn import fast_topk_grouped
 
         id_col = self.id_col
         schema = f"query_id long, {id_col} long, dist double"
-        pdf = approx.toPandas()
-        if pdf.empty:
+        tbl = approx.toArrow()
+        if tbl.num_rows == 0:
             return spark.createDataFrame([], schema)
-        qx = pdf["query_id"].to_numpy(np.int64)
-        ids = pdf[id_col].to_numpy(np.int64)
+        qx = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         if fused:
-            adc = pdf["adc_r"].to_numpy(np.float64)
-            ex = pdf["dist"].to_numpy(np.float64)
-            g = local_topk_grouped(qx, ids, adc, ef_)  # global ADC gate
+            adc = tbl.column("adc_r").to_numpy(zero_copy_only=False)
+            ex = tbl.column("dist").to_numpy(zero_copy_only=False)
+            g = fast_topk_grouped(qx, ids, adc, ef_)  # global ADC gate
             qx, ids, ex = qx[g], ids[g], ex[g]
         else:
-            adc = pdf["dist"].to_numpy(np.float64)  # rounded ADC
-            g = local_topk_grouped(qx, ids, adc, ef_)
+            adc = tbl.column("dist").to_numpy(zero_copy_only=False)
+            g = fast_topk_grouped(qx, ids, adc, ef_)
             qx, ids = qx[g], ids[g]
             # wave B: candidate vectors fetched executor-side from the
             # PROBED directories only, each crossing Arrow once
@@ -1222,11 +1235,16 @@ class IVFPQIndex:
 
             order = np.argsort(ids, kind="stable")
             uids, starts = np.unique(ids[order], return_index=True)
-            q_lists = np.split(qx[order], starts[1:])
+            offsets = np.r_[starts, ids.size].astype(np.int32)
+            cand_tbl = pa.table({
+                id_col: pa.array(uids, type=pa.int64()),
+                "_qs": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(qx[order], type=pa.int64()),
+                ),
+            })
             cand_grouped = spark.createDataFrame(
-                pd.DataFrame({id_col: uids,
-                              "_qs": [a.tolist() for a in q_lists]}),
-                schema=f"{id_col} long, _qs array<long>",
+                cand_tbl, schema=f"{id_col} long, _qs array<long>"
             )
             rer = (
                 self._rerank_source(probed)
@@ -1238,22 +1256,24 @@ class IVFPQIndex:
                     schema=schema,
                 )
             )
-            rpdf = rer.toPandas()
-            if rpdf.empty:
+            rtbl = rer.toArrow()
+            if rtbl.num_rows == 0:
                 return spark.createDataFrame([], schema)
-            qx = rpdf["query_id"].to_numpy(np.int64)
-            ids = rpdf[id_col].to_numpy(np.int64)
-            ex = rpdf["dist"].to_numpy(np.float64)
-        g2 = local_topk_grouped(qx, ids, ex, int(k))
+            qx = rtbl.column("query_id").to_numpy(zero_copy_only=False)
+            ids = rtbl.column(id_col).to_numpy(zero_copy_only=False)
+            ex = rtbl.column("dist").to_numpy(zero_copy_only=False)
+        g2 = fast_topk_grouped(qx, ids, ex, int(k))
         qx, ids, ex = qx[g2], ids[g2], ex[g2]
         if upper_bound is not None:
             m = ex <= float(upper_bound)
             qx, ids, ex = qx[m], ids[m], ex[m]
         o = np.lexsort((ids, ex, qx))  # (qid, dist, id) — the shared order
-        return spark.createDataFrame(
-            pd.DataFrame({"query_id": qx[o], id_col: ids[o], "dist": ex[o]}),
-            schema=schema,
-        )
+        out_tbl = pa.table({
+            "query_id": pa.array(qx[o], type=pa.int64()),
+            id_col: pa.array(ids[o], type=pa.int64()),
+            "dist": pa.array(ex[o], type=pa.float64()),
+        })
+        return spark.createDataFrame(out_tbl, schema=schema)
 
     def search_batch(
         self,
@@ -1623,7 +1643,12 @@ class IVFPQIndex:
             approx = approx.unionByName(p)
         if debug_stage == "approx":
             return approx
-        est_gate_bytes = len(qids) * int(n_probes) * ef_ * 24
+        # ×2: per-task emission is ef per (query, TASK), and the
+        # balanced range pin splits big clusters across ~2 tasks on
+        # average (measured 1.8× raw-emission inflation at 1M/8p with
+        # the pin at shuffle width), so the collected bytes run ~2×
+        # the |Q|·n_probes·ef ideal
+        est_gate_bytes = len(qids) * int(n_probes) * ef_ * 24 * 2
         if debug_stage is None and (
             driver_merge if driver_merge is not None
             else est_gate_bytes <= int(driver_merge_max_bytes)
