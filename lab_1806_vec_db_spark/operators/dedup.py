@@ -27,12 +27,14 @@ the DuckDB correctness oracle reproduces every value bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.functions.distance import dist_expr
 from lab_1806_vec_db_spark.functions.text import hash32, tokens
-from lab_1806_vec_db_spark.operators.knn import round_dist
+from lab_1806_vec_db_spark.operators.knn import np_round_half_up, round_dist
 
 
 # ---- exact dedup -----------------------------------------------------------
@@ -521,22 +523,128 @@ def connected_components(
 
 # ---- embedding near-dup ----------------------------------------------------
 
+# The pair-distance kernels below replace the Catalyst
+# ``zip_with``+``aggregate`` cosine evaluated per joined row (higher-
+# order functions are codegen-ineligible: ~19 µs/pair interpreted, and
+# both norms were recomputed for every pair).  They reproduce the
+# Catalyst fold BIT-EXACTLY: ``aggregate(zip_with(a,b,x*y), 0.0, +)``
+# is the left fold ``((0.0 + a₀b₀) + a₁b₁) + …`` in f64, and the
+# per-dimension accumulation loop performs the same f64 adds in the
+# same order for every pair at once (IEEE ops are deterministic, and
+# a·b vs b·a per term is exact, so the distance is orientation-
+# symmetric).  Rounding uses np_round_half_up — the same SQL-round
+# twin every Arrow kNN path already hash-matches the oracle with.
+
+
+def _vec_matrix(cells) -> np.ndarray:
+    """(n, dim) float64 from a pandas column of array cells — the cast
+    from f32 storage to f64 is exact, matching ``_as_double`` per
+    element in the Catalyst fold."""
+    return np.array(list(cells), dtype=np.float64)
+
+
+def _fold_dot_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, m) pairwise dot with Catalyst's left-fold add order."""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for j in range(a.shape[1]):
+        acc += a[:, j, None] * b[None, :, j]
+    return acc
+
+
+def _fold_norms(v: np.ndarray) -> np.ndarray:
+    """Per-row ‖v‖ = sqrt(left-fold Σ vⱼ·vⱼ), matching norm_expr."""
+    acc = np.zeros(v.shape[0])
+    for j in range(v.shape[1]):
+        acc += v[:, j] * v[:, j]
+    return np.sqrt(acc)
+
+
+def _cosine_block_rounded(
+    a: np.ndarray, b: np.ndarray, na: np.ndarray, nb: np.ndarray
+) -> np.ndarray:
+    """(n, m) rounded cosine distances, fold-order-exact vs
+    ``round_dist(cosine_expr(a, b))``: 1 − a·b / max(‖a‖‖b‖, 1e-10)."""
+    dist = 1.0 - _fold_dot_block(a, b) / np.maximum(na[:, None] * nb[None, :], 1e-10)
+    return np_round_half_up(dist)
+
+
+def _pair_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int, side: str):
+    """Replicate rows to the block-pair groups they participate in.
+    Block = pmod(xxhash64(id), n) — deterministic under task retry
+    (guide §2.5: never derive a partitioning key from rand())."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pairs = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        schema="bi int, bj int",
+    )
+    # side-specific column names: both cogroup sides share the input's
+    # lineage, and identical names would trip the ambiguous-self-join
+    # analyzer check
+    src = df.select(
+        F.col(id_col).alias(f"_id_{side}"),
+        F.col(vec_col).alias(f"_vec_{side}"),
+        blk.alias("_blk"),
+    ).filter(F.col(f"_id_{side}").isNotNull() & F.col(f"_vec_{side}").isNotNull())
+    return src.join(
+        F.broadcast(pairs), F.col("_blk") == F.col("bi" if side == "a" else "bj")
+    ).drop("_blk")
+
+
+def _default_pair_blocks(df: DataFrame) -> int:
+    """Scale the block grid to the session's parallelism: n blocks give
+    n(n+1)/2 groups, so n ≈ sqrt(2·cores) keeps every core busy without
+    shrinking blocks below vectorization-friendly sizes. Purely a
+    partitioning choice — the emitted pairs are identical for any n."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(2, int((2 * cores) ** 0.5))
+
 
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs: all pairs with cosine distance ≤
-    threshold. Quadratic — bound the input (subset or LSH buckets)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    threshold. Quadratic — bound the input (subset or LSH buckets).
+
+    Distributed as a block-pair grid: rows are replicated to
+    n(n+1)/2 cogroups (≈n copies per row of id+vec only) and each
+    group evaluates its (triangle or rectangle) tile in one vectorized
+    fold-order kernel, instead of a BroadcastNestedLoopJoin emitting
+    every pair through interpreted higher-order functions."""
+    if n_blocks is None:
+        n_blocks = _default_pair_blocks(df)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, dist double"
+
+    def tile(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+        va, vb = _vec_matrix(lpdf["_vec_a"]), _vec_matrix(rpdf["_vec_b"])
+        ida, idb = lpdf["_id_a"].to_numpy(), rpdf["_id_b"].to_numpy()
+        rounded = _cosine_block_rounded(va, vb, _fold_norms(va), _fold_norms(vb))
+        keep = rounded <= threshold
+        if bi == bj:
+            # same-block tile holds both orientations: keep the triangle
+            keep &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(keep)
+        pa, pb = ida[ii], idb[jj]
+        # cross-block tiles see each pair once in arbitrary orientation;
+        # the distance is orientation-symmetric, so normalize by id.
+        return pd.DataFrame(
+            {"id_a": np.minimum(pa, pb), "id_b": np.maximum(pa, pb),
+             "dist": rounded[ii, jj]}
+        )
+
+    left = _pair_blocks(df, id_col, vec_col, n_blocks, "a")
+    right = _pair_blocks(df, id_col, vec_col, n_blocks, "b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist"))
-        .filter(F.col("dist") <= threshold)
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(tile, out_schema)
     )
 
 
@@ -562,25 +670,55 @@ def embedding_neardup_probe(
     on the bucket key; vectors missing every shared bucket are novel
     by construction (LSH recall caveat applies)."""
     a = new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
-    b = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vb"))
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    hit_schema = f"id {id_type}, dist double"
+
+    def rect_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """Rectangle tile: every (new, corpus) pair in the group, one
+        hit row per pair with rounded cosine distance ≤ threshold."""
+        lpdf = lpdf[lpdf["id"].notna() & lpdf["va"].notna()]
+        rpdf = rpdf[rpdf["vb"].notna()]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id": [], "dist": []})
+        va, vb = _vec_matrix(lpdf["va"]), _vec_matrix(rpdf["vb"])
+        rounded = _cosine_block_rounded(va, vb, _fold_norms(va), _fold_norms(vb))
+        ii, jj = np.nonzero(rounded <= threshold)
+        return pd.DataFrame(
+            {"id": lpdf["id"].to_numpy()[ii], "dist": rounded[ii, jj]}
+        )
+
     if planes is None:
-        joined = a.crossJoin(b)
+        # rectangle grid: new-side blocks × corpus-side blocks
+        nb = _default_pair_blocks(new_df)
+        blk_a = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int").alias("_ba")
+        b = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vb"))
+        grid = new_df.sparkSession.createDataFrame(
+            [(i, j) for i in range(nb) for j in range(nb)], schema="_ba int, _bb int"
+        )
+        left = a.select("id", "va", blk_a).join(F.broadcast(grid), "_ba")
+        right = b.select(
+            "vb", F.pmod(F.xxhash64(F.col("cid")), F.lit(nb)).cast("int").alias("_bb")
+        ).crossJoin(F.broadcast(new_df.sparkSession.range(nb).select(F.col("id").cast("int").alias("_ba"))))
+        hit_rows = (
+            left.groupBy("_ba", "_bb")
+            .cogroup(right.groupBy("_ba", "_bb"))
+            .applyInPandas(lambda lp, rp: rect_tile(lp, rp), hit_schema)
+        )
     else:
         ab = embedding_lsh_buckets(new_df, planes, vec_col, id_col).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("va"), "bucket"
         )
         bb = embedding_lsh_buckets(corpus_df, planes, vec_col, id_col).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("vb"), "bucket"
+            F.col(vec_col).alias("vb"), "bucket"
         )
-        joined = ab.join(bb, "bucket").drop("bucket")
+        hit_rows = (
+            ab.groupBy("bucket")
+            .cogroup(bb.groupBy("bucket"))
+            .applyInPandas(lambda lp, rp: rect_tile(lp, rp), hit_schema)
+        )
         a = ab.select("id", "va")
-    hits = (
-        joined.select(
-            "id", round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist")
-        )
-        .filter(F.col("dist") <= threshold)
-        .groupBy("id")
-        .agg(F.count("*").alias("n_matches"), F.min("dist").alias("min_dist"))
+    hits = hit_rows.groupBy("id").agg(
+        F.count("*").alias("n_matches"), F.min("dist").alias("min_dist")
     )
     return (
         a.select("id").distinct()
@@ -625,13 +763,29 @@ def embedding_neardup_lsh(
     """Scale path: bucket by hyperplane signs, verify cosine distance
     only within buckets. Recall < 1 by design (LSH); raise the plane
     count for precision, lower it for recall."""
-    bucketed = embedding_lsh_buckets(df, planes, vec_col, id_col)
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    bucketed = embedding_lsh_buckets(df, planes, vec_col, id_col).filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, dist double"
+
+    def bucket_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Triangle tile over one bucket's members (the group is the
+        verification set — no replication needed)."""
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+        v = _vec_matrix(pdf[vec_col])
+        ids = pdf[id_col].to_numpy()
+        norms = _fold_norms(v)
+        rounded = _cosine_block_rounded(v, v, norms, norms)
+        keep = (rounded <= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "dist": rounded[ii, jj]}
+        )
+
     return (
-        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                round_dist(dist_expr(F.col("va"), F.col("vb"), "cosine")).alias("dist"))
-        .filter(F.col("dist") <= threshold)
+        bucketed.groupBy("bucket")
+        .applyInPandas(bucket_tile, out_schema)
         .distinct()
     )
