@@ -365,12 +365,21 @@ def minhash_dedup_pairs(
 # ---- SimHash ---------------------------------------------------------------
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash (Charikar): bit b is set iff the sum over tokens
-    of ±1 (per token-hash bit b) is positive. Expressed as 32 parallel
-    aggregates over the token-hash array — one projection, map-only."""
-    toks = tokens(text)
-    hashes = F.transform(toks, hash32)
+def token_hashes(text: Column | str) -> Column:
+    """Token-hash array for SimHash: one 32-bit hash per whitespace
+    token. Materialize this in its OWN projection before feeding it to
+    :func:`simhash32_from_hashes` — the md5 per token is the expensive
+    part, and a non-cheap alias referenced by all 32 bit-aggregates is
+    kept un-inlined by Catalyst (CollapseProject only inlines cheap or
+    single-use producer expressions), so it is computed once per row
+    instead of 32 times."""
+    return F.transform(tokens(text), hash32)
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32 parallel bit-aggregates over a precomputed token-hash array
+    (bit b is set iff the ±1 sum over token-hash bit b is positive) —
+    cheap integer folds, no re-hashing."""
 
     def bit_merger(b: int):
         # NB: a closure, NOT `lambda acc, h, b=b: ...` — PySpark counts
@@ -383,6 +392,14 @@ def simhash32(text: Column | str) -> Column:
         bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_merger(b))
         out = out + F.when(bit_sum > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash (Charikar) as a single composable Column — one
+    projection, map-only. WARNING: inlines the token-hash array into
+    all 32 bit-aggregates (32 md5 passes per row); on hot paths project
+    :func:`token_hashes` first and use :func:`simhash32_from_hashes`."""
+    return simhash32_from_hashes(token_hashes(text))
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

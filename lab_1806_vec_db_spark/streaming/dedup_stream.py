@@ -113,7 +113,10 @@ def neardup_stream(
     exactly one is suppressed but WHICH follows arrival order inside
     the batch; feed order-sensitive tests one file per trigger.
     """
-    from lab_1806_vec_db_spark.operators.dedup import simhash32
+    from lab_1806_vec_db_spark.operators.dedup import (
+        simhash32_from_hashes,
+        token_hashes,
+    )
 
     if band_bits <= 0 or 32 % band_bits:
         raise ValueError(
@@ -122,8 +125,15 @@ def neardup_stream(
         )
     n_bands = 32 // band_bits
     mask = (1 << band_bits) - 1
+    # Two projections on purpose: the token-hash array (1 md5/token) is
+    # a non-cheap multi-consumer alias, so Catalyst keeps it un-inlined
+    # and the 32 bit-aggregates read it instead of re-hashing the text
+    # 32x per row. Still map-only — streaming-safe.
     sig = df.select(
-        F.col(id_col), F.col(ts_col), simhash32(F.col(text_col)).alias("simhash")
+        F.col(id_col), F.col(ts_col),
+        token_hashes(F.col(text_col)).alias("__th"),
+    ).select(
+        id_col, ts_col, simhash32_from_hashes(F.col("__th")).alias("simhash")
     )
     banded = sig.select(
         id_col, ts_col, "simhash",
