@@ -87,10 +87,20 @@ def bm25_topk(
     descending, id ascending.
     """
     toks = _nonempty_toks(text_col)
-    base = docs.select(
+    # Materialize the token array ONCE (a non-cheap alias consumed by
+    # both dl and the explode stays un-inlined by CollapseProject),
+    # and filter to the query terms INSIDE the array before exploding:
+    # explode(filter(toks, isin)) ≡ explode(toks) then filter (order
+    # and duplicates preserved), but only matching occurrences ever
+    # become rows — the non-matching ~99% of tokens never leave the
+    # array cell (guide §2.3: project/filter before fan-out).
+    term_list = list(terms)
+    base = docs.select(F.col(id_col), toks.alias("__toks")).select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode(
+            F.filter(F.col("__toks"), lambda t: t.isin(term_list))
+        ).alias("term"),
     )
 
     # corpus stats from the map-only (id, dl) projection — dl is a
@@ -103,7 +113,7 @@ def bm25_topk(
     )
 
     tf = (
-        base.filter(F.col("term").isin(list(terms)))
+        base
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
@@ -585,14 +595,33 @@ def bm25_topk_batch(
     single-query operator's — gated in tests/test_search_events.py.
     """
     toks = _nonempty_toks(text_col)
-    base = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    )
     qterms = queries.select(
         F.col(qid_col), F.explode(F.col(qterms_col)).alias("term")
     ).distinct()
+
+    # The query batch is small by contract (the lexical twin of the
+    # vector query block), so its distinct term pool is collectable;
+    # pre-filtering the token array to that pool BEFORE the explode
+    # keeps the ~99% non-matching token occurrences from ever becoming
+    # rows (guide §2.3). Guarded: an adversarially huge term pool
+    # falls back to the explode-then-broadcast-join plan unchanged.
+    _POOL_CAP = 100_000
+    pool_rows = qterms.select("term").distinct().limit(_POOL_CAP + 1).collect()
+    term_pool = [r.term for r in pool_rows]
+    if len(term_pool) <= _POOL_CAP:
+        base = docs.select(F.col(id_col), toks.alias("__toks")).select(
+            F.col(id_col),
+            F.size("__toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("__toks"), lambda t: t.isin(term_pool))
+            ).alias("term"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
 
     dl_frame = docs.select(F.col(id_col), F.size(toks).alias("dl"))
     stats = dl_frame.agg(
@@ -600,9 +629,9 @@ def bm25_topk_batch(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
 
-    # corpus tokens ⋈ broadcast query terms: keeps only matching tokens
-    # (and fans a token out to every query using it), then ONE keyed
-    # shuffle on (query, doc, term)
+    # (pre-filtered) corpus tokens ⋈ broadcast query terms: fans a
+    # token out to every query using it, then ONE keyed shuffle on
+    # (query, doc, term)
     tf = (
         base.join(F.broadcast(qterms), "term")
         .groupBy(qid_col, id_col, "term")

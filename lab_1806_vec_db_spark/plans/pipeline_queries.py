@@ -233,9 +233,14 @@ WHERE {_cos_pair_sql('a.ev', 'b.ev')} <= 0.95
 ORDER BY id_a, id_b""",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs on a bounded subset."""
+    """Exact cosine near-dup pairs on a bounded subset. n_blocks=2
+    (3 tile groups): the 150-row input fits one vectorized tile, so the
+    core-count-derived default grid would be pure scheduling overhead —
+    the emitted pairs are identical for any n_blocks."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 150)
-    return D.embedding_neardup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+    return D.embedding_neardup_pairs(
+        emb, threshold=0.95, n_blocks=2
+    ).orderBy("id_a", "id_b")
 
 
 @register(
