@@ -81,29 +81,40 @@ def char_stats(text: Column | str) -> dict[str, Column]:
             "n_spaces": spaces, "n_punct": punct}
 
 
-def mean_token_len(text: Column | str) -> Column:
-    """Average token length (0 for empty docs)."""
-    toks = tokens(text)
+def mean_token_len_from_tokens(toks: Column) -> Column:
+    """Average token length (0 for empty docs) over a precomputed
+    token array — materialize the array in its OWN projection when
+    composing several token statistics, so the split runs once per row
+    (a non-cheap multi-consumer alias is kept un-inlined by Catalyst)."""
     total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
-    """Fraction of tokens that are stopwords — the classic quality
-    signal (Gopher/C4-style filters)."""
-    toks = tokens(text)
+def mean_token_len(text: Column | str) -> Column:
+    """Average token length (0 for empty docs)."""
+    return mean_token_len_from_tokens(tokens(text))
+
+
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]
+) -> Column:
+    """Stopword fraction over a precomputed token array."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_id(text: Column | str, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
-    """Stopword-counting language ID: the language whose stopword list
-    hits the most tokens wins; ties break to the lexicographically
-    greatest tag (struct-max semantics — trivially reproducible in the
-    SQL oracle as ``ORDER BY hits DESC, lang DESC LIMIT 1``)."""
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are stopwords — the classic quality
+    signal (Gopher/C4-style filters)."""
+    return stopword_ratio_from_tokens(tokens(text), stopwords)
+
+
+def lang_id_from_tokens(
+    toks: Column, langs: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Language ID over a precomputed token array (see lang_id)."""
     langs = langs or LANG_STOPWORDS
-    toks = tokens(text)
     scored = []
     for lang in sorted(langs):
         sw = F.array(*[F.lit(s) for s in langs[lang]])
@@ -112,17 +123,30 @@ def lang_id(text: Column | str, langs: dict[str, tuple[str, ...]] | None = None)
     return F.array_max(F.array(*scored))["lang"]
 
 
+def lang_id(text: Column | str, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Stopword-counting language ID: the language whose stopword list
+    hits the most tokens wins; ties break to the lexicographically
+    greatest tag (struct-max semantics — trivially reproducible in the
+    SQL oracle as ``ORDER BY hits DESC, lang DESC LIMIT 1``)."""
+    return lang_id_from_tokens(tokens(text), langs)
+
+
+def quality_score_from_tokens(toks: Column) -> Column:
+    """Composite quality heuristic over a precomputed token array
+    (see quality_score)."""
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    mtl = mean_token_len_from_tokens(toks)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio_from_tokens(toks) * F.lit(5.0), F.lit(1.0))
+    return F.round((len_score + mtl_score + sw_score) / F.lit(3.0), 4) + F.lit(0.0)
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality heuristic in [0, 1]: rewards mid-length docs,
     healthy mean token length, and presence of stopwords — the shape of
     C4/Gopher quality rules, reduced to a deterministic formula."""
-    t = _c(text)
-    n_tok = token_count(t).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    mtl = mean_token_len(t)
-    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw_score = F.least(stopword_ratio(t) * F.lit(5.0), F.lit(1.0))
-    return F.round((len_score + mtl_score + sw_score) / F.lit(3.0), 4) + F.lit(0.0)
+    return quality_score_from_tokens(tokens(_c(text)))
 
 
 def hash32(col: Column | str) -> Column:
@@ -131,18 +155,23 @@ def hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
-def fingerprint(text: Column | str) -> Column:
-    """Order-sensitive document fingerprint: polynomial rolling hash
-    over token hashes, mod FINGERPRINT_MOD (rolling/Rabin fingerprint —
-    public-domain technique). Same content in the same order → same
-    fingerprint; any reorder or edit changes it."""
-    toks = tokens(text)
+def fingerprint_from_tokens(toks: Column) -> Column:
+    """Rolling fingerprint over a precomputed token array (see
+    fingerprint)."""
     hashes = F.transform(toks, lambda x: hash32(x) % FINGERPRINT_MOD)
     return F.aggregate(
         hashes,
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(FINGERPRINT_MOD),
     )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes, mod FINGERPRINT_MOD (rolling/Rabin fingerprint —
+    public-domain technique). Same content in the same order → same
+    fingerprint; any reorder or edit changes it."""
+    return fingerprint_from_tokens(tokens(text))
 
 
 def text_profile(text: Column | str) -> list[Column]:

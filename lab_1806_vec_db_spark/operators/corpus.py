@@ -41,10 +41,14 @@ def clean_corpus(
     floor on :func:`~lab_1806_vec_db_spark.functions.text.quality_score`
     (already 4-dp rounded, oracle-stable).
     """
+    # token array split once (its own projection, multi-consumer alias)
+    # — lang_id + quality_score together fold over it ~9 times
     scored = docs.select(
+        id_col, text_col, T.tokens(text_col).alias("__toks")
+    ).select(
         id_col, text_col,
-        T.lang_id(text_col).alias("lang_pred"),
-        T.quality_score(text_col).alias("quality"),
+        T.lang_id_from_tokens(F.col("__toks")).alias("lang_pred"),
+        T.quality_score_from_tokens(F.col("__toks")).alias("quality"),
     )
     kept = scored.filter(F.col("quality") >= float(min_quality))
     if lang is not None:

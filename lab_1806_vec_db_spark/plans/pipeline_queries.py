@@ -310,19 +310,30 @@ _SW = "['the','a','of','and','to','in','is','that']"
 FROM documents ORDER BY doc_id""",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char-class statistics — one map-only pass."""
+    """Per-document token/char-class statistics — one map-only pass,
+    with the token array split once (char-class stats stay on the raw
+    text; the three token statistics share the materialized array) and
+    the doc_id sort applied to the narrow scan BEFORE the statistics
+    projection (a trailing orderBy samples — i.e. re-executes — its
+    whole child for range partitioning)."""
     docs = _docs(spark, sf_dir)
     stats = T.char_stats("text")
-    return docs.select(
+    toked = docs.orderBy("doc_id").select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.tokens("text").alias("__toks"),
         stats["n_chars"].alias("n_chars"),
         stats["n_letters"].alias("n_letters"),
         stats["n_digits"].alias("n_digits"),
         stats["n_punct"].alias("n_punct"),
-        (F.round(T.mean_token_len("text"), 4) + F.lit(0.0)).alias("mean_token_len"),
-        (F.round(T.stopword_ratio("text"), 4) + F.lit(0.0)).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    )
+    tk = F.col("__toks")
+    return toked.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        "n_chars", "n_letters", "n_digits", "n_punct",
+        (F.round(T.mean_token_len_from_tokens(tk), 4) + F.lit(0.0)).alias("mean_token_len"),
+        (F.round(T.stopword_ratio_from_tokens(tk), 4) + F.lit(0.0)).alias("stopword_ratio"),
+    )
 
 
 def _hits_sql(words: tuple[str, ...]) -> str:
@@ -365,14 +376,23 @@ FROM s ORDER BY doc_id""",
 )
 def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + composite quality score + rolling
-    content fingerprint."""
+    content fingerprint. The token array is materialized once in its
+    own projection (non-cheap multi-consumer alias, kept un-inlined) —
+    the before-plan re-split the text ~13x per row across the three
+    statistics' higher-order folds. The sort runs FIRST on the narrow
+    scan: a trailing orderBy's range-exchange sampling pass re-executes
+    its child, i.e. the whole statistics projection, twice (guide §1.4
+    measured: 1.23s -> 0.64s); projecting after the sort preserves the
+    doc_id order and computes each statistic once."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    toked = docs.orderBy("doc_id").select("doc_id", T.tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    return toked.select(
         "doc_id",
-        T.lang_id("text").alias("lang_pred"),
-        T.quality_score("text").alias("quality"),
-        T.fingerprint("text").alias("fingerprint"),
-    ).orderBy("doc_id")
+        T.lang_id_from_tokens(tk).alias("lang_pred"),
+        T.quality_score_from_tokens(tk).alias("quality"),
+        T.fingerprint_from_tokens(tk).alias("fingerprint"),
+    )
 
 
 # ---- u8 typed vectors (S2/F7 in query form) --------------------------------
@@ -1488,12 +1508,16 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle and zero Python."""
     from lab_1806_vec_db_spark.functions import pii
 
-    e = _docs(spark, sf_dir).select("doc_id", _pii_enrich_spark().alias("t"))
+    # sort-first: the regex battery is the expensive part; a trailing
+    # orderBy would re-execute it in the range-sampling pass
+    e = _docs(spark, sf_dir).orderBy("doc_id").select(
+        "doc_id", _pii_enrich_spark().alias("t")
+    )
     return e.select(
         "doc_id",
         *pii.pii_counts("t"),
         F.md5(pii.pii_redact("t")).alias("redact_sig"),
-    ).orderBy("doc_id")
+    )
 
 
 _LINE_N = 3  # tokens per derived line
@@ -1638,7 +1662,10 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = docs.select(
         "doc_id",
         F.md5("text").alias("content_hash"),
-        T.quality_score("text").alias("quality"),
+        T.tokens("text").alias("__toks"),
+    ).select(
+        "doc_id", "content_hash",
+        T.quality_score_from_tokens(F.col("__toks")).alias("quality"),
     )
     return D.select_representatives(
         clustered, "content_hash", "quality"
