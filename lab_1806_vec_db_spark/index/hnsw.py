@@ -1099,15 +1099,25 @@ class HNSWIndex:
         return self._pq_cache[2]
 
     def _auto_steer_pq(self, pq, steer: bool | None):
-        """knn_pq dispatch rule for the driver-side serving paths:
+        """knn_pq dispatch rule for the driver-side POINT serving
+        paths (search_np / search_many / search_many_parallel):
         ``steer=None`` (auto) drops the ADC steering and serves the
         exact kernel while the vector matrix is cache-resident
         (< ADC_STEER_MIN_BYTES) — the contract is unchanged (the
         steered ef pool is exact-re-ranked anyway, so both paths
         return exact distances), recall can only improve, and the
-        exact kernel is measured faster below the threshold.
+        exact kernel is measured faster below the threshold because a
+        point query pays the full LUT build for one traversal.
         ``steer=True`` forces the steered kernel (parity tests, forced
-        A/Bs); ``steer=False`` disables it."""
+        A/Bs); ``steer=False`` disables it.
+
+        The Spark batch path (search_batch) does NOT use this gate:
+        there the LUT build amortizes over the whole query batch and
+        steering wins at every measured scale — the asymmetry is
+        documented there with the round-13 A/B numbers. A logical
+        query can therefore see a different (never less exact)
+        candidate set on the batch path than on a point path below
+        the byte gate; both re-rank exactly."""
         if pq is None or steer is False:
             return None
         if steer is True:
@@ -1523,12 +1533,20 @@ class HNSWIndex:
 
         ``pq``: a trained PQTable → the knn_pq combined path: ADC
         distances steer the traversal, the ef pool is exact-re-ranked
-        in-task (hnsw_index.rs:672-696). ``steer`` follows the SAME
-        auto rule as the driver paths (_auto_steer_pq: auto-drop below
-        ADC_STEER_MIN_BYTES), so a query returns the same candidate
-        set whichever path serves it; ``steer=True`` forces steering
-        (parity tests / forced A/Bs)."""
-        pq = self._auto_steer_pq(pq, steer)
+        in-task (hnsw_index.rs:672-696). Steering policy is
+        DELIBERATELY asymmetric to the driver point paths
+        (_auto_steer_pq): the batch path steers whenever ``pq`` is
+        given, at every scale, because the per-query LUT build
+        amortizes over the whole query batch inside one kernel call —
+        the round-13 interleaved A/B measured the auto-dropped exact
+        kernel at 1.92 s vs 0.80 s steered on the cache-resident
+        sf-suite row (BENCH_FULL.json vs_prev_normalized,
+        hnsw_pq_ef120), i.e. the driver paths' byte gate inverts here.
+        ``steer=False`` disables steering (then this is the plain
+        exact-kernel serve); both variants exact-re-rank the ef pool,
+        so distances are exact either way."""
+        if steer is False:
+            pq = None
         spark = queries.sparkSession
         sc = spark.sparkContext
         # cache hit requires the SAME pq object (strong ref, `is` — an
