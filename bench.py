@@ -1312,7 +1312,8 @@ def _ab_verdict(ab_ratio: float) -> str:
             else "inconclusive")
 
 
-def _self_adjudicate(flagged: dict, prev_round: int) -> dict:
+def _self_adjudicate(flagged: dict, prev_round: int,
+                     suite_best: dict | None = None) -> dict:
     """Interleaved same-host A/B of every flagged suite row against the
     previous round's code — IN the artifact, not in a side doc. The
     round-12 lesson: on an unstable host the per-row normalized gate
@@ -1321,7 +1322,23 @@ def _self_adjudicate(flagged: dict, prev_round: int) -> dict:
     apart with best-of aggregation (docs/BENCH_AUDIT_r12.md §1). Legs
     alternate prev→HEAD→prev→HEAD (fresh JVM each); verdict:
     ``cleared`` if HEAD best ≤ 1.1× prev best, ``regression_confirmed``
-    if > 1.2×, else ``inconclusive``."""
+    if > 1.2×, else ``inconclusive``.
+
+    Two round-13 hardenings against minute-periodic host noise (the
+    18:19 run this round confirmed three rows a quieter run had just
+    cleared — both legs of every "confirmation" sat 3–5× above their
+    quiet-window values, docs/BENCH_AUDIT_r13.md §4):
+
+    - **escalation**: a would-be confirmation is only final after the
+      full alternation is repeated once more (doubling the minutes the
+      best-of samples) and the ratio still exceeds 1.2;
+    - **suite-consistency**: the HEAD leg runs the SAME code the suite
+      row just measured in this run, so ``ab_head_best`` far above the
+      row's own suite best (``suite_best``, raw seconds) proves the
+      A/B window was degraded, not the code — the verdict becomes
+      ``inconclusive_host_degraded`` with both numbers recorded. A real
+      regression cannot trip this: its head leg reproduces the (slow)
+      suite number, it does not exceed it."""
     import shutil
     import subprocess
     import tempfile
@@ -1343,15 +1360,28 @@ def _self_adjudicate(flagged: dict, prev_round: int) -> dict:
         for row, ratio in flagged.items():
             prev_best: float | None = None
             head_best: float | None = None
-            for _ in range(legs_per_side):
-                for side, repo in (("prev", wt), ("head", here)):
-                    t = _ab_leg(repo, row, leg_runs)
-                    if t is None:
-                        continue
-                    if side == "prev":
-                        prev_best = t if prev_best is None else min(prev_best, t)
-                    else:
-                        head_best = t if head_best is None else min(head_best, t)
+
+            def _alternate(n_pairs: int):
+                nonlocal prev_best, head_best
+                for _ in range(n_pairs):
+                    for side, repo in (("prev", wt), ("head", here)):
+                        t = _ab_leg(repo, row, leg_runs)
+                        if t is None:
+                            continue
+                        if side == "prev":
+                            prev_best = t if prev_best is None else min(prev_best, t)
+                        else:
+                            head_best = t if head_best is None else min(head_best, t)
+
+            _alternate(legs_per_side)
+            escalated = False
+            if (
+                prev_best is not None and head_best is not None
+                and _ab_verdict(head_best / max(prev_best, 1e-9))
+                == "regression_confirmed"
+            ):
+                _alternate(legs_per_side)  # escalation before confirming
+                escalated = True
             entry: dict = {"ratio": ratio}
             if prev_best is None or head_best is None:
                 entry["verdict"] = "ab_failed"
@@ -1363,6 +1393,20 @@ def _self_adjudicate(flagged: dict, prev_round: int) -> dict:
                     "ab_ratio": round(ab_ratio, 3),
                     "verdict": _ab_verdict(ab_ratio),
                 })
+                if escalated:
+                    entry["escalated_legs"] = 2 * legs_per_side
+                sb = (suite_best or {}).get(row)
+                if (
+                    entry["verdict"] == "regression_confirmed"
+                    and sb and head_best > 1.5 * float(sb)
+                ):
+                    entry["suite_best"] = round(float(sb), 4)
+                    entry["verdict"] = "inconclusive_host_degraded"
+                    entry["note"] = (
+                        "HEAD leg ran >1.5x slower than the same code's "
+                        "own suite row this run — A/B window degraded, "
+                        "not adjudicable"
+                    )
             out[row] = entry
     except (subprocess.SubprocessError, OSError) as e:
         for row, ratio in flagged.items():
@@ -1447,7 +1491,7 @@ def main() -> None:
     flagged = {k: v for k, v in flagged.items() if k in _ROW_DEPS}
     if flagged and os.environ.get("BENCH_AB", "1") != "0":
         vp["regressions_gt_1p2"] = _self_adjudicate(
-            flagged, vp.get("prev_round"))
+            flagged, vp.get("prev_round"), suite_best=out.get("queries"))
         vp["note"] += (
             "; flagged rows carry an interleaved prev-vs-HEAD A/B "
             "(fresh JVM per leg, best-of) with a verdict"

@@ -116,3 +116,53 @@ def test_self_adjudicate_schema(monkeypatch):
     assert e["ratio"] == 1.35
     assert e["ab_prev_best"] == 1.0 and e["ab_head_best"] == 2.0
     assert e["verdict"] == "regression_confirmed"
+
+
+def test_self_adjudicate_escalates_before_confirming(monkeypatch):
+    """A would-be confirmation must re-run the full alternation once
+    more before it is final: here the first two head legs land on a
+    degraded window (2.0, 2.2) and the escalation legs recover the
+    quiet value (0.95), so the verdict clears instead of confirming —
+    the false-confirmation mode of minute-periodic host noise
+    (docs/BENCH_AUDIT_r13.md §4)."""
+    import bench
+
+    legs = {"prev": [1.2, 1.0, 1.1, 1.3], "head": [2.0, 2.2, 0.95, 2.1]}
+
+    def fake_leg(repo_dir, row, runs):
+        side = "head" if os.path.abspath(repo_dir) == ROOT else "prev"
+        return legs[side].pop(0) if legs[side] else None
+
+    monkeypatch.setattr(bench, "_ab_leg", fake_leg)
+    _, rnd = bench._latest_committed_normalized()
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd)
+    e = out["pq_ef80"]
+    assert e["escalated_legs"] == 4
+    assert e["ab_head_best"] == 0.95
+    assert e["verdict"] == "cleared"
+
+
+def test_self_adjudicate_flags_host_degraded_ab_window(monkeypatch):
+    """A confirmation whose HEAD leg ran far slower than the SAME
+    code's own suite row this run is an A/B-window artifact, not a
+    code regression (the head leg and the suite row execute identical
+    code): verdict becomes inconclusive_host_degraded with both
+    numbers recorded. With a consistent suite row the confirmation
+    stands."""
+    import bench
+
+    def fake_leg_slow(repo_dir, row, runs):
+        return 2.0 if os.path.abspath(repo_dir) == ROOT else 1.0
+
+    monkeypatch.setattr(bench, "_ab_leg", fake_leg_slow)
+    _, rnd = bench._latest_committed_normalized()
+    # head leg 2.0 vs suite best 0.5 → >1.5× slower than itself → host
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
+                                 suite_best={"pq_ef80": 0.5})
+    e = out["pq_ef80"]
+    assert e["verdict"] == "inconclusive_host_degraded"
+    assert e["suite_best"] == 0.5 and e["ab_head_best"] == 2.0
+    # consistent suite row (leg ≈ suite) → real confirmation survives
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
+                                 suite_best={"pq_ef80": 1.9})
+    assert out["pq_ef80"]["verdict"] == "regression_confirmed"
