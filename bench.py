@@ -1244,6 +1244,25 @@ def _vs_prev_normalized(cur: dict) -> dict:
     }
 
 
+def _prev_committed_raw(prev_round: int | None) -> dict:
+    """Raw per-row seconds of the previous round's committed bench
+    artifact (``parsed.queries``) — the prev side's suite-row reference
+    for the A/B suite-consistency check. Empty dict when unavailable."""
+    if prev_round is None:
+        return {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in (f"BENCH_r{prev_round:02d}.json", f"BENCH_r{prev_round}.json"):
+        try:
+            with open(os.path.join(here, name)) as fh:
+                d = json.load(fh)
+            q = (d.get("parsed") or {}).get("queries") or {}
+            if q:
+                return q
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def _prev_round_commit(prev_round: int) -> str | None:
     """Commit holding the previous round's code: the one that ADDED its
     bench artifact (the driver commits artifacts on top of that round's
@@ -1338,7 +1357,17 @@ def _self_adjudicate(flagged: dict, prev_round: int,
       A/B window was degraded, not the code — the verdict becomes
       ``inconclusive_host_degraded`` with both numbers recorded. A real
       regression cannot trip this: its head leg reproduces the (slow)
-      suite number, it does not exceed it."""
+      suite number, it does not exceed it.
+
+    Round-14 hardening (ADVICE r13): a cold fresh-JVM leg carries JIT/
+    startup inflation over the warm suite JVM, and if that inflation
+    alone exceeded the 1.5× margin the downgrade would mute every
+    genuine confirmation. The downgrade therefore requires BOTH sides
+    inflated: the HEAD leg vs this run's suite row AND the prev leg vs
+    the previous round's committed raw row (when available) — symmetric
+    inflation is host degradation; one-sided inflation is not proof.
+    And ``inconclusive_host_degraded`` is explicitly re-run-required
+    (``rerun_required: true`` in the entry), never a pass."""
     import shutil
     import subprocess
     import tempfile
@@ -1400,13 +1429,33 @@ def _self_adjudicate(flagged: dict, prev_round: int,
                     entry["verdict"] == "regression_confirmed"
                     and sb and head_best > 1.5 * float(sb)
                 ):
-                    entry["suite_best"] = round(float(sb), 4)
-                    entry["verdict"] = "inconclusive_host_degraded"
-                    entry["note"] = (
-                        "HEAD leg ran >1.5x slower than the same code's "
-                        "own suite row this run — A/B window degraded, "
-                        "not adjudicable"
+                    # the prev leg must ALSO be inflated vs its own
+                    # committed suite row before the confirmation is
+                    # muted (cold-JVM inflation is per-side; only
+                    # symmetric inflation proves a degraded window)
+                    prev_row = _prev_committed_raw(prev_round).get(row)
+                    prev_inflated = (
+                        prev_row is None  # no reference → old behavior
+                        or prev_best > 1.5 * float(prev_row)
                     )
+                    entry["suite_best"] = round(float(sb), 4)
+                    if prev_row is not None:
+                        entry["prev_committed_row"] = round(float(prev_row), 4)
+                    if prev_inflated:
+                        entry["verdict"] = "inconclusive_host_degraded"
+                        entry["rerun_required"] = True
+                        entry["note"] = (
+                            "both legs ran >1.5x their side's suite-row "
+                            "reference — A/B window degraded, not "
+                            "adjudicable; RE-RUN on a quiet window "
+                            "before treating this row as cleared"
+                        )
+                    else:
+                        entry["note"] = (
+                            "HEAD leg >1.5x its suite row but the prev "
+                            "leg matches its committed row — one-sided "
+                            "inflation, confirmation stands"
+                        )
             out[row] = entry
     except (subprocess.SubprocessError, OSError) as e:
         for row, ratio in flagged.items():

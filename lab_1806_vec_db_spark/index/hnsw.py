@@ -1513,6 +1513,7 @@ class HNSWIndex:
             pool, queries, k, filtered_base, self.id_col, self.metric,
             vec_col, qid_col=qid_col, qvec_col=qvec_col,
             exact_fallback=exact_fallback, fallback_margin=fallback_margin,
+            pool_k=pool_k,
         )
 
     def search_batch(
@@ -1544,7 +1545,13 @@ class HNSWIndex:
         hnsw_pq_ef120), i.e. the driver paths' byte gate inverts here.
         ``steer=False`` disables steering (then this is the plain
         exact-kernel serve); both variants exact-re-rank the ef pool,
-        so distances are exact either way."""
+        so distances are exact either way. PATH-DEPENDENCE CAVEAT: a
+        point query served through ``search``/``search_np`` below
+        ``ADC_STEER_MIN_BYTES`` traverses UNsteered, so the same
+        logical query can return a (slightly) different candidate set
+        there than on this always-steered batch path — recall of the
+        steered batch is gated vs the exact serve in
+        tests/test_indexes.py::test_hnsw_batch_steered_recall_floor."""
         if steer is False:
             pq = None
         spark = queries.sparkSession

@@ -1174,6 +1174,7 @@ class IVFPQIndex:
             pool, queries, k, filtered_base, self.id_col, self.model.metric,
             self.vec_col, qid_col=qid_col, qvec_col=qvec_col,
             exact_fallback=exact_fallback, fallback_margin=fallback_margin,
+            pool_k=pool_k,
         )
 
     def _driver_merge(

@@ -650,6 +650,8 @@ class PQTable:
         upper_bound: float | None = None,
         max_queries: int = 200_000,
         max_lut_bytes: int = 64 << 20,
+        driver_merge: bool | None = None,
+        driver_merge_max_bytes: int = 512 << 20,
     ) -> DataFrame:
         """Batch ADC: per-query lookup tensors broadcast in bounded
         chunks (≤ ``max_lut_bytes`` each), one Arrow scan of the codes
@@ -657,7 +659,20 @@ class PQTable:
         (batches are merged inside the scan closure — emitting per
         Arrow batch would make the single-partition fast path return a
         superset), window-merge across partitions, then one broadcast
-        join back to vectors for the exact re-rank."""
+        join back to vectors for the exact re-rank.
+
+        ``driver_merge`` (None = auto): for BOUNDED query blocks the
+        ADC gate and the final top-k run as driver-side numpy passes
+        (the round-13 IVF+PQ ``_driver_merge`` design): the ef-bounded
+        per-task emission (n_parts·ef·|Q| rows, 24 B each) Arrow-
+        collects, ``fast_topk_grouped`` applies the SAME (dist, id)
+        per-query cut the window would, the per-id query grouping is a
+        zero-copy ``pa.ListArray`` (no groupBy exchange), and the
+        exact re-rank still fetches vectors executor-side through the
+        broadcast join — results are IDENTICAL. Auto enables it while
+        the emission estimate fits ``driver_merge_max_bytes``; above
+        that the distributed window merge serves unchanged (the 100 TB
+        path)."""
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
@@ -691,14 +706,31 @@ class PQTable:
                     knn_schema,
                     result_batch,
                 )
+                from lab_1806_vec_db_spark.index import ckernel
 
                 bqids, blut3, bsq, bqn, m, n_bits = bc.value
                 out_schema = knn_schema(id_col)
+                # compiled lookup-sum kernel when available (the IVF+PQ
+                # tile path, guide §4): per (row, query) the m LUT rows
+                # stay L1-resident and the (n × |Q|) result is written
+                # once — the numpy fallback's m gather passes re-stream
+                # the whole accumulator from memory per group (m×3×
+                # |tile| f64 traffic) and hold the GIL throughout.
+                # Same f64 left-to-right group accumulation → summed is
+                # bit-identical either way.
+                use_c = ckernel.available()
+                lut64 = (
+                    np.ascontiguousarray(blut3, dtype=np.float64)
+                    if use_c else None
+                )
                 # (m, ksub, |Q|) C-contiguous LUT: the per-group gather
                 # lut_t[g][codes[:, g]] then copies contiguous |Q|-rows
                 # (≈1.8× the transposed-view gather, measured at bench
                 # shape); one cheap transpose per task
-                lut_t = np.ascontiguousarray(blut3.transpose(1, 2, 0))
+                lut_t = (
+                    None if use_c
+                    else np.ascontiguousarray(blut3.transpose(1, 2, 0))
+                )
                 run_d = run_id = None
                 for rb in batches:
                     if rb.num_rows == 0:
@@ -707,12 +739,19 @@ class PQTable:
                     codes = unpack_codes(buf, m, n_bits)
                     ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
                         zero_copy_only=False)
-                    # (n × |Q|) approx distances, accumulated group-by-
-                    # group: m cheap 2-D gathers instead of one giant
-                    # (|Q|, n, m) fancy-index — no 3-D intermediate
-                    summed = np.zeros((codes.shape[0], lut_t.shape[2]))
-                    for g in range(m):
-                        summed += lut_t[g][codes[:, g]]
+                    if use_c:
+                        # (n × |Q|) view of the kernel's (|Q| × n) sums
+                        summed = ckernel.adc_block(
+                            np.ascontiguousarray(codes), lut64, None
+                        ).T
+                    else:
+                        # (n × |Q|) approx distances, accumulated group-
+                        # by-group: m cheap 2-D gathers instead of one
+                        # giant (|Q|, n, m) fancy-index — no 3-D
+                        # intermediate
+                        summed = np.zeros((codes.shape[0], lut_t.shape[2]))
+                        for g in range(m):
+                            summed += lut_t[g][codes[:, g]]
                     if bsq is not None:
                         # centroid self-dots are query-independent: one
                         # (n,) reconstructed norm shared by all queries
@@ -768,6 +807,17 @@ class PQTable:
         approx = pieces[0]
         for p in pieces[1:]:
             approx = approx.unionByName(p)
+
+        use_dm = driver_merge
+        if use_dm is None:
+            use_dm = (
+                n_parts * ef_ * len(qids) * 24 <= int(driver_merge_max_bytes)
+            )
+        if use_dm:
+            return self._driver_merge_batch(
+                spark, approx, ef_, int(k), upper_bound, qids, qmat, metric
+            )
+
         # single-partition codes already emit the global top-ef per query
         # (the scan merges across Arrow batches) — the merge window would
         # be a no-op shuffle (common in local/test runs; at scale codes
@@ -799,3 +849,79 @@ class PQTable:
             )
         )
         return _topk_per_query(rer, int(k), id_col, upper_bound)
+
+    def _driver_merge_batch(
+        self,
+        spark,
+        approx: DataFrame,
+        ef_: int,
+        k: int,
+        upper_bound: float | None,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        metric: str,
+    ) -> DataFrame:
+        """Driver-side ADC gate + final top-k for bounded query blocks
+        (the round-13 IVF+PQ ``_driver_merge`` design applied to flat
+        PQ): identical cuts and tie-breaks to the window plan —
+        ``fast_topk_grouped`` applies the same (dist asc, id asc)
+        per-query total order — with zero wide exchanges. The exact
+        re-rank still fetches candidate vectors executor-side through
+        the broadcast grouped join, each vector crossing Arrow once."""
+        import pyarrow as pa
+
+        from lab_1806_vec_db_spark.operators.knn import fast_topk_grouped
+
+        id_col = self.id_col
+        schema = f"query_id long, {id_col} long, dist double"
+        tbl = approx.toArrow()
+        if tbl.num_rows == 0:
+            return spark.createDataFrame([], schema)
+        qx = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        adc = tbl.column("dist").to_numpy(zero_copy_only=False)
+        g = fast_topk_grouped(qx, ids, adc, ef_)  # global ADC gate
+        qx, ids = qx[g], ids[g]
+        # per-id query grouping built here in numpy — no groupBy
+        # exchange; zero-copy ListArray (round-13 wave-B profile)
+        order = np.argsort(ids, kind="stable")
+        uids, starts = np.unique(ids[order], return_index=True)
+        offsets = np.r_[starts, ids.size].astype(np.int32)
+        cand_tbl = pa.table({
+            id_col: pa.array(uids, type=pa.int64()),
+            "_qs": pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(qx[order], type=pa.int64()),
+            ),
+        })
+        cand_grouped = spark.createDataFrame(
+            cand_tbl, schema=f"{id_col} long, _qs array<long>"
+        )
+        rer = (
+            self.base.select(id_col, self.vec_col)
+            .join(F.broadcast(cand_grouped), id_col)
+            .mapInArrow(
+                make_grouped_rerank_scan(
+                    spark, qids, qmat, metric, id_col, self.vec_col
+                ),
+                schema=schema,
+            )
+        )
+        rtbl = rer.toArrow()
+        if rtbl.num_rows == 0:
+            return spark.createDataFrame([], schema)
+        qx = rtbl.column("query_id").to_numpy(zero_copy_only=False)
+        ids = rtbl.column(id_col).to_numpy(zero_copy_only=False)
+        ex = rtbl.column("dist").to_numpy(zero_copy_only=False)
+        g2 = fast_topk_grouped(qx, ids, ex, int(k))
+        qx, ids, ex = qx[g2], ids[g2], ex[g2]
+        if upper_bound is not None:
+            m = ex <= float(upper_bound)
+            qx, ids, ex = qx[m], ids[m], ex[m]
+        o = np.lexsort((ids, ex, qx))  # (qid, dist, id) — the shared order
+        out_tbl = pa.table({
+            "query_id": pa.array(qx[o], type=pa.int64()),
+            id_col: pa.array(ids[o], type=pa.int64()),
+            "dist": pa.array(ex[o], type=pa.float64()),
+        })
+        return spark.createDataFrame(out_tbl, schema=schema)

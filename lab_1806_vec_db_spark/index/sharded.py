@@ -286,6 +286,7 @@ class ShardedHNSWIndex:
             pool, queries, k, filtered_base, self.id_col, self.metric,
             vec_col, qid_col=qid_col, qvec_col=qvec_col,
             exact_fallback=exact_fallback, fallback_margin=fallback_margin,
+            pool_k=pool_k,
         )
 
     def search_batch(

@@ -608,12 +608,38 @@ def _pair_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int, side: 
 
 
 def _default_pair_blocks(df: DataFrame) -> int:
-    """Scale the block grid to the session's parallelism: n blocks give
-    n(n+1)/2 groups, so n ≈ sqrt(2·cores) keeps every core busy without
-    shrinking blocks below vectorization-friendly sizes. Purely a
-    partitioning choice — the emitted pairs are identical for any n."""
+    """Scale the block grid to the session's parallelism AND the input
+    size: n blocks give n(n+1)/2 groups, so n ≈ sqrt(2·cores) keeps
+    every core busy at small inputs, and above that n grows with the
+    optimizer's size estimate so each block stays ≤ ~64 MB of (id, vec)
+    — a cogroup tile materializes two blocks in one pandas group, so
+    the block size (not the table size) is the per-task memory bound.
+    Purely a partitioning choice — the emitted pairs are identical for
+    any n (each pair lands in exactly one tile).
+
+    Replication cost is n copies of (id, vec) per row — the quadratic
+    price of the EXACT all-pairs contract. Past the point where that
+    stops being affordable (n capped at 256 here ≈ tens of GB of
+    vectors), the right tool is the LSH-bucketed route
+    (:func:`embedding_neardup_lsh` / the ``planes`` argument of
+    :func:`embedding_neardup_probe`): map-only bucketing, one shuffle
+    on the bucket key, tiles only within buckets — that is the 100 TB
+    form, with the documented LSH recall trade-off. The exact grid is
+    deliberately NOT auto-switched to LSH above a size bound: LSH
+    changes the result set (recall < 1), and these operators back
+    declared oracle-checked queries whose results must not depend on
+    input size."""
     cores = df.sparkSession.sparkContext.defaultParallelism
-    return max(2, int((2 * cores) ** 0.5))
+    n = max(2, int((2 * cores) ** 0.5))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = 0
+    if 0 < size < (1 << 60):  # Catalyst reports Long.Max-ish when unknown
+        block_target = 64 << 20
+        n = max(n, min(256, -(-size // block_target)))
+    return n
 
 
 def embedding_neardup_pairs(
@@ -713,8 +739,17 @@ def embedding_neardup_probe(
             [(i, j) for i in range(nb) for j in range(nb)], schema="_ba int, _bb int"
         )
         left = a.select("id", "va", blk_a).join(F.broadcast(grid), "_ba")
+        # null-SAFE corpus block key: a null corpus id must still land
+        # in a (non-null) block — a null key would fall out of every
+        # cogroup tile and its vector would silently stop matching new
+        # rows (ADVICE r13). coalesce leaves non-null ids' hashes
+        # unchanged; which block a corpus row lands in is irrelevant to
+        # the result (every corpus row meets every new block via the
+        # crossJoin), only that it lands in exactly one.
         right = b.select(
-            "vb", F.pmod(F.xxhash64(F.col("cid")), F.lit(nb)).cast("int").alias("_bb")
+            "vb",
+            F.pmod(F.xxhash64(F.coalesce(F.col("cid"), F.lit(0))), F.lit(nb))
+            .cast("int").alias("_bb"),
         ).crossJoin(F.broadcast(new_df.sparkSession.range(nb).select(F.col("id").cast("int").alias("_ba"))))
         hit_rows = (
             left.groupBy("_ba", "_bb")

@@ -179,6 +179,8 @@ def knn_batch(
     qvec_col: str = "vec",
     upper_bound: float | None = None,
     strategy: str = "partitioned",
+    driver_merge: bool | None = None,
+    driver_merge_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Batch kNN: top-k of ``df`` for every row of ``queries``.
 
@@ -186,6 +188,16 @@ def knn_batch(
     ``strategy='partitioned'`` is the scale path (see module docstring);
     ``'crossjoin'`` is the fully-declarative reference plan used as the
     semantic oracle in tests.
+
+    ``driver_merge`` (None = auto, partitioned strategy only): the
+    per-task emission is k-bounded per (query, task) — |Q|·k·n_parts
+    rows of 24 B — so for bounded query blocks the global merge runs
+    as one driver-side numpy pass (:func:`driver_topk_merge`, same
+    cuts and tie-breaks) instead of a shuffle + window sort. Auto
+    enables it while the emission estimate fits
+    ``driver_merge_max_bytes``; above that (huge query blocks × many
+    partitions at 100 TB scale) the distributed window merge serves
+    unchanged. Results are IDENTICAL either way.
     """
     _check_metric(metric)
     if strategy == "crossjoin":
@@ -265,9 +277,22 @@ def knn_batch(
             dist=run_d.T.reshape(-1),
         )
 
-    scored = df.select(id_col, vec_col).mapInArrow(
+    src = df.select(id_col, vec_col)
+    scored = src.mapInArrow(
         scan, schema=f"query_id long, {id_col} long, dist double"
     )
+    use_dm = driver_merge
+    if use_dm is None:
+        try:
+            n_parts = src.rdd.getNumPartitions()
+        except Exception:
+            n_parts = None
+        use_dm = (
+            n_parts is not None
+            and qids.size * int(k) * n_parts * 24 <= int(driver_merge_max_bytes)
+        )
+    if use_dm:
+        return driver_topk_merge(spark, scored, k, id_col, upper_bound)
     return _topk_per_query(scored, k, id_col, upper_bound)
 
 
@@ -329,6 +354,44 @@ def fast_topk_grouped(qx: np.ndarray, ids: np.ndarray, dist: np.ndarray, k: int)
     return np.concatenate(out)
 
 
+def driver_topk_merge(
+    spark, scored: DataFrame, k: int, id_col: str,
+    upper_bound: float | None, qid_col: str = "query_id",
+) -> DataFrame:
+    """Driver-side twin of :func:`_topk_per_query` for BOUNDED per-task
+    emissions (guide §4/§5 — the round-13 IVF+PQ ``_driver_merge``
+    generalized): Arrow-collect the (query_id, id, dist) frame, apply
+    the SAME (dist asc, id asc) per-query cut with
+    ``fast_topk_grouped`` (identical rows and tie-breaks to the window
+    plan), filter the optional threshold after the cut exactly like the
+    window path, and return the k-bounded result as a local DataFrame
+    sorted (qid, dist, id). Removes the wide exchange + per-query
+    window sort from the plan; callers gate on an emission-size
+    estimate and keep the distributed window merge above it (the
+    100 TB path)."""
+    import pyarrow as pa
+
+    schema = f"{qid_col} long, {id_col} long, dist double"
+    tbl = scored.toArrow()
+    if tbl.num_rows == 0:
+        return spark.createDataFrame([], schema)
+    qx = tbl.column(qid_col).to_numpy(zero_copy_only=False)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    d = tbl.column("dist").to_numpy(zero_copy_only=False)
+    g = fast_topk_grouped(qx, ids, d, int(k))
+    qx, ids, d = qx[g], ids[g], d[g]
+    if upper_bound is not None:
+        m = d <= float(upper_bound)
+        qx, ids, d = qx[m], ids[m], d[m]
+    o = np.lexsort((ids, d, qx))  # (qid, dist, id) — the shared order
+    out_tbl = pa.table({
+        qid_col: pa.array(qx[o], type=pa.int64()),
+        id_col: pa.array(ids[o], type=pa.int64()),
+        "dist": pa.array(d[o], type=pa.float64()),
+    })
+    return spark.createDataFrame(out_tbl, schema=schema)
+
+
 def _topk_per_query(
     scored: DataFrame, k: int, id_col: str, upper_bound: float | None,
     qid_col: str = "query_id",
@@ -359,6 +422,8 @@ def filtered_topk_from_pool(
     qvec_col: str = "vec",
     exact_fallback: bool = True,
     fallback_margin: float = 1.0,
+    pool_k: int | None = None,
+    driver_merge_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Shared oversample-and-filter finisher for every batch ANN tier
     (HNSW broadcast graph, IVF+PQ, sharded HNSW): join an ef-bounded
@@ -378,6 +443,20 @@ def filtered_topk_from_pool(
     neighbors — escalating it trades one bounded exact pass for the
     recall the pool can't certify. margin=1.0 keeps the strict
     "under-filled only" contract.
+
+    Round-14 (guide §2.4/§5): with ``exact_fallback`` the finisher
+    already materializes driver-side, so for a BOUNDED pool (the caller
+    passes its per-query ``pool_k`` width and |Q|·pool_k·24 B fits
+    ``driver_merge_max_bytes``) the per-query probe_k cut runs as the
+    same driver numpy pass every bounded batch tier uses
+    (``fast_topk_grouped`` — identical (dist, id) cuts and starvation
+    counts to the window plan) instead of a shuffle + window job ahead
+    of the collect; the surviving-pool join itself stays distributed
+    (the filtered base is never driver-materialized). Without a
+    ``pool_k`` bound (or above the byte bound) the window plan pre-cuts
+    to probe_k before the collect, exactly as before — the driver
+    materialization stays |Q|·probe_k-bounded in every regime. The
+    pool pipeline still executes exactly once either way.
     Plan gate: tests/test_plans.py::test_batch_filtered_ann_plan_shape."""
     spark = pool.sparkSession
     surv = pool.join(filtered_base.select(id_col), id_col).select(
@@ -386,30 +465,50 @@ def filtered_topk_from_pool(
     probe_k = int(k)
     if exact_fallback and float(fallback_margin) > 1.0:
         probe_k = int(math.ceil(float(fallback_margin) * int(k)))
-    topk = _topk_per_query(surv, probe_k, id_col, None, qid_col=qid_col)
     if not exact_fallback:
-        return topk
-    # the survivor top-k is probe_k-bounded (≤ ceil(margin·k) rows per
-    # query), so ONE Arrow materialization both detects starved/thin
-    # queries and carries the kept rows — the pool pipeline executes
-    # exactly once (a groupBy-count probe plus a filtered re-read
-    # executed it three times and tripled the wall-time at bench shape)
+        return _topk_per_query(surv, probe_k, id_col, None, qid_col=qid_col)
+    import pyarrow as pa
+
     schema = f"{qid_col} long, {id_col} long, dist double"
-    pdf = topk.toPandas()
-    counts = pdf.groupby(qid_col).size() if len(pdf) else {}
-    need = [
-        int(r[0])
-        for r in queries.select(qid_col).collect()
-        if int(counts.get(r[0], 0)) < probe_k
-    ]
-    if len(pdf) and probe_k > int(k):
-        pdf = (
-            pdf.sort_values([qid_col, "dist", id_col])
-            .groupby(qid_col, sort=False)
-            .head(int(k))
-        )
+    # |Q| is needed for starvation detection anyway — collect it first
+    # so it can also gate the driver-cut estimate
+    qlist = [int(r[0]) for r in queries.select(qid_col).collect()]
+    use_driver_cut = (
+        pool_k is not None
+        and len(qlist) * int(pool_k) * 24 <= int(driver_merge_max_bytes)
+    )
+    if use_driver_cut:
+        # ONE Arrow materialization of the joined pool; the probe_k cut,
+        # the starvation counts, and the k-trim all run driver-side in
+        # numpy — no shuffle, no window sort
+        tbl = surv.toArrow()
+        qx = tbl.column(qid_col).to_numpy(zero_copy_only=False)
+        sids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sd = tbl.column("dist").to_numpy(zero_copy_only=False)
+        g = fast_topk_grouped(qx, sids, sd, probe_k)
+        qx, sids, sd = qx[g], sids[g], sd[g]
+    else:
+        # distributed pre-cut to probe_k, then the probe_k-bounded
+        # collect (the pre-round-14 plan, the 100 TB-safe shape)
+        topk = _topk_per_query(surv, probe_k, id_col, None, qid_col=qid_col)
+        tbl = topk.toArrow()
+        qx = tbl.column(qid_col).to_numpy(zero_copy_only=False)
+        sids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sd = tbl.column("dist").to_numpy(zero_copy_only=False)
+    uq, cnt = np.unique(qx, return_counts=True)
+    counts = dict(zip(uq.tolist(), cnt.tolist()))
+    need = [q for q in qlist if int(counts.get(q, 0)) < probe_k]
+    if probe_k > int(k) and qx.size:
+        g2 = fast_topk_grouped(qx, sids, sd, int(k))
+        qx, sids, sd = qx[g2], sids[g2], sd[g2]
+    o = np.lexsort((sids, sd, qx))
+    kept_tbl = pa.table({
+        qid_col: pa.array(qx[o], type=pa.int64()),
+        id_col: pa.array(sids[o], type=pa.int64()),
+        "dist": pa.array(sd[o], type=pa.float64()),
+    })
     if not need:
-        return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(kept_tbl, schema=schema)
     exact = knn_batch(
         filtered_base,
         queries.filter(F.col(qid_col).isin(need)),
@@ -419,8 +518,16 @@ def filtered_topk_from_pool(
     if qid_col != "query_id":
         # knn_batch's output column is always literal query_id
         exact = exact.withColumnRenamed("query_id", qid_col)
-    kept_pdf = pdf[~pdf[qid_col].isin(need)] if len(pdf) else pdf
-    kept = spark.createDataFrame(kept_pdf, schema=schema)
+    need_set = set(need)
+    keep_m = ~np.isin(qx[o], np.asarray(sorted(need_set), dtype=np.int64))
+    kept = spark.createDataFrame(
+        pa.table({
+            qid_col: pa.array(qx[o][keep_m], type=pa.int64()),
+            id_col: pa.array(sids[o][keep_m], type=pa.int64()),
+            "dist": pa.array(sd[o][keep_m], type=pa.float64()),
+        }),
+        schema=schema,
+    )
     return kept.unionByName(exact).orderBy(
         qid_col, F.col("dist").asc(), F.col(id_col).asc()
     )

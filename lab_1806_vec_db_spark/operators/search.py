@@ -566,6 +566,24 @@ def textindex_add_documents(
 TextIndex.add_documents = textindex_add_documents
 
 
+def _local_relation_rows(df: DataFrame) -> list | None:
+    """Rows of a DataFrame whose optimized plan is a ``LocalRelation``
+    (driver-created data, e.g. ``spark.createDataFrame``), fetched
+    WITHOUT submitting a Spark job — ``LocalTableScanExec`` answers
+    ``collect()`` driver-side. Returns None when the plan is not local
+    (a real distributed frame) or the probe fails; callers then use a
+    job-based path."""
+    try:
+        if df.isStreaming:
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        return df.collect()
+    except Exception:
+        return None
+
+
 def bm25_topk_batch(
     docs: DataFrame,
     queries: DataFrame,
@@ -576,10 +594,17 @@ def bm25_topk_batch(
     id_col: str = "doc_id",
     qid_col: str = "query_id",
     qterms_col: str = "terms",
+    term_pool: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Batch BM25: many queries share ONE corpus pass — the lexical
     twin of ``operators/knn.py:knn_batch``. ``queries`` carries
     (query_id, terms array<string>).
+
+    ``term_pool``: the union of all query terms, when the caller
+    already has it driver-side (it built the queries frame from local
+    data) — skips the plan-build pool probe entirely. Must cover every
+    term in ``queries`` (it prunes the corpus-side explode; a missing
+    term would silently drop its matches).
 
     Plan: the query set explodes to (query_id, term) rows and
     BROADCASTS into the token stream (queries are small by contract,
@@ -589,6 +614,16 @@ def bm25_topk_batch(
     in the single-query path; per-(query, doc) scores roll up in the
     same aggregation, and the final cut is a rank window partitioned
     by query — k-bounded rows per query out of the shuffle.
+
+    EAGER-EVALUATION NOTE: building this plan needs the distinct query
+    term pool (to pre-filter corpus tokens before the explode). For a
+    driver-created ``queries`` frame (``spark.createDataFrame`` —
+    optimizes to a LocalRelation) the pool is read driver-side with NO
+    Spark job; for a genuinely distributed ``queries`` frame ONE
+    bounded job (distinct terms, limit 100k+1) runs at composition
+    time and the queries lineage is evaluated again by the broadcast
+    join — pass a cached/localCheckpointed frame if that lineage is
+    expensive or non-deterministic.
 
     Determinism matches ``bm25_topk`` exactly (same formula, rounding,
     (score desc, id) tie rule), so per-query results equal the
@@ -606,8 +641,33 @@ def bm25_topk_batch(
     # rows (guide §2.3). Guarded: an adversarially huge term pool
     # falls back to the explode-then-broadcast-join plan unchanged.
     _POOL_CAP = 100_000
-    pool_rows = qterms.select("term").distinct().limit(_POOL_CAP + 1).collect()
-    term_pool = [r.term for r in pool_rows]
+    if term_pool is not None:
+        term_pool = list(term_pool)
+    else:
+        # LocalRelation fast-path: a genuinely local queries plan
+        # yields its rows with no Spark job at plan-build time. Same
+        # distinct set the explode produces (explode skips null/empty
+        # arrays and keeps null elements); isin() is order-insensitive.
+        # NOTE: PySpark's createDataFrame parallelizes local data into
+        # a LogicalRDD, which this probe deliberately does NOT match
+        # (collecting it would run a job) — callers holding the data
+        # pass ``term_pool`` instead.
+        local_rows = _local_relation_rows(queries.select(qterms_col))
+        if local_rows is not None:
+            pool: set = set()
+            for r in local_rows:
+                terms_cell = r[0]
+                if terms_cell is None:
+                    continue
+                pool.update(terms_cell)
+                if len(pool) > _POOL_CAP:
+                    break
+            term_pool = list(pool)
+        else:
+            pool_rows = (
+                qterms.select("term").distinct().limit(_POOL_CAP + 1).collect()
+            )
+            term_pool = [r.term for r in pool_rows]
     if len(term_pool) <= _POOL_CAP:
         base = docs.select(F.col(id_col), toks.alias("__toks")).select(
             F.col(id_col),

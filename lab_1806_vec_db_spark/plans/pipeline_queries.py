@@ -1440,9 +1440,12 @@ def text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), terms) for i, terms in _BM25_BATCH_QUERIES],
         "query_id int, terms array<string>",
     )
-    return bm25_topk_batch(_docs(spark, sf_dir), qdf, k=10).orderBy(
-        "query_id", F.col("score").desc(), "doc_id"
-    )
+    # the query list is literal driver data: hand its term pool over
+    # directly so plan construction submits NO Spark job (VERDICT r13)
+    pool = sorted({t for _, terms in _BM25_BATCH_QUERIES for t in terms})
+    return bm25_topk_batch(
+        _docs(spark, sf_dir), qdf, k=10, term_pool=pool
+    ).orderBy("query_id", F.col("score").desc(), "doc_id")
 
 
 # ---- PII scrub / repeated-line dedup / URL normalization (round 7) --------

@@ -144,11 +144,12 @@ def test_self_adjudicate_escalates_before_confirming(monkeypatch):
 
 def test_self_adjudicate_flags_host_degraded_ab_window(monkeypatch):
     """A confirmation whose HEAD leg ran far slower than the SAME
-    code's own suite row this run is an A/B-window artifact, not a
-    code regression (the head leg and the suite row execute identical
-    code): verdict becomes inconclusive_host_degraded with both
-    numbers recorded. With a consistent suite row the confirmation
-    stands."""
+    code's own suite row this run is an A/B-window artifact ONLY when
+    the prev leg is ALSO inflated vs its own committed row (round-14
+    ADVICE hardening: cold-JVM inflation is per-side; symmetric
+    inflation proves a degraded window, one-sided inflation does not
+    mute the confirmation). The downgrade is marked re-run-required.
+    With a consistent suite row the confirmation stands."""
     import bench
 
     def fake_leg_slow(repo_dir, row, runs):
@@ -156,12 +157,29 @@ def test_self_adjudicate_flags_host_degraded_ab_window(monkeypatch):
 
     monkeypatch.setattr(bench, "_ab_leg", fake_leg_slow)
     _, rnd = bench._latest_committed_normalized()
-    # head leg 2.0 vs suite best 0.5 → >1.5× slower than itself → host
+    # BOTH sides inflated: head 2.0 vs suite 0.5, prev 1.0 vs committed
+    # 0.4 → symmetric degradation → downgraded, re-run required
+    monkeypatch.setattr(bench, "_prev_committed_raw",
+                        lambda prev_round: {"pq_ef80": 0.4})
     out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
                                  suite_best={"pq_ef80": 0.5})
     e = out["pq_ef80"]
     assert e["verdict"] == "inconclusive_host_degraded"
+    assert e["rerun_required"] is True
     assert e["suite_best"] == 0.5 and e["ab_head_best"] == 2.0
+    assert e["prev_committed_row"] == 0.4
+    # ONE-SIDED inflation: prev leg (1.0) matches its committed row
+    # (0.9) while only the head leg is slow → the confirmation stands
+    monkeypatch.setattr(bench, "_prev_committed_raw",
+                        lambda prev_round: {"pq_ef80": 0.9})
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
+                                 suite_best={"pq_ef80": 0.5})
+    assert out["pq_ef80"]["verdict"] == "regression_confirmed"
+    # no committed reference → conservative old behavior (downgrade)
+    monkeypatch.setattr(bench, "_prev_committed_raw", lambda prev_round: {})
+    out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
+                                 suite_best={"pq_ef80": 0.5})
+    assert out["pq_ef80"]["verdict"] == "inconclusive_host_degraded"
     # consistent suite row (leg ≈ suite) → real confirmation survives
     out = bench._self_adjudicate({"pq_ef80": 1.35}, rnd,
                                  suite_best={"pq_ef80": 1.9})

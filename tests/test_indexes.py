@@ -287,6 +287,26 @@ def test_pq_batch_chunked_lut_broadcast_matches(emb, pq16, monkeypatch):
     assert [tuple(r) for r in chunked] == [tuple(r) for r in single]
 
 
+def test_pq_batch_driver_merge_equals_window(emb, pq16):
+    """Round-14: the bounded-block driver merge (ADC gate + final
+    top-k as driver numpy passes) must reproduce the window plan's
+    rows and order exactly, both metrics, with and without the
+    threshold filter."""
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for metric in ("l2sqr", "cosine"):
+        for ub in (None, 0.9):
+            dm = pq16.search_batch(queries, k=5, ef=40, metric=metric,
+                                   qvec_col="embedding", upper_bound=ub,
+                                   driver_merge=True).collect()
+            win = pq16.search_batch(queries, k=5, ef=40, metric=metric,
+                                    qvec_col="embedding", upper_bound=ub,
+                                    driver_merge=False).collect()
+            assert [tuple(r) for r in dm] == [tuple(r) for r in win], (
+                metric, ub)
+
+
 def test_batch_query_caps_raise(emb, pq16):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -798,6 +818,22 @@ def test_hnsw_search_batch_filtered(spark, emb):
         id_col="vec_id", qid_col="query_id", qvec_col="vec").collect()]
     assert got2 == exact2
 
+    # round-14: the bounded-pool driver cut must match the window
+    # pre-cut path exactly (rows, order, starvation detection), with
+    # and without a thin-intersection margin
+    from lab_1806_vec_db_spark.operators.knn import filtered_topk_from_pool
+
+    for margin in (1.0, 1.5):
+        pool = idx.search_batch(queries, k=80, ef=80, qvec_col="vec")
+        kw = dict(id_col="vec_id", metric="l2sqr", vec_col="embedding",
+                  qvec_col="vec", fallback_margin=margin)
+        dcut = [tuple(r) for r in filtered_topk_from_pool(
+            pool, queries, 5, filt, pool_k=80, **kw).collect()]
+        window = [tuple(r) for r in filtered_topk_from_pool(
+            pool, queries, 5, filt, pool_k=80,
+            driver_merge_max_bytes=0, **kw).collect()]
+        assert dcut == window, margin
+
 
 def test_vecdb_search_filtered_sharded_dispatch(spark, tmp_path):
     """search_filtered(ef=...) on a sharded-tier table routes through
@@ -988,6 +1024,43 @@ def test_hnsw_batch_steers_point_paths_gate(emb, hnsw, pq16):
 
     assert hnsw._auto_steer_pq(pq16, None) is None
     assert hnsw.vecs.nbytes < hnsw_mod.ADC_STEER_MIN_BYTES
+
+
+def test_hnsw_batch_steered_recall_floor(emb, hnsw, pq16):
+    """ADVICE r13: steering the batch traversal with ADC distances can
+    change the candidate set vs the exact kernel (the batch/point-path
+    asymmetry is deliberate), so steering-induced RECALL regressions
+    need their own gate: steered-batch recall vs the exact flat scan
+    must stay at serving level, and must not sit materially below the
+    unsteered batch's own recall."""
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt: dict[int, set[int]] = {}
+    for r in knn_ops.knn_batch(
+        emb, queries, k=5, metric="l2sqr", vec_col="embedding",
+        id_col="vec_id", qid_col="query_id", qvec_col="embedding",
+    ).collect():
+        gt.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(got.get(q, set()) & ids) / len(ids) for q, ids in gt.items()
+        ) / len(gt)
+
+    steered = recall(hnsw.search_batch(
+        queries, k=5, ef=64, qvec_col="embedding", pq=pq16).collect())
+    plain = recall(hnsw.search_batch(
+        queries, k=5, ef=64, qvec_col="embedding", pq=pq16,
+        steer=False).collect())
+    assert steered >= 0.9, f"steered batch recall collapsed: {steered}"
+    assert steered >= plain - 0.05, (
+        f"ADC steering cost recall: steered {steered} vs exact-kernel "
+        f"{plain}"
+    )
 
 
 def test_hnsw_drop_pq_releases_caches(emb, hnsw, pq16):

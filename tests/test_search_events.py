@@ -275,6 +275,58 @@ def test_bm25_batch_equals_single_query(spark, tiny_docs):
         assert got == single, qid
 
 
+def test_bm25_batch_local_queries_no_plan_build_job(spark, tiny_docs):
+    """Round-14 (VERDICT r13 #4): when the caller supplies the term
+    pool (it built the queries frame from local data), or the queries
+    plan is a genuine LocalRelation (SQL VALUES), plan construction
+    must submit NO Spark job — and every pool path must produce
+    identical results to the job-based guard."""
+    from lab_1806_vec_db_spark.operators.search import bm25_topk_batch
+
+    qdata = [(0, ["spark"]), (1, ["spark", "join"]), (2, ["window", "table"])]
+    qdf = spark.createDataFrame(qdata, "query_id int, terms array<string>")
+    pool = sorted({t for _, terms in qdata for t in terms})
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    import uuid
+
+    def assert_job_free(build):
+        # unique group per invocation — getJobIdsForGroup accumulates
+        # for the session, so a reused name would see earlier collects
+        group = f"bm25_plan_build_probe_{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "plan construction must be job-free")
+        try:
+            df = build()
+            built = tracker.getJobIdsForGroup(group)
+            assert not built, f"plan construction submitted job(s): {built}"
+            rows = [tuple(r) for r in df.collect()]
+            # sanity: execution inside the group IS recorded, so an
+            # empty list above means job-free, not a broken probe
+            assert tracker.getJobIdsForGroup(group)
+            return rows
+        finally:
+            sc._jsc.clearJobGroup()
+
+    # caller-supplied pool: zero plan-build jobs
+    rows = assert_job_free(
+        lambda: bm25_topk_batch(tiny_docs, qdf, k=10, term_pool=pool))
+    # genuine LocalRelation (SQL VALUES): probe reads it job-free
+    qlocal = spark.sql(
+        "SELECT * FROM VALUES (0, array('spark')), "
+        "(1, array('spark', 'join')), (2, array('window', 'table')) "
+        "AS t(query_id, terms)"
+    )
+    assert (qlocal.select("terms")._jdf.queryExecution().optimizedPlan()
+            .getClass().getSimpleName() == "LocalRelation")
+    rows_local = assert_job_free(
+        lambda: bm25_topk_batch(tiny_docs, qlocal, k=10))
+    # job-based guard (PySpark-created frame, no pool given): identical
+    rows_guard = [tuple(r) for r in
+                  bm25_topk_batch(tiny_docs, qdf, k=10).collect()]
+    assert sorted(rows) == sorted(rows_guard) == sorted(rows_local)
+
+
 def test_text_index_compact_preserves_results(spark, tiny_docs, tmp_path):
     import glob
     import os

@@ -67,8 +67,12 @@ def main() -> None:
             times = []
             for r in range(args.runs):
                 spark.sparkContext.setJobDescription(f"profile:{name}#{r}")
+                # every run builds its own DataFrame inside the timed
+                # window, so run 0 and runs >=1 measure the same work
+                # (plan construction + execution) and min(times) is not
+                # biased toward a prebuilt-plan run
                 t0 = time.perf_counter()
-                df2 = fn(spark, args.sf_dir) if r else df
+                df2 = fn(spark, args.sf_dir)
                 df2.write.format("noop").mode("overwrite").save()
                 times.append(round(time.perf_counter() - t0, 3))
                 spark.sparkContext.setJobDescription(None)
