@@ -214,6 +214,8 @@ class IVFIndex:
         upper_bound: float | None = None,
         max_queries: int = 200_000,
         compute_dtype: str | None = None,
+        driver_merge: bool | None = None,
+        driver_merge_max_bytes: int = 512 << 20,
     ) -> DataFrame:
         """Batch IVF kNN: each query scans only its own probed clusters.
 
@@ -238,7 +240,16 @@ class IVFIndex:
         arithmetic can flip a rounded last decimal on near-ties, so
         forced-f64 remains the choice where oracle hash-equality
         matters. The single-query path computes JVM-side in f64 over
-        the stored values regardless (Catalyst expression)."""
+        the stored values regardless (Catalyst expression).
+
+        ``driver_merge`` (None = auto): the per-task emission is
+        k-bounded per (query, task) after the in-task compaction, so
+        for bounded query blocks the global merge runs driver-side
+        (:func:`operators.knn.driver_topk_merge` — identical (dist, id)
+        cuts and tie-breaks to the window plan) instead of a shuffle +
+        window sort. Auto enables it while |Q|·k·n_parts·24 B fits
+        ``driver_merge_max_bytes``; above that the distributed window
+        merge serves unchanged (the 100 TB path)."""
         spark = queries.sparkSession
         qrows = queries.select(qid_col, qvec_col).collect()
         if not qrows:
@@ -341,11 +352,26 @@ class IVFIndex:
                                query_id=bqids[qx], **{id_col: ids_a}, dist=d_a)
 
         probed_any = sorted(by_cluster.keys())
-        scored = (
-            self.clustered.filter(F.col("cluster_id").isin(probed_any))
-            .select(id_col, vec_col, "cluster_id")
-            .mapInArrow(scan, schema=f"query_id long, {id_col} long, dist double")
+        src = self.clustered.filter(F.col("cluster_id").isin(probed_any)).select(
+            id_col, vec_col, "cluster_id"
         )
+        scored = src.mapInArrow(
+            scan, schema=f"query_id long, {id_col} long, dist double"
+        )
+        use_dm = driver_merge
+        if use_dm is None:
+            try:
+                n_parts = src.rdd.getNumPartitions()
+            except Exception:
+                n_parts = None
+            use_dm = (
+                n_parts is not None
+                and len(qids) * k_ * n_parts * 24 <= int(driver_merge_max_bytes)
+            )
+        if use_dm:
+            from lab_1806_vec_db_spark.operators.knn import driver_topk_merge
+
+            return driver_topk_merge(spark, scored, k_, id_col, upper_bound)
         return _topk_per_query(scored, k_, id_col, upper_bound)
 
     def _empty_result(self, spark: SparkSession) -> DataFrame:

@@ -287,6 +287,24 @@ def test_pq_batch_chunked_lut_broadcast_matches(emb, pq16, monkeypatch):
     assert [tuple(r) for r in chunked] == [tuple(r) for r in single]
 
 
+def test_ivf_batch_driver_merge_equals_window(emb):
+    """Round-14: the IVF batch path's bounded-block driver merge must
+    reproduce the window plan's rows and order exactly."""
+    ivf = IVFIndex.build(emb, k=8, metric="l2sqr", vec_col="embedding",
+                         id_col="vec_id", train_size=300)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for ub in (None, 0.9):
+        dm = ivf.search_batch(queries, k=5, n_probes=4,
+                              qvec_col="embedding", upper_bound=ub,
+                              driver_merge=True).collect()
+        win = ivf.search_batch(queries, k=5, n_probes=4,
+                               qvec_col="embedding", upper_bound=ub,
+                               driver_merge=False).collect()
+        assert [tuple(r) for r in dm] == [tuple(r) for r in win], ub
+
+
 def test_pq_batch_driver_merge_equals_window(emb, pq16):
     """Round-14: the bounded-block driver merge (ADC gate + final
     top-k as driver numpy passes) must reproduce the window plan's
