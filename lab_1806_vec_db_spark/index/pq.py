@@ -41,7 +41,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.functions.distance import dist_expr
@@ -426,6 +426,7 @@ class PQTable:
         vec_col: str = "vec",
         id_col: str = "id",
         path: str | None = None,
+        codes_vec: DataFrame | None = None,
     ) -> None:
         self.codebooks = codebooks
         self.groups = groups
@@ -435,6 +436,14 @@ class PQTable:
         self.vec_col = vec_col
         self.id_col = id_col
         self.path = path
+        #: (id, code, vec) fused frame — when present, ``search_batch``
+        #: exact-re-ranks INSIDE the ADC scan (one job instead of
+        #: scan + re-rank join; round-14, guide §2.4). Built by
+        #: :meth:`train` only while the vector payload fits
+        #: ``SPARK_GRAFT_PQ_FUSE_MAX_BYTES`` (default 1 GiB) — at 100 TB
+        #: scale codes tables must not carry raw vectors and the
+        #: two-wave plan serves unchanged.
+        self.codes_vec = codes_vec
         # cosine ADC needs per-centroid self-dots (pq_table.rs:131-136)
         self.self_dots = [np.einsum("ij,ij->i", cb, cb) for cb in codebooks]
         self._code_parts: int | None = None
@@ -484,6 +493,21 @@ class PQTable:
         codebooks = _fit_codebooks(sample, groups, ksub, seed)
         obj = cls(codebooks, groups, n_bits, codes=None, base=df,  # type: ignore[arg-type]
                   vec_col=vec_col, id_col=id_col, path=path)
+        # Fused-serve layout (round-14): while the raw-vector payload is
+        # bounded, encode (id, code, vec) in ONE pass and cache that;
+        # `codes` is a column projection of the same cached frame (no
+        # second copy of the code bytes) and `search_batch` re-ranks
+        # inside the ADC scan — one job instead of two. Above the bound
+        # (or for persisted indexes, whose on-disk codes stay vec-free)
+        # the classic (id, code) frame + two-wave serve is unchanged:
+        # at scale a codes table must not carry raw vectors.
+        fuse_max = int(os.environ.get("SPARK_GRAFT_PQ_FUSE_MAX_BYTES",
+                                      str(1 << 30)))
+        if path is None and n_rows * dim * 8 <= fuse_max:
+            fused = obj.encode_df(df, with_vec=True).cache()
+            obj.codes_vec = fused
+            obj.codes = fused.select(id_col, "code")
+            return obj
         codes = obj.encode_df(df)
         if path is not None:
             spark = df.sparkSession
@@ -508,9 +532,11 @@ class PQTable:
         return cls(codebooks, [tuple(g) for g in meta["groups"]], meta["n_bits"],
                    codes, base, vec_col=meta["vec_col"], id_col=meta["id_col"], path=path)
 
-    def encode_df(self, df: DataFrame) -> DataFrame:
+    def encode_df(self, df: DataFrame, with_vec: bool = False) -> DataFrame:
         """Distributed encode (pq_table.rs:66-91): broadcast codebooks,
-        Arrow scan, per-group nearest-centroid argmin, pack to BINARY."""
+        Arrow scan, per-group nearest-centroid argmin, pack to BINARY.
+        ``with_vec`` passes the stored vector column through unchanged
+        (zero-copy Arrow column reuse) for the fused-serve layout."""
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast((self.codebooks, self.groups, self.n_bits))
         vec_col, id_col = self.vec_col, self.id_col
@@ -530,15 +556,19 @@ class PQTable:
                 for gi, (start, size) in enumerate(groups):
                     d = _pairwise_dist(x[:, start : start + size], codebooks[gi], "l2sqr")
                     codes[:, gi] = np.argmin(d, axis=1)
-                yield pa.RecordBatch.from_arrays(
-                    [rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64()),
-                     pa.array(pack_codes(codes, n_bits), type=pa.binary())],
-                    names=[id_col, "code"],
-                )
+                cols = [rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64()),
+                        pa.array(pack_codes(codes, n_bits), type=pa.binary())]
+                names = [id_col, "code"]
+                if with_vec:
+                    cols.append(rb.column(rb.schema.get_field_index(vec_col)))
+                    names.append(vec_col)
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
-        return df.select(id_col, vec_col).mapInArrow(
-            encode, schema=f"{id_col} long, code binary"
-        )
+        schema = f"{id_col} long, code binary"
+        if with_vec:
+            vtype = df.schema[vec_col].dataType.simpleString()
+            schema += f", {vec_col} {vtype}"
+        return df.select(id_col, vec_col).mapInArrow(encode, schema=schema)
 
     # ---- ADC (A8-A9) ------------------------------------------------------
 
@@ -652,6 +682,7 @@ class PQTable:
         max_lut_bytes: int = 64 << 20,
         driver_merge: bool | None = None,
         driver_merge_max_bytes: int = 512 << 20,
+        fuse_rerank: bool | None = None,
     ) -> DataFrame:
         """Batch ADC: per-query lookup tensors broadcast in bounded
         chunks (≤ ``max_lut_bytes`` each), one Arrow scan of the codes
@@ -660,6 +691,18 @@ class PQTable:
         Arrow batch would make the single-partition fast path return a
         superset), window-merge across partitions, then one broadcast
         join back to vectors for the exact re-rank.
+
+        ``fuse_rerank`` (None = auto): when the index carries the fused
+        (id, code, vec) layout (:attr:`codes_vec`, built by
+        :meth:`train` for bounded tables), the exact re-rank runs
+        INSIDE the ADC scan — each task re-ranks its own ef-bounded
+        pool against the vectors riding the same Arrow batches, so the
+        whole serve is ONE job (round-14, guide §2.4; the IVF+PQ fused
+        plan applied to flat PQ). The pool selection, tie handling,
+        re-rank arithmetic and rounding are bit-identical to the
+        two-wave plan, so results are IDENTICAL; ``False`` forces the
+        classic two-wave serve (also the only plan for indexes loaded
+        from disk, whose codes stay vec-free).
 
         ``driver_merge`` (None = auto): for BOUNDED query blocks the
         ADC gate and the final top-k run as driver-side numpy passes
@@ -687,6 +730,8 @@ class PQTable:
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         id_col = self.id_col
+        vec_col = self.vec_col
+        fused = self.codes_vec is not None and fuse_rerank is not False
         ef_ = max(int(ef), int(k))
         ksub = 1 << self.n_bits
         # bound each broadcast lookup tensor (default ~64 MB; dim 960 /
@@ -701,15 +746,30 @@ class PQTable:
 
         def make_scan(bc):
             def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+                import pyarrow as pa
+
                 from lab_1806_vec_db_spark.functions.arrowvec import (
                     binary_matrix,
                     knn_schema,
                     result_batch,
+                    vec_matrix,
                 )
                 from lab_1806_vec_db_spark.index import ckernel
 
-                bqids, blut3, bsq, bqn, m, n_bits = bc.value
-                out_schema = knn_schema(id_col)
+                bqids, blut3, bsq, bqn, m, n_bits, bqmat = bc.value
+                fused_t = bqmat is not None
+                if fused_t:
+                    # same per-query terms the two-wave re-rank closure
+                    # derives from its broadcast (make_grouped_rerank_scan)
+                    q2 = np.einsum("ij,ij->i", bqmat, bqmat)
+                    qnorm = np.sqrt(q2)
+                    out_schema = pa.schema(
+                        [pa.field("query_id", pa.int64()),
+                         pa.field(id_col, pa.int64()),
+                         pa.field("adc", pa.float64()),
+                         pa.field("dist", pa.float64())])
+                else:
+                    out_schema = knn_schema(id_col)
                 # compiled lookup-sum kernel when available (the IVF+PQ
                 # tile path, guide §4): per (row, query) the m LUT rows
                 # stay L1-resident and the (n × |Q|) result is written
@@ -731,7 +791,11 @@ class PQTable:
                     None if use_c
                     else np.ascontiguousarray(blut3.transpose(1, 2, 0))
                 )
-                run_d = run_id = None
+                run_d = run_id = run_src = None
+                off = 0
+                vkeys: list[np.ndarray] = []  # fused: buffered global row ids
+                vmats: list[np.ndarray] = []  # fused: their vectors, STORE dtype
+                vbytes = 0
                 for rb in batches:
                     if rb.num_rows == 0:
                         continue
@@ -761,9 +825,15 @@ class PQTable:
                         vnorm = np.sqrt(np.maximum(v2, 0.0))
                         summed = 1.0 - summed / np.maximum(vnorm[:, None] * bqn[None, :], 1e-10)
                     idm = np.broadcast_to(ids[:, None], summed.shape)
+                    if fused_t:
+                        srcm = np.broadcast_to(
+                            (off + np.arange(codes.shape[0], dtype=np.int64))[:, None],
+                            summed.shape)
                     if run_d is not None:
                         summed = np.concatenate([run_d, summed], axis=0)
                         idm = np.concatenate([run_id, idm], axis=0)
+                        if fused_t:
+                            srcm = np.concatenate([run_src, srcm], axis=0)
                     kk = min(ef_, summed.shape[0])
                     if kk < summed.shape[0]:
                         # O(n) prefilter before the exact ordering sort
@@ -777,32 +847,94 @@ class PQTable:
                         part = np.argpartition(summed, kk - 1, axis=0)[:kk, :]
                         summed = np.take_along_axis(summed, part, axis=0)
                         idm = np.take_along_axis(idm, part, axis=0)
+                        if fused_t:
+                            srcm = np.take_along_axis(srcm, part, axis=0)
                     sel = np.lexsort((idm, summed), axis=0)
                     run_d = np.take_along_axis(summed, sel, axis=0)
                     run_id = np.take_along_axis(idm, sel, axis=0)
-                if run_d is not None:
-                    kk = run_d.shape[0]
+                    if fused_t:
+                        run_src = np.take_along_axis(srcm, sel, axis=0)
+                        # buffer THIS batch's pool survivors' vectors in
+                        # the STORE dtype (f64 upcast happens once at the
+                        # end-of-task re-rank — lossless, so the exact
+                        # distances match the two-wave closure's bits)
+                        new_rows = np.unique(run_src[run_src >= off])
+                        if new_rows.size:
+                            vx = vec_matrix(
+                                rb.column(rb.schema.get_field_index(vec_col)))
+                            grab = np.ascontiguousarray(vx[new_rows - off])
+                            vkeys.append(new_rows)
+                            vmats.append(grab)
+                            vbytes += grab.nbytes
+                            if vbytes > 256 << 20:
+                                # keep only rows the live pool references
+                                vk = np.concatenate(vkeys)
+                                vm = (np.concatenate(vmats)
+                                      if len(vmats) > 1 else vmats[0])
+                                keep = np.isin(vk, np.unique(run_src))
+                                vkeys = [vk[keep]]
+                                vmats = [np.ascontiguousarray(vm[keep])]
+                                vbytes = vmats[0].nbytes
+                    off += codes.shape[0]
+                if run_d is None:
+                    return
+                kk = run_d.shape[0]
+                out_q = np.repeat(bqids, kk)
+                out_i = run_id.T.reshape(-1)
+                out_a = run_d.T.reshape(-1)
+                if not fused_t:
                     yield result_batch(
                         out_schema,
-                        query_id=np.repeat(bqids, kk),
-                        **{id_col: run_id.T.reshape(-1)},
-                        dist=run_d.T.reshape(-1),
+                        query_id=out_q,
+                        **{id_col: out_i},
+                        dist=out_a,
                     )
+                    return
+                # in-task exact re-rank of the pool — the same ops, in
+                # the same order, as make_grouped_rerank_scan: per-row
+                # self-dots on the f64 matrix of UNIQUE pool vectors,
+                # per-pair dots on the gathered rows, 4-dp half-up round
+                vk = np.concatenate(vkeys)
+                vm = np.concatenate(vmats) if len(vmats) > 1 else vmats[0]
+                o = np.argsort(vk, kind="stable")
+                vk_s = vk[o]
+                x_u = np.asarray(vm[o], dtype=np.float64)
+                x2u = np.einsum("ij,ij->i", x_u, x_u)
+                pos = np.searchsorted(vk_s, run_src.T.reshape(-1))
+                qidx = np.repeat(np.arange(len(bqids)), kk)
+                xs = x_u[pos]
+                ip = np.einsum("ij,ij->i", xs, bqmat[qidx])
+                if bsq is None:
+                    ex = x2u[pos] + q2[qidx] - 2.0 * ip
+                else:
+                    ex = 1.0 - ip / np.maximum(
+                        np.sqrt(x2u[pos]) * qnorm[qidx], 1e-10)
+                yield result_batch(
+                    out_schema,
+                    query_id=out_q,
+                    **{id_col: out_i},
+                    adc=out_a,
+                    dist=np_round_half_up(ex),
+                )
 
             return scan
 
+        scan_src = self.codes_vec if fused else self.codes
+        scan_schema = (
+            f"query_id long, {id_col} long, adc double, dist double"
+            if fused else f"query_id long, {id_col} long, dist double"
+        )
         pieces = []
         for s in range(0, len(qids), chunk):
             lut3, sq, qn = build_lookup_batch(
                 qmat[s : s + chunk], self.codebooks, self.groups, self.n_bits, metric
             )
             bc = spark.sparkContext.broadcast(
-                (qids[s : s + chunk], lut3, sq, qn, self.m, self.n_bits)
+                (qids[s : s + chunk], lut3, sq, qn, self.m, self.n_bits,
+                 qmat[s : s + chunk] if fused else None)
             )
             pieces.append(
-                self.codes.mapInArrow(
-                    make_scan(bc), schema=f"query_id long, {id_col} long, dist double"
-                )
+                scan_src.mapInArrow(make_scan(bc), schema=scan_schema)
             )
         approx = pieces[0]
         for p in pieces[1:]:
@@ -813,6 +945,28 @@ class PQTable:
             use_dm = (
                 n_parts * ef_ * len(qids) * 24 <= int(driver_merge_max_bytes)
             )
+        if fused:
+            if use_dm:
+                return self._driver_merge_fused(
+                    spark, approx, ef_, int(k), upper_bound)
+            # distributed fused finish (the 100 TB shape, mirroring the
+            # IVF+PQ fused plan): one shuffle serves both windows — the
+            # global ADC gate (top-ef by (adc, id) — identical to the
+            # two-wave candidate cut) and the exact top-k over the SAME
+            # rows (distances were computed inside the scan)
+            if n_parts > 1:
+                wg = Window.partitionBy("query_id").orderBy(
+                    F.col("adc").asc(), F.col(id_col).asc()
+                )
+                gated = (
+                    approx.withColumn("__gn", F.row_number().over(wg))
+                    .filter(F.col("__gn") <= ef_)
+                    .select("query_id", id_col, "dist")
+                )
+            else:
+                # single-partition scan already emitted the global pool
+                gated = approx.select("query_id", id_col, "dist")
+            return _topk_per_query(gated, int(k), id_col, upper_bound)
         if use_dm:
             return self._driver_merge_batch(
                 spark, approx, ef_, int(k), upper_bound, qids, qmat, metric
@@ -913,6 +1067,48 @@ class PQTable:
         qx = rtbl.column("query_id").to_numpy(zero_copy_only=False)
         ids = rtbl.column(id_col).to_numpy(zero_copy_only=False)
         ex = rtbl.column("dist").to_numpy(zero_copy_only=False)
+        g2 = fast_topk_grouped(qx, ids, ex, int(k))
+        qx, ids, ex = qx[g2], ids[g2], ex[g2]
+        if upper_bound is not None:
+            m = ex <= float(upper_bound)
+            qx, ids, ex = qx[m], ids[m], ex[m]
+        o = np.lexsort((ids, ex, qx))  # (qid, dist, id) — the shared order
+        out_tbl = pa.table({
+            "query_id": pa.array(qx[o], type=pa.int64()),
+            id_col: pa.array(ids[o], type=pa.int64()),
+            "dist": pa.array(ex[o], type=pa.float64()),
+        })
+        return spark.createDataFrame(out_tbl, schema=schema)
+
+    def _driver_merge_fused(
+        self,
+        spark,
+        approx: DataFrame,
+        ef_: int,
+        k: int,
+        upper_bound: float | None,
+    ) -> DataFrame:
+        """Driver-side finish of the FUSED scan (round-14): the scan
+        already carried exact distances back with the ADC pool, so the
+        whole serve is one job — global ADC gate (same (adc, id) cut as
+        the two-wave candidate window), then the final top-k by
+        (dist, id), both as numpy selection passes. No re-rank job, no
+        wide exchange; identical rows and order to every other plan."""
+        import pyarrow as pa
+
+        from lab_1806_vec_db_spark.operators.knn import fast_topk_grouped
+
+        id_col = self.id_col
+        schema = f"query_id long, {id_col} long, dist double"
+        tbl = approx.toArrow()
+        if tbl.num_rows == 0:
+            return spark.createDataFrame([], schema)
+        qx = tbl.column("query_id").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        adc = tbl.column("adc").to_numpy(zero_copy_only=False)
+        ex = tbl.column("dist").to_numpy(zero_copy_only=False)
+        g = fast_topk_grouped(qx, ids, adc, ef_)  # global ADC gate
+        qx, ids, ex = qx[g], ids[g], ex[g]
         g2 = fast_topk_grouped(qx, ids, ex, int(k))
         qx, ids, ex = qx[g2], ids[g2], ex[g2]
         if upper_bound is not None:

@@ -305,6 +305,54 @@ def test_ivf_batch_driver_merge_equals_window(emb):
         assert [tuple(r) for r in dm] == [tuple(r) for r in win], ub
 
 
+def test_pq_fused_serve_equals_two_wave(spark, emb, pq16):
+    """Round-14: the fused single-job serve (exact re-rank inside the
+    ADC scan, enabled by the train-time (id, code, vec) layout) must
+    reproduce the two-wave scan+re-rank plan's rows and order exactly —
+    driver merge AND window plans, both metrics, with the threshold
+    filter, and across multi-Arrow-batch tasks."""
+    assert pq16.codes_vec is not None  # small table → fused layout built
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for metric in ("l2sqr", "cosine"):
+        for ub in (None, 0.9):
+            for dm in (True, False):
+                fused = pq16.search_batch(
+                    queries, k=5, ef=40, metric=metric, qvec_col="embedding",
+                    upper_bound=ub, driver_merge=dm).collect()
+                two = pq16.search_batch(
+                    queries, k=5, ef=40, metric=metric, qvec_col="embedding",
+                    upper_bound=ub, driver_merge=dm, fuse_rerank=False).collect()
+                assert [tuple(r) for r in fused] == [tuple(r) for r in two], (
+                    metric, ub, dm)
+    # multi-batch tasks: force 100-row Arrow batches through the fused
+    # scan (vector buffering + compaction bookkeeping across batches)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        fused_mb = pq16.search_batch(
+            queries, k=5, ef=40, metric="l2sqr", qvec_col="embedding").collect()
+    finally:
+        spark.conf.set(key, old)
+    ref = pq16.search_batch(
+        queries, k=5, ef=40, metric="l2sqr", qvec_col="embedding",
+        fuse_rerank=False).collect()
+    assert [tuple(r) for r in fused_mb] == [tuple(r) for r in ref]
+
+
+def test_pq_train_fuse_byte_gate(emb, monkeypatch):
+    """The fused layout is bounded: above SPARK_GRAFT_PQ_FUSE_MAX_BYTES
+    the codes frame stays vec-free (the 100 TB shape) and search_batch
+    serves the classic two-wave plan."""
+    monkeypatch.setenv("SPARK_GRAFT_PQ_FUSE_MAX_BYTES", "1")
+    lean = PQTable.train(emb, dim=64, m=22, n_bits=4, train_proportion=0.5,
+                         vec_col="embedding", id_col="vec_id")
+    assert lean.codes_vec is None
+    assert lean.codes.columns == ["vec_id", "code"]
+
+
 def test_pq_batch_driver_merge_equals_window(emb, pq16):
     """Round-14: the bounded-block driver merge (ADC gate + final
     top-k as driver numpy passes) must reproduce the window plan's
