@@ -110,6 +110,84 @@ static int trip_cmp(const void *a, const void *b) {
 static int trip_lt(const trip_t *x, const trip_t *y) {
     return x->d < y->d || (x->d == y->d && x->id < y->id);
 }
+
+/*
+ * Per-query top-k over a dense precomputed distance tile (round-14):
+ * the exact-scan batch paths (operators/knn.py::knn_batch, index/ivf)
+ * previously selected their per-task top-k with a full 2-key
+ * numpy lexsort over the (rows x queries) tile — O(n log n) per query
+ * and 134 ms of a 140 ms task at bench shape (the GEMM itself is
+ * ~2 ms). This is the same bounded max-heap by (rounded d, id) the
+ * fused ADC kernel uses — BIT-IDENTICAL kept set and order to
+ * np_round_half_up + np.lexsort((ids, d))[:k] — one GIL-released call.
+ *
+ * dt: the (query s, candidate u) distance lives at dt[s*sq + u*su] —
+ * (sq=n, su=1) for a C-contiguous (S x n) tile, (sq=1, su=S) for the
+ * untransposed (n x S) tile the scan GEMM naturally produces (walking
+ * a column streams n cache lines that consecutive queries re-hit, so
+ * no transpose copy is ever paid).
+ * ids: per-query candidate ids; ids_stride 0 shares one (n,) vector
+ * across queries, n gives each query its own row (the cross-batch
+ * merge path). do_round applies floor(v*1e4+0.5)/1e4 — the exact
+ * np_round_half_up operation; pass 0 when dt is already rounded.
+ * Outputs (S x kk), padded id = -1 / d = HUGE_VAL past n.
+ */
+int dense_topk(
+    const double *dt, long sq, long su, const long *ids, long ids_stride,
+    long n, long S, int kk, int do_round,
+    long *out_id, double *out_d)
+{
+    pair_t *heap = (pair_t *)malloc((size_t)(kk > 0 ? kk : 1) * sizeof(pair_t));
+    if (!heap) return 1;
+    for (long s = 0; s < S; s++) {
+        const double *row = dt + (size_t)s * sq;
+        const long *rid = ids + (size_t)s * ids_stride;
+        long hs = 0;
+        for (long u = 0; u < n; u++) {
+            double v = row[(size_t)u * su];
+            if (do_round) v = floor(v * 10000.0 + 0.5) / 10000.0;
+            pair_t t = { v, rid[u] };
+            if (hs < kk) {
+                long i = hs++;
+                heap[i] = t;
+                while (i > 0) {
+                    long p = (i - 1) / 2;
+                    pair_t *hp = &heap[p], *hi = &heap[i];
+                    if (!(hp->d < hi->d || (hp->d == hi->d && hp->id < hi->id)))
+                        break;
+                    pair_t tmp = *hp; *hp = *hi; *hi = tmp;
+                    i = p;
+                }
+            } else if (kk > 0 &&
+                       (t.d < heap[0].d ||
+                        (t.d == heap[0].d && t.id < heap[0].id))) {
+                heap[0] = t;
+                long i = 0;
+                for (;;) {
+                    long l = 2 * i + 1, r = l + 1, mx = i;
+                    if (l < hs && (heap[mx].d < heap[l].d ||
+                        (heap[mx].d == heap[l].d && heap[mx].id < heap[l].id)))
+                        mx = l;
+                    if (r < hs && (heap[mx].d < heap[r].d ||
+                        (heap[mx].d == heap[r].d && heap[mx].id < heap[r].id)))
+                        mx = r;
+                    if (mx == i) break;
+                    pair_t tmp = heap[mx]; heap[mx] = heap[i]; heap[i] = tmp;
+                    i = mx;
+                }
+            }
+        }
+        qsort(heap, (size_t)hs, sizeof(pair_t), pair_cmp);
+        long *oi = out_id + (size_t)s * kk;
+        double *od = out_d + (size_t)s * kk;
+        for (long i = 0; i < kk; i++) {
+            if (i < hs) { oi[i] = heap[i].id; od[i] = heap[i].d; }
+            else { oi[i] = -1; od[i] = HUGE_VAL; }
+        }
+    }
+    free(heap);
+    return 0;
+}
 """
 
 # Per-dtype implementation; instantiated for float32 and float64 by
@@ -732,7 +810,8 @@ def _load_validated(path: str) -> ctypes.CDLL | None:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
-    if hasattr(lib, "hnsw_search_f64") and hasattr(lib, "heur_select_f64"):
+    if (hasattr(lib, "hnsw_search_f64") and hasattr(lib, "heur_select_f64")
+            and hasattr(lib, "dense_topk")):
         return lib
     return None
 
@@ -861,6 +940,17 @@ def _bind(lib: ctypes.CDLL) -> None:
             lp, dp,                                       # sel_id, sel_d
         ]
         hs.restype = ctypes.c_int
+    dt = lib.dense_topk
+    lp = ctypes.POINTER(ctypes.c_long)
+    dp = ctypes.POINTER(ctypes.c_double)
+    dt.argtypes = [
+        dp, ctypes.c_long, ctypes.c_long,      # dt, sq, su
+        lp, ctypes.c_long,                     # ids, ids_stride
+        ctypes.c_long, ctypes.c_long,          # n, S
+        ctypes.c_int, ctypes.c_int,            # kk, do_round
+        lp, dp,                                # out_id, out_d
+    ]
+    dt.restype = ctypes.c_int
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -1194,6 +1284,48 @@ def pq_flat(
     if rc != 0:
         raise MemoryError("pq flat C kernel allocation failure")
     return out_ids, out_d
+
+
+def dense_topk(
+    dt: np.ndarray,
+    ids: np.ndarray,
+    kk: int,
+    do_round: bool,
+    queries_axis: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compiled per-query top-``kk`` over a dense f64 distance tile by
+    (optionally 4-dp-rounded, id) — the exact kept set and order of
+    ``np_round_half_up`` + ``np.lexsort((ids, d))[:kk]``, one
+    GIL-released call. ``dt`` is (S × n) with ``queries_axis=0`` or the
+    scan GEMM's natural (n × S) with ``queries_axis=1`` — the kernel
+    strides over either layout, so no transpose copy is ever paid.
+    ``ids`` is (n,) shared across queries or (S × n) per query (the
+    cross-batch merge form). Returns (ids, d) each (S × kk), padded
+    -1 / inf past the tile's row count."""
+    lib = get_lib()
+    assert lib is not None
+    if dt.dtype != np.float64:
+        dt = dt.astype(np.float64)
+    if queries_axis == 0:
+        dt = np.ascontiguousarray(dt)
+        S, n = dt.shape
+        sq, su = n, 1
+    else:
+        dt = dt if dt.flags["C_CONTIGUOUS"] else np.ascontiguousarray(dt)
+        n, S = dt.shape
+        sq, su = 1, S
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    stride = 0 if ids.ndim == 1 else n
+    out_id = np.empty((S, kk), dtype=np.int64)
+    out_d = np.empty((S, kk), dtype=np.float64)
+    rc = lib.dense_topk(
+        _ptr(dt, ctypes.c_double), sq, su,
+        _ptr(ids, ctypes.c_long), stride,
+        n, S, int(kk), 1 if do_round else 0,
+        _ptr(out_id, ctypes.c_long), _ptr(out_d, ctypes.c_double),
+    )
+    assert rc == 0
+    return out_id, out_d
 
 
 def adc_lut(qspan: np.ndarray, cbs: np.ndarray) -> np.ndarray:

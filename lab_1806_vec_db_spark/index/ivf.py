@@ -282,9 +282,11 @@ class IVFIndex:
                 result_batch,
                 vec_matrix,
             )
+            from lab_1806_vec_db_spark.index import ckernel
             from lab_1806_vec_db_spark.operators.knn import local_topk_grouped
 
             bqids, bq, bclusters, metric = bc.value
+            use_c = ckernel.available()
             out_schema = knn_schema(id_col)
             # task-level candidate accumulator: a cluster arrives as
             # ~10k-row Arrow FRAGMENTS; emitting a top-k per fragment
@@ -331,12 +333,30 @@ class IVFIndex:
                     rows = np.nonzero(cl_all == cid)[0]
                     x = x_all[rows]
                     d = _pairwise_dist(x, bqc[sel], metric)
+                    ids = ids_all[rows]
+                    kk = min(k_, d.shape[0])
+                    if use_c:
+                        # compiled (rounded d, id) heap — bit-identical
+                        # set and order to the round+lexsort below, no
+                        # full-column sort, GIL released (round-14; the
+                        # rounding grid stays f64 whatever the GEMM
+                        # precision). kk ≤ rows here, so no padding.
+                        oi, od = ckernel.dense_topk(
+                            d.astype(np.float64, copy=False),
+                            np.ascontiguousarray(ids, dtype=np.int64),
+                            kk, do_round=True, queries_axis=1)
+                        acc_q.append(np.repeat(
+                            np.asarray(sel, dtype=np.int64), kk))
+                        acc_i.append(oi.reshape(-1))
+                        acc_d.append(od.reshape(-1))
+                        n_buf += kk * len(sel)
+                        if n_buf > 2_000_000:
+                            _compact()
+                        continue
                     # the 4-dp rounding grid stays f64 whatever the
                     # GEMM precision (the k×n distance matrix is tiny
                     # next to the vectors it came from)
                     d = np_round_half_up(d.astype(np.float64, copy=False))
-                    ids = ids_all[rows]
-                    kk = min(k_, d.shape[0])
                     order_ids = np.broadcast_to(ids[:, None], d.shape)
                     top = np.lexsort((order_ids, d), axis=0)[:kk, :]
                     acc_q.append(np.repeat(np.asarray(sel, dtype=np.int64), kk))

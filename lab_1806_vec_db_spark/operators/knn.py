@@ -234,15 +234,26 @@ def knn_batch(
             result_batch,
             vec_matrix,
         )
+        from lab_1806_vec_db_spark.index import ckernel
 
         bqids, bq = bc.value
         out_schema = knn_schema(id_col)
+        # per-batch top-k through the compiled heap kernel when a C
+        # toolchain exists (round-14, guide §4): the full 2-key lexsort
+        # over the (rows × |Q|) tile was 134 ms of a 140 ms task at
+        # bench shape (the GEMM itself is ~2 ms); the kernel's bounded
+        # (rounded d, id) max-heap keeps the BIT-IDENTICAL set and
+        # order in ~10 ms, GIL-released, striding the GEMM's natural
+        # layout (no transpose copy). The numpy branch below is the
+        # toolchain-free fallback, same results.
+        use_c = ckernel.available()
         # running per-TASK top-k (k × |Q|): merging across Arrow
         # batches keeps the shuffle input at tasks × |Q| × k instead of
         # arrow_batches × |Q| × k — identical final result (the global
         # window keeps top-k by the same (dist, id) order; anything
         # pruned here is dominated in-task)
         run_d = run_i = None
+        n_seen = 0
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -251,9 +262,25 @@ def knn_batch(
             x = vec_matrix(rb.column(rb.schema.get_field_index(vec_col)),
                            dtype=np.float64)
             d = _dist_matrix(x, bq, metric)
-            d = np_round_half_up(d)
             ids = rb.column(rb.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False)
+            n_seen += d.shape[0]
+            if use_c:
+                # (|Q| × k) rounded top-k, -1/inf padded below k rows;
+                # cross-batch merge re-runs the same heap on the
+                # concatenated (|Q| × 2k) survivors (already rounded)
+                new_i, new_d = ckernel.dense_topk(
+                    d, np.ascontiguousarray(ids, dtype=np.int64), k,
+                    do_round=True, queries_axis=1)
+                if run_d is None:
+                    run_d, run_i = new_d, new_i
+                else:
+                    run_i, run_d = ckernel.dense_topk(
+                        np.concatenate([run_d, new_d], axis=1),
+                        np.concatenate([run_i, new_i], axis=1),
+                        k, do_round=False)
+                continue
+            d = np_round_half_up(d)
             kk = min(k, d.shape[0])
             order_ids = np.broadcast_to(ids[:, None], d.shape)
             sel = np.lexsort((order_ids, d), axis=0)[:kk, :]
@@ -268,6 +295,15 @@ def knn_batch(
             run_d = np.take_along_axis(md, sel2, axis=0)
             run_i = np.take_along_axis(mi, sel2, axis=0)
         if run_d is None:
+            return
+        if use_c:
+            kk = min(k, n_seen)
+            yield result_batch(
+                out_schema,
+                query_id=np.repeat(bqids, kk),
+                **{id_col: run_i[:, :kk].reshape(-1)},
+                dist=run_d[:, :kk].reshape(-1),
+            )
             return
         kk = run_d.shape[0]
         yield result_batch(

@@ -237,3 +237,46 @@ def test_knn_batch_driver_merge_equals_window(spark, emb):
                                     **kw).collect()
             assert [tuple(r) for r in dm] == [tuple(r) for r in win], (
                 metric, ub)
+
+
+def test_dense_topk_kernel_matches_lexsort():
+    """Round-14: the compiled per-query top-k heap (ckernel.dense_topk,
+    used by the knn_batch scan) must keep the BIT-IDENTICAL set and
+    order of np_round_half_up + np.lexsort((ids, d))[:k] — including
+    4-dp rounding ties, both tile orientations, per-row-ids merge form,
+    and -1/inf padding when the tile holds fewer than k rows."""
+    from lab_1806_vec_db_spark.index import ckernel
+    from lab_1806_vec_db_spark.operators.knn import np_round_half_up
+
+    if not ckernel.available():
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(7)
+    for n, q, k in ((300, 50, 10), (7, 5, 10)):
+        d0 = rng.random((n, q)) * 2
+        if n > 100:
+            d0[40:80] = d0[0:40]  # exact ties after rounding
+        ids = rng.permutation(n).astype(np.int64)
+        d = np_round_half_up(d0)
+        oid = np.broadcast_to(ids[:, None], d.shape)
+        kk = min(k, n)
+        sel = np.lexsort((oid, d), axis=0)[:kk, :]
+        ref_i = np.take_along_axis(oid, sel, axis=0)
+        ref_d = np.take_along_axis(d, sel, axis=0)
+        ci, cd = ckernel.dense_topk(d0, ids, k, do_round=True, queries_axis=1)
+        assert np.array_equal(ci.T[:kk], ref_i)
+        assert np.array_equal(cd.T[:kk], ref_d)
+        ci2, cd2 = ckernel.dense_topk(
+            np.ascontiguousarray(d0.T), ids, k, do_round=True)
+        assert np.array_equal(ci2, ci) and np.array_equal(cd2, cd)
+        if n < k:
+            assert np.all(ci[:, n:] == -1) and np.all(np.isinf(cd[:, n:]))
+    # merge form: per-row ids, pre-rounded values
+    d0 = rng.random((200, 30))
+    ids = rng.permutation(200).astype(np.int64)
+    ci, cd = ckernel.dense_topk(d0, ids, 8, do_round=True, queries_axis=1)
+    md = np.concatenate([cd, cd + 0.0001], axis=1)
+    mi = np.concatenate([ci, ci + 10_000], axis=1)
+    ri, rd = ckernel.dense_topk(md, mi, 8, do_round=False)
+    sel2 = np.lexsort((mi.T, md.T), axis=0)[:8, :]
+    assert np.array_equal(ri, np.take_along_axis(mi.T, sel2, axis=0).T)
+    assert np.array_equal(rd, np.take_along_axis(md.T, sel2, axis=0).T)
