@@ -250,19 +250,19 @@ class IVFIndex:
         window sort. Auto enables it while |Q|·k·n_parts·24 B fits
         ``driver_merge_max_bytes``; above that the distributed window
         merge serves unchanged (the 100 TB path)."""
+        from lab_1806_vec_db_spark.operators.knn import collect_query_block
+
         spark = queries.sparkSession
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, qmat = collect_query_block(queries, qid_col, qvec_col)
+        if qids.size == 0:
             return self._empty_result(spark)
-        if len(qrows) > max_queries:
+        if qids.size > max_queries:
             raise ValueError(
-                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                f"Query set of {qids.size} rows exceeds the broadcast bound of the "
                 "IVF batch path (the query block is driver-collected and broadcast); "
                 "chunk the query set upstream or stream it through "
                 "knn_batch(strategy='crossjoin')."
             )
-        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         probes = self.model.rank_centroids_batch(qmat, n_probes)  # (m, n_probes)
         # cluster_id -> indices of queries probing it
         by_cluster: dict[int, list[int]] = {}

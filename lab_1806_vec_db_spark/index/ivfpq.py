@@ -1334,18 +1334,18 @@ class IVFPQIndex:
         above that — huge query blocks at 100 TB scale — the
         distributed window merge is the right plan and serves
         unchanged."""
+        from lab_1806_vec_db_spark.operators.knn import collect_query_block
+
         metric = metric or self.model.metric
         spark = queries.sparkSession
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, qmat = collect_query_block(queries, qid_col, qvec_col)
+        if qids.size == 0:
             return spark.createDataFrame([], f"{qid_col} long, {self.id_col} long, dist double")
-        if len(qrows) > max_queries:
+        if qids.size > max_queries:
             raise ValueError(
-                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                f"Query set of {qids.size} rows exceeds the broadcast bound of the "
                 "IVF+PQ batch path; chunk the query set upstream."
             )
-        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         id_col = self.id_col
         ef_ = max(int(ef), int(k))
 

@@ -716,19 +716,19 @@ class PQTable:
         the emission estimate fits ``driver_merge_max_bytes``; above
         that the distributed window merge serves unchanged (the 100 TB
         path)."""
+        from lab_1806_vec_db_spark.operators.knn import collect_query_block
+
         spark = queries.sparkSession
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, qmat = collect_query_block(queries, qid_col, qvec_col)
+        if qids.size == 0:
             return spark.createDataFrame([], f"query_id long, {self.id_col} long, dist double")
-        if len(qrows) > max_queries:
+        if qids.size > max_queries:
             raise ValueError(
-                f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+                f"Query set of {qids.size} rows exceeds the broadcast bound of the "
                 "ADC batch path (per-query lookup tensors are driver-built and "
                 "broadcast); chunk the query set upstream or stream the queries "
                 "through knn_batch(strategy='crossjoin')."
             )
-        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         id_col = self.id_col
         vec_col = self.vec_col
         fused = self.codes_vec is not None and fuse_rerank is not False

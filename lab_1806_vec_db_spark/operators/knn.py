@@ -168,6 +168,26 @@ def _dist_matrix(x: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     return 1.0 - ip / denom
 
 
+def collect_query_block(
+    queries: DataFrame, qid_col: str, qvec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-collect a bounded query block as (qids int64, qmat f64)
+    through ONE Arrow transfer (round-14, guide §6 Arrow-for-driver-
+    transfers): the Row-object ``collect()`` every batch tier opened
+    with cost ~2× the Arrow path at the 1k-query bench block. Values
+    are identical — the Arrow doubles ARE the stored doubles, and the
+    f64 cast matches ``np.asarray(rows, dtype=float64)``."""
+    from lab_1806_vec_db_spark.functions.arrowvec import vec_matrix
+
+    tbl = queries.select(qid_col, qvec_col).toArrow()
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    qids = tbl.column(qid_col).to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    qmat = vec_matrix(tbl.column(qvec_col), dtype=np.float64)
+    return qids, qmat
+
+
 def knn_batch(
     df: DataFrame,
     queries: DataFrame,
@@ -214,18 +234,16 @@ def knn_batch(
         raise ValueError(f"Unknown knn_batch strategy: {strategy}")
 
     spark = df.sparkSession
-    qrows = queries.select(qid_col, qvec_col).collect()
-    if not qrows:
+    qids, qmat = collect_query_block(queries, qid_col, qvec_col)
+    if qids.size == 0:
         return spark.createDataFrame([], f"query_id long, {id_col} long, dist double")
-    if len(qrows) > 200_000:
+    if qids.size > 200_000:
         raise ValueError(
-            f"Query set of {len(qrows)} rows exceeds the broadcast bound of the "
+            f"Query set of {qids.size} rows exceeds the broadcast bound of the "
             "'partitioned' strategy (the query block is driver-collected and "
             "broadcast); chunk the query set or use strategy='crossjoin', which "
             "streams both sides."
         )
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
