@@ -45,6 +45,22 @@ from lab_1806_vec_db_spark.operators.knn import _topk_per_query, np_round_half_u
 from lab_1806_vec_db_spark.functions.distance import dist_expr
 
 
+def group_probes(probes: np.ndarray) -> dict[int, np.ndarray]:
+    """cluster_id → int64 array of the query indices probing it, built
+    with one argsort instead of the |Q|·n_probes python append loop
+    (round-14: at the 1000×111 bench shape the dict-of-lists loop plus
+    its per-broadcast pickle of 111k boxed ints cost ~0.1 s per serve;
+    numpy arrays group in ~1 ms and pickle as binary buffers)."""
+    nq, n_probes = probes.shape
+    qi = np.repeat(np.arange(nq, dtype=np.int64), n_probes)
+    cc = np.asarray(probes, dtype=np.int64).reshape(-1)
+    order = np.argsort(cc, kind="stable")  # stable → per-cluster query
+    cc_s, qi_s = cc[order], qi[order]      # order matches the old loop
+    ucc, starts = np.unique(cc_s, return_index=True)
+    bounds = np.r_[starts[1:], cc_s.size]
+    return {int(c): qi_s[s:e] for c, s, e in zip(ucc, starts, bounds)}
+
+
 class IVFIndex:
     """Coarse-quantized index: seeded k-means centroids + a
     cluster-partitioned copy of the table."""
@@ -264,11 +280,8 @@ class IVFIndex:
                 "knn_batch(strategy='crossjoin')."
             )
         probes = self.model.rank_centroids_batch(qmat, n_probes)  # (m, n_probes)
-        # cluster_id -> indices of queries probing it
-        by_cluster: dict[int, list[int]] = {}
-        for qi, row in enumerate(probes):
-            for c in row:
-                by_cluster.setdefault(int(c), []).append(qi)
+        # cluster_id -> int64 array of the query indices probing it
+        by_cluster = group_probes(np.asarray(probes))
         if compute_dtype not in (None, "float32", "float64"):
             raise ValueError(f"Unsupported compute_dtype: {compute_dtype}")
         bc = spark.sparkContext.broadcast((qids, qmat, by_cluster, self.model.metric))
@@ -328,7 +341,7 @@ class IVFIndex:
                     zero_copy_only=False)
                 for cid in np.unique(cl_all):
                     sel = bclusters.get(int(cid))
-                    if not sel:
+                    if sel is None or len(sel) == 0:
                         continue
                     rows = np.nonzero(cl_all == cid)[0]
                     x = x_all[rows]

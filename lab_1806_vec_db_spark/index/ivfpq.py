@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lab_1806_vec_db_spark.functions.distance import dist_expr
+from lab_1806_vec_db_spark.index.ivf import group_probes
 from lab_1806_vec_db_spark.index.kmeans import KMeansModel, fit_kmeans, sample_rows
 from lab_1806_vec_db_spark.index.pq import (
     PQTable,
@@ -773,10 +774,7 @@ class IVFPQIndex:
             )
         ef_ = max(int(ef), int(k))
         probes = self.model.rank_centroids_batch(qmat, n_probes)
-        by_cluster: dict[int, list[int]] = {}
-        for qi, row in enumerate(probes):
-            for c in row:
-                by_cluster.setdefault(int(c), []).append(qi)
+        by_cluster = group_probes(np.asarray(probes))
         lut3, sq, qn = build_lookup_batch(
             qmat, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
         )
@@ -1494,7 +1492,7 @@ class IVFPQIndex:
                 )
                 for cid in np.unique(cl_all):
                     sel = bclusters.get(int(cid))
-                    if not sel:
+                    if sel is None or len(sel) == 0:
                         continue
                     rows = np.nonzero(cl_all == cid)[0]
                     codes_sub = np.ascontiguousarray(codes_all[rows])
@@ -1615,10 +1613,7 @@ class IVFPQIndex:
         for s in range(0, len(qids), chunk):
             qmat_c = qmat[s : s + chunk]
             probes = self.model.rank_centroids_batch(qmat_c, n_probes)
-            by_cluster: dict[int, list[int]] = {}
-            for qi, row in enumerate(probes):
-                for c in row:
-                    by_cluster.setdefault(int(c), []).append(qi)
+            by_cluster = group_probes(np.asarray(probes))
             all_probed.update(by_cluster.keys())
             lut3, sq, qn = build_lookup_batch(
                 qmat_c, self.pq.codebooks, self.pq.groups, self.pq.n_bits, metric
